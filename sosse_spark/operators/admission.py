@@ -1,0 +1,168 @@
+"""Link admission: blocklist, collection scope regexes, depth budgets,
+cross-collection routing — all broadcast column algebra.
+
+Reference parity (Document.queue, se/document.py:603-694):
+  1. exact + prefix ExcludedUrl blocklist (se/document.py:603-613)
+  2. collection excluded_regex reject (se/document.py:618)
+  3. unlimited_regex ⇒ admit with the collection's full recursion_depth
+     (se/document.py:626-630)
+  4. limited_regex AND parent budget > 0 ⇒ admit with parent depth − 1
+     (se/document.py:632-639)
+  5. otherwise: cross-collection routing — best-matching other
+     collection wins by LONGEST regex match (Collection.get_from_url,
+     se/collection.py:306-339); seeds (no parent) always admitted with
+     full depth (se/document.py:684-685)
+
+Collections/exclusions are tiny dimension tables → broadcast; regexes
+are precompiled per collection at config load (multiline → OR-join,
+se/utils.py:220-230) and evaluated with codegen'd rlike.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["CollectionPolicy", "build_multiline_re", "admit_links", "route_cross_collection"]
+
+
+def build_multiline_re(lines: str) -> str:
+    """OR-join a multiline pattern config, '#'-comments stripped
+    (parity: se/utils.py:220-230)."""
+    pats = []
+    for line in lines.splitlines():
+        line = line.split("#", 1)[0].strip()
+        if line:
+            pats.append(line)
+    if not pats:
+        return ""
+    if len(pats) == 1:
+        return pats[0]
+    return "(" + "|".join(pats) + ")"
+
+
+@dataclass(frozen=True)
+class CollectionPolicy:
+    """≙ Collection (se/collection.py:61-294), crawl-relevant fields."""
+
+    collection_id: int
+    unlimited_regex: str = ""  # multiline, pre-build with build_multiline_re
+    limited_regex: str = ""
+    excluded_regex: str = ""
+    recursion_depth: int = 0
+    keep_params: bool = True
+    hash_no_numbers: bool = False  # hash_mode (se/collection.py:71-76)
+    recrawl_freq: str = "adaptive"  # none | constant | adaptive
+    recrawl_dt_min: int = 3600  # seconds
+    recrawl_dt_max: int = 3 * 3600
+    recrawl_condition: str = "change"  # change | always | manual
+    queue_to_any_collection: bool = False
+    queue_to_collections: tuple = field(default_factory=tuple)
+
+
+def admit_links(
+    links: DataFrame,
+    policy: CollectionPolicy,
+    excluded_exact: Optional[list[str]] = None,
+    excluded_prefix: Optional[list[str]] = None,
+) -> DataFrame:
+    """Filter + depth-budget candidate links of ONE collection.
+
+    Input columns: url, parent_recurse (parent's remaining budget; null
+    for seeds).  Output adds crawl_recurse and keeps only admitted rows.
+    `admitted_reason` ∈ unlimited|limited|seed for test introspection.
+    """
+    df = links
+
+    # 1. blocklist (broadcast literals; exact + startswith)
+    if excluded_exact:
+        df = df.filter(~F.col("url").isin(excluded_exact))
+    if excluded_prefix:
+        cond = None
+        for p in excluded_prefix:
+            c = F.col("url").startswith(p)
+            cond = c if cond is None else (cond | c)
+        df = df.filter(~cond)
+
+    # 2. collection excluded_regex
+    if policy.excluded_regex:
+        df = df.filter(~F.col("url").rlike(policy.excluded_regex))
+
+    is_seed = F.col("parent_recurse").isNull()
+    unlimited = (
+        F.col("url").rlike(policy.unlimited_regex) if policy.unlimited_regex else F.lit(False)
+    )
+    limited = (
+        (F.col("url").rlike(policy.limited_regex) & (F.col("parent_recurse") > 0))
+        if policy.limited_regex
+        else F.lit(False)
+    )
+
+    df = df.withColumn(
+        "admitted_reason",
+        F.when(is_seed, F.lit("seed"))
+        .when(unlimited, F.lit("unlimited"))
+        .when(limited, F.lit("limited"))
+        .otherwise(F.lit(None).cast("string")),
+    ).filter(F.col("admitted_reason").isNotNull())
+
+    return df.withColumn(
+        "crawl_recurse",
+        F.when(F.col("admitted_reason") == "limited", F.col("parent_recurse") - 1)
+        .otherwise(F.lit(policy.recursion_depth))
+        .cast("int"),
+    )
+
+
+def route_cross_collection(
+    rejected: DataFrame,
+    policies: list[CollectionPolicy],
+    source_policy: CollectionPolicy,
+) -> DataFrame:
+    """Re-queue URLs that missed their own collection's scope to the
+    best-matching other collection: LONGEST regexp_extract match wins
+    (parity: se/collection.py:306-339 REGEXP_SUBSTR-length annotate).
+
+    Returns (url, collection_id, match_len) for the winning collection
+    per URL; URLs with no match anywhere are dropped.
+    """
+    if source_policy.queue_to_any_collection:
+        targets = [p for p in policies if p.collection_id != source_policy.collection_id]
+    elif source_policy.queue_to_collections:
+        allowed = set(source_policy.queue_to_collections)
+        targets = [p for p in policies if p.collection_id in allowed]
+    else:
+        return rejected.sparkSession.createDataFrame(
+            [], "url string, collection_id int, match_len int"
+        )
+
+    scored = []
+    for p in targets:
+        regex = p.unlimited_regex or p.limited_regex
+        if not regex:
+            continue
+        scored.append(
+            rejected.select("url")
+            .withColumn("collection_id", F.lit(p.collection_id))
+            .withColumn("match_len", F.length(F.regexp_extract(F.col("url"), regex, 0)))
+            .filter(F.col("match_len") > 0)
+        )
+    if not scored:
+        return rejected.sparkSession.createDataFrame(
+            [], "url string, collection_id int, match_len int"
+        )
+    all_scores = scored[0]
+    for s in scored[1:]:
+        all_scores = all_scores.unionByName(s)
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("url").orderBy(F.col("match_len").desc(), F.col("collection_id").asc())
+    return (
+        all_scores.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

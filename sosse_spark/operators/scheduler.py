@@ -1,0 +1,153 @@
+"""Priority queue + politeness as window-ranked DataFrame batches.
+
+Reference parity:
+  * eligibility (se/document.py:838-841): (crawl_last IS NULL OR
+    crawl_next <= now) AND retries <= crash_retry AND worker_no IS NULL
+  * priority order (se/document.py:843-848): manual_crawl DESC,
+    crawl_last DESC NULLS FIRST (never-crawled first), crawl_next ASC,
+    id ASC — golden fixture se/test_crawl_queue.py:127-164
+  * politeness (se/management/commands/crawl.py:112-173): the reference
+    serializes one in-flight URL per worker; the BSP analog is a per-host
+    budget per micro-batch (at most `per_host_budget` URLs per domain per
+    round) — hot hosts can't starve the round.
+  * claim (se/document.py:901-922): the CAS row-claim is replaced by
+    deterministic batch ownership: each round's ranked slice IS the
+    claim; `lineage_round` records it (worker_no ≙ lineage id).
+  * display queue (se/document.py:850-899): top-10 pending + reversed
+    next-up + in-progress + last-10 history.
+
+Skew: the per-host window would put every row of a hot host in one task.
+`per_host_topk` therefore pre-ranks within (host, salt) groups — salt =
+pmod(xxhash64(url), S) — keeps the per-salt top-k, then exact-ranks the
+surviving ≤ S·k rows per host.  Two narrow shuffles over bounded data
+instead of one skewed one (north-rule requirement).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "ELIGIBILITY_ORDER",
+    "eligible_filter",
+    "priority_order_cols",
+    "per_host_topk",
+    "select_batch",
+    "display_queue",
+]
+
+ELIGIBILITY_ORDER = "manual_crawl DESC, crawl_last DESC NULLS FIRST, crawl_next ASC, id ASC"
+
+
+def eligible_filter(now_col: Column, crash_retry: int = 1) -> Column:
+    """Eligibility predicate (parity: se/document.py:838-841)."""
+    return (
+        (F.col("crawl_last").isNull() | (F.col("crawl_next") <= now_col))
+        & (F.col("retries") <= F.lit(crash_retry))
+        & F.col("worker_no").isNull()
+    )
+
+
+def priority_order_cols() -> list[Column]:
+    """Queue priority (parity: se/document.py:843-848; PG sort-null
+    conventions: DESC ⇒ NULLS FIRST, ASC ⇒ NULLS LAST)."""
+    return [
+        F.col("manual_crawl").desc(),
+        F.col("crawl_last").desc_nulls_first(),
+        F.col("crawl_next").asc_nulls_last(),
+        F.col("id").asc(),
+    ]
+
+
+def per_host_topk(
+    df: DataFrame,
+    host_col: str,
+    order_cols: Sequence[Column],
+    k: int,
+    salt_buckets: int = 8,
+    salt_key: str = "url",
+) -> DataFrame:
+    """Keep the top-k rows per host under `order_cols`, skew-safely.
+
+    Phase 1 ranks within (host, salt) and discards everything past k —
+    a hot host's rows split across `salt_buckets` tasks, each keeping at
+    most k.  Phase 2 exact-ranks the ≤ salt_buckets·k survivors per
+    host.  Result column `host_rank` is the exact per-host rank.
+    """
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(salt_key)), F.lit(salt_buckets)).cast("int")
+    )
+    w1 = Window.partitionBy(host_col, "_salt").orderBy(*order_cols)
+    pre = (
+        salted.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= k)
+        .drop("_r1")
+    )
+    w2 = Window.partitionBy(host_col).orderBy(*order_cols)
+    return (
+        pre.withColumn("host_rank", F.row_number().over(w2))
+        .filter(F.col("host_rank") <= k)
+        .drop("_salt")
+    )
+
+
+def select_batch(
+    frontier: DataFrame,
+    now_col: Column,
+    batch_size: int,
+    per_host_budget: int = 4,
+    crash_retry: int = 1,
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """One round's claim: eligible → per-host budget → global top-N.
+
+    The global cut is orderBy().limit() (TakeOrderedAndProject — each
+    task keeps N rows, the driver merges; no full sort at scale).
+    """
+    eligible = frontier.filter(eligible_filter(now_col, crash_retry))
+    budgeted = per_host_topk(
+        eligible, "url_domain", priority_order_cols(), per_host_budget, salt_buckets
+    )
+    return budgeted.orderBy(*priority_order_cols()).limit(batch_size)
+
+
+def display_queue(frontier: DataFrame, now_col: Column, size: int = 10, crash_retry: int = 1) -> DataFrame:
+    """Operator-facing queue view (parity: se/document.py:850-899):
+    next `size` ready rows + up-to-size not-yet-ready (reversed) +
+    in-progress + last-`size` crawl history, tagged by `queue_section`."""
+    base = frontier.withColumn("_now", now_col)
+
+    ready = (
+        frontier.filter(eligible_filter(now_col, crash_retry))
+        .orderBy(*priority_order_cols())
+        .limit(size)
+        .withColumn("queue_section", F.lit("pending"))
+    )
+    not_ready = (
+        frontier.filter(
+            F.col("crawl_last").isNotNull()
+            & (F.col("crawl_next") > now_col)
+            & (F.col("retries") <= crash_retry)
+            & F.col("worker_no").isNull()
+        )
+        .orderBy(F.col("crawl_next").desc(), F.col("id").desc())
+        .limit(size)
+        .withColumn("queue_section", F.lit("pending_later"))
+    )
+    in_progress = frontier.filter(F.col("worker_no").isNotNull()).withColumn(
+        "queue_section", F.lit("in_progress")
+    )
+    history = (
+        frontier.filter(
+            F.col("crawl_last").isNotNull()
+            & (F.col("crawl_next").isNull() | (F.col("crawl_next") > now_col))
+        )
+        .orderBy(F.col("crawl_last").desc())
+        .limit(size)
+        .withColumn("queue_section", F.lit("history"))
+    )
+    _ = base
+    return ready.unionByName(not_ready).unionByName(in_progress).unionByName(history)

@@ -1,0 +1,156 @@
+"""Synthetic crawl topology — the BrowserMock analog (se/test_mock.py:40-83).
+
+A deterministic pure-function web over the image corpus: every doc index
+i maps to a URL on a Zipf-skewed host; fetching that URL returns the
+corpus payload (image bytes + caption) plus out-links in assorted
+relative forms (exercising absolutize/sanitize, se/url.py:66-165),
+redirect chains (cap 5 → TooManyRedirects, sosse/conf.py:356-360),
+error injection (generic + PageTooBig, se/browser_request.py:146-165),
+and per-host robots.txt (404 on most hosts, mirroring
+se/test_mock.py:43-49; a deterministic subset serves a body with
+Disallow/Allow/typo lines per se/domain.py:107-173 semantics).
+
+Everything is a function of (i, n_docs, n_hosts) — no stored state, so
+executors evaluate it locally with zero shuffle.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+__all__ = ["WebConfig", "host_no", "url_of", "doc_index_of", "out_links", "robots_body", "fetch_sim"]
+
+_KNUTH = 2654435761
+
+
+@dataclass(frozen=True)
+class WebConfig:
+    n_docs: int = 1000
+    n_hosts: int = 10
+    zipf_alpha: float = 3.0  # host = floor(H * u^alpha): higher = more skew
+    max_redirects: int = 5  # parity: sosse/conf.py:356-360
+    robots_host_mod: int = 4  # hosts with host_no % mod == 0 serve robots.txt
+    redirect_mod: int = 50  # doc i has a redirect chain iff i % mod == 1
+    error_mod: int = 100  # i % mod == 3 → generic error; == 7 → PageTooBig
+    private_mod: int = 17  # i % mod == 0 → doc lives under /private/
+
+
+def _uniform(i: int) -> float:
+    return ((i * _KNUTH) % (1 << 32)) / float(1 << 32)
+
+
+def host_no(i: int, cfg: WebConfig) -> int:
+    """Zipf-ish skewed host assignment: u^alpha concentrates mass on
+    low-numbered hosts (host 0 is the hot host — the skew the north rule
+    requires salting for)."""
+    u = _uniform(i)
+    return min(int(cfg.n_hosts * (u ** cfg.zipf_alpha)), cfg.n_hosts - 1)
+
+
+def _path_of(i: int, cfg: WebConfig) -> str:
+    if i % cfg.private_mod == 0 and i > 0:
+        return f"/private/doc/{i:012d}"
+    return f"/doc/{i:012d}"
+
+
+def url_of(i: int, cfg: WebConfig) -> str:
+    return f"http://img{host_no(i, cfg)}.example.com{_path_of(i, cfg)}"
+
+
+def doc_index_of(url: str, cfg: WebConfig) -> Optional[int]:
+    """Inverse of url_of for canonical URLs; None for non-doc URLs."""
+    try:
+        tail = url.rsplit("/", 1)[-1]
+        i = int(tail)
+    except (ValueError, IndexError):
+        return None
+    if 0 <= i < cfg.n_docs and url == url_of(i, cfg):
+        return i
+    return None
+
+
+def out_links(i: int, cfg: WebConfig) -> list[str]:
+    """Deterministic hrefs AS WRITTEN IN THE PAGE (pre-canonicalization):
+    cycles through absolute / protocol-relative / path-relative /
+    dot-relative / query+fragment forms so the URL kernel is exercised
+    on every page.  Order is the page's link order (link_no ordinal,
+    se/page.py:173-179)."""
+    k = i % 4
+    links = []
+    for j in range(k):
+        t = (i * 31 + 7 + j * 12347) % cfg.n_docs
+        t_host = host_no(t, cfg)
+        t_path = _path_of(t, cfg)
+        form = (i + j) % 5
+        if form == 0:
+            links.append(f"http://img{t_host}.example.com{t_path}")
+        elif form == 1:
+            links.append(f"//img{t_host}.example.com{t_path}")
+        elif form == 2 and t_host == host_no(i, cfg):
+            # same-host path-relative with dot segments
+            links.append(f".{t_path}" if _path_of(i, cfg).count("/") == 2 else f"..{t_path}")
+        elif form == 3:
+            links.append(f"http://img{t_host}.example.com{t_path}?utm=1&x=2#frag")
+        else:
+            links.append(f"http://img{t_host}.example.com/other/../{t_path.lstrip('/')}")
+    return links
+
+
+def robots_body(host: int, cfg: WebConfig) -> Optional[str]:
+    """robots.txt body for hosts that serve one; None = 404 (allow-all,
+    parity: empty/unfetchable robots ⇒ allow, se/domain.py:193-228)."""
+    if host % cfg.robots_host_mod != 0:
+        return None
+    return (
+        "# synthetic robots\n"
+        "User-agent: sosse-spark\n"
+        "Disallow: /private*\n"
+        f"Allow: /private/ok$\n"
+        "User-agent: *\n"
+        "Dissallow: /private*\n"  # typo key, normalized per se/domain.py:119
+    )
+
+
+@dataclass
+class FetchResult:
+    url: str  # requested URL
+    final_url: str  # after redirects (== url when no redirect)
+    redirect_count: int = 0
+    error: Optional[str] = None
+    doc_index: Optional[int] = None
+    links: list[str] = field(default_factory=list)
+
+
+def fetch_sim(url: str, cfg: WebConfig) -> FetchResult:
+    """Simulate one fetch: redirect chain, error injection, payload.
+    Deterministic; callable inside Arrow batches on executors."""
+    i = doc_index_of(url, cfg)
+    if i is None:
+        return FetchResult(url=url, final_url=url, error="404 not found")
+
+    if i % cfg.error_mod == 3:
+        return FetchResult(url=url, final_url=url, doc_index=i, error="fetch error: connection reset")
+    if i % cfg.error_mod == 7:
+        return FetchResult(url=url, final_url=url, doc_index=i, error="PageTooBig")
+
+    redirect_count = 0
+    final_i = i
+    if i % cfg.redirect_mod == 1:
+        chain = i % 7
+        if chain > cfg.max_redirects:
+            return FetchResult(url=url, final_url=url, doc_index=i, error="TooManyRedirects")
+        if chain > 0:
+            redirect_count = chain
+            final_i = (i + chain) % cfg.n_docs
+            # the redirect target must itself be a plain page
+            if final_i % cfg.redirect_mod == 1 or final_i % cfg.error_mod in (3, 7):
+                final_i = (final_i + 1) % cfg.n_docs
+
+    return FetchResult(
+        url=url,
+        final_url=url_of(final_i, cfg),
+        redirect_count=redirect_count,
+        doc_index=final_i,
+        links=out_links(final_i, cfg),
+    )

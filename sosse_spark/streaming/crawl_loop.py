@@ -1,0 +1,481 @@
+"""The BSP crawl loop: checkpointed micro-batch rounds over snapshot tables.
+
+Replaces the reference's forked worker processes + row-at-a-time
+claim/fetch/index loop (se/management/commands/crawl.py:112-219,
+se/document.py:714-829) with one deterministic DataFrame DAG per round:
+
+  frontier snapshot
+    → eligibility filter → per-host politeness window (salted)
+    → global priority top-N                                (the claim)
+    → robots broadcast join (fetching rules for new domains first)
+    → Arrow mapInPandas fetch (redirects, size caps, error injection)
+    → change detection + adaptive reschedule               (replacements)
+    → link canonicalization UDFs → admission → Bloom-prefiltered dedup
+    → deterministic id assignment                          (inserts)
+    → MERGE frontier (bucket-granular rewrite) + bloom update
+    → append documents / links / metrics
+
+Each round commits new snapshots of frontier+bloom and appends to the
+logs; a kill at any point resumes from the last committed snapshot
+(per-round lineage: lineage_round on claimed rows, manifest round_no).
+Time is an injected logical clock so runs are exactly reproducible.
+"""
+
+from __future__ import annotations
+
+import time
+from datetime import datetime, timedelta
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sosse_spark.operators.admission import CollectionPolicy, admit_links
+from sosse_spark.operators.fetch import fetch_batch, fetch_robots_for_domains
+from sosse_spark.operators.frontier import (
+    FRONTIER_SCHEMA,
+    assign_ids,
+    bloom_build,
+    merge_frontier,
+    urlseen_dedup,
+)
+from sosse_spark.operators.recrawl import schedule_next_cols
+from sosse_spark.operators.robots import evaluate_robots
+from sosse_spark.operators.scheduler import priority_order_cols, select_batch
+from sosse_spark.functions.urlnorm import absolutize_udf, browsable_udf
+from sosse_spark.functions.hashing import normalize_numbers
+from sosse_spark.sources.tables import AppendTable, SnapshotTable
+from sosse_spark.sources.webgraph import WebConfig
+
+__all__ = ["CrawlEngine"]
+
+_SKIP_ERRORS = ("PageTooBig", "TooManyRedirects")  # SkipIndexing analogs
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        web: WebConfig,
+        policy: CollectionPolicy,
+        n_buckets: int = 16,
+        batch_size: int = 64,
+        per_host_budget: int = 4,
+        crash_retry: int = 1,
+        salt_buckets: int = 4,
+        bloom_bits: int = 1 << 20,
+    ):
+        self.spark = spark
+        self.web = web
+        self.policy = policy
+        self.n_buckets = n_buckets
+        self.batch_size = batch_size
+        self.per_host_budget = per_host_budget
+        self.crash_retry = crash_retry
+        self.salt_buckets = salt_buckets
+        self.bloom_bits = bloom_bits
+
+        self.frontier = SnapshotTable(root, "frontier", n_buckets)
+        self.bloom = SnapshotTable(root, "urlseen_bloom", n_buckets)
+        self.host_rules = AppendTable(root, "host_rules")
+        self.documents = AppendTable(root, "documents")
+        self.links = AppendTable(root, "links")
+        self.metrics = AppendTable(root, "metrics")
+
+    # ------------------------------------------------------------------
+    def round_no(self) -> int:
+        m = self.frontier.manifest()
+        return (m["round"] if m else -1) + 1
+
+    def _finalize_rows(self, df: DataFrame) -> DataFrame:
+        """Project to the exact frontier schema/column order."""
+        return df.select(*[F.col(f.name).cast(f.dataType) for f in FRONTIER_SCHEMA.fields])
+
+    def seed(self, urls: list[str], t: datetime, manual: bool = False) -> None:
+        """Insert seed URLs (parity: Document.manual_queue,
+        se/document.py:586-601 — seeds admitted with full depth)."""
+        from sosse_spark.functions.urlnorm import sanitize_url
+
+        rows = [(sanitize_url(u), i) for i, u in enumerate(urls)]
+        df = self.spark.createDataFrame(rows, "url string, disc_order long")
+        df = (
+            df.withColumn("url_hash", F.xxhash64("url"))
+            .withColumn("bucket", F.pmod(F.col("url_hash"), F.lit(self.n_buckets)).cast("int"))
+            .withColumn("url_domain", F.parse_url("url", F.lit("HOST")))
+            .withColumn("url_path", F.parse_url("url", F.lit("PATH")))
+            .withColumn("collection_id", F.lit(self.policy.collection_id))
+            .withColumn("crawl_recurse", F.lit(self.policy.recursion_depth))
+        )
+        existing = self.frontier.read(self.spark)
+        prev_bloom = self.bloom.read(self.spark)
+        new = urlseen_dedup(df, existing, prev_bloom, self.bloom_bits)
+        new = assign_ids(new, self.round_no())
+        for col, default in {
+            "crawl_first": "timestamp",
+            "crawl_last": "timestamp",
+            "crawl_dt": "long",
+            "worker_no": "int",
+            "error": "string",
+            "error_hash": "string",
+            "redirect_url": "string",
+            "content_hash": "string",
+            "lineage_round": "int",
+            "lineage_part": "int",
+        }.items():
+            new = new.withColumn(col, F.lit(None).cast(default))
+        new = (
+            new.withColumn("crawl_next", F.lit(t if manual else None).cast("timestamp"))
+            .withColumn("manual_crawl", F.lit(manual))
+            .withColumn("retries", F.lit(0))
+            .withColumn("robotstxt_rejected", F.lit(False))
+        )
+        new = self._finalize_rows(new).cache()
+        merged = merge_frontier(
+            self._changed_bucket_slice(existing, new), None, new
+        )
+        self.frontier.commit(self.spark, merged, self.round_no())
+        self.bloom.commit(
+            self.spark, bloom_build(new, prev_bloom, self.bloom_bits), self.round_no()
+        )
+
+    def _changed_bucket_slice(
+        self, frontier: Optional[DataFrame], *changed: Optional[DataFrame]
+    ) -> Optional[DataFrame]:
+        """Existing frontier rows living in buckets touched by `changed`."""
+        if frontier is None:
+            return None
+        buckets = set()
+        for df in changed:
+            if df is not None:
+                buckets.update(r["bucket"] for r in df.select("bucket").distinct().collect())
+        if not buckets:
+            return None
+        return frontier.filter(F.col("bucket").isin(sorted(buckets)))
+
+    # ------------------------------------------------------------------
+    def run_round(self, t: datetime) -> Optional[dict]:
+        """One BSP round.  Returns the metrics row, or None if quiescent."""
+        t0 = time.time()
+        round_no = self.round_no()
+        spark = self.spark
+        now_col = F.lit(t).cast("timestamp")
+
+        frontier = self.frontier.read(spark)
+        if frontier is None:
+            return None
+        frontier = frontier.cache()
+
+        batch = select_batch(
+            frontier,
+            now_col,
+            self.batch_size,
+            self.per_host_budget,
+            self.crash_retry,
+            self.salt_buckets,
+        )
+        # global_rank: deterministic intra-round order (window over the
+        # already-limited batch — at most batch_size rows)
+        batch = batch.withColumn(
+            "global_rank", F.row_number().over(Window.orderBy(*priority_order_cols()))
+        ).cache()
+        n_batch = batch.count()
+        if n_batch == 0:
+            frontier.unpersist()
+            return None
+
+        # --- robots: fetch rules for domains never seen before ---------
+        known_rules = self.host_rules.read(spark)
+        new_domains = batch.select("url_domain").distinct()
+        if known_rules is not None:
+            new_domains = new_domains.join(
+                known_rules.select(F.col("domain").alias("url_domain")).distinct(),
+                "url_domain",
+                "left_anti",
+            )
+        new_rules = fetch_robots_for_domains(new_domains, self.web)
+        self.host_rules.append(spark, new_rules, round_no)
+        rules = self.host_rules.read(spark)
+
+        checked = evaluate_robots(batch, rules).cache()
+        rejected = checked.filter(~F.col("robots_authorized"))
+        authorized = checked.filter(F.col("robots_authorized"))
+
+        # --- fetch ------------------------------------------------------
+        fetched = fetch_batch(authorized, self.web)
+        joined = authorized.alias("b").join(fetched.alias("f"), "url").cache()
+
+        is_error = F.col("f.error").isNotNull()
+        is_skip = F.col("f.error").isin(*_SKIP_ERRORS)
+        is_redirect = (~is_error) & (F.col("f.final_url") != F.col("url"))
+        is_success = (~is_error) & (~is_redirect)
+
+        # change detection: phash + number-normalized caption (F26)
+        cap = F.coalesce(F.col("f.caption"), F.lit(""))
+        if self.policy.hash_no_numbers:
+            cap = normalize_numbers(cap)
+        new_hash = F.md5(F.concat_ws("|", F.col("f.phash").cast("string"), cap))
+        changed_content = F.col("b.content_hash").isNull() | (
+            F.col("b.content_hash") != new_hash
+        )
+        redirect_changed = F.col("b.redirect_url").isNull() | (
+            F.col("b.redirect_url") != F.col("f.final_url")
+        )
+        # scheduling verdict per disposition (reference: error→changed,
+        # skip→unchanged, redirect→target-moved, success→hash verdict)
+        sched_changed = (
+            F.when(is_skip, F.lit(False))
+            .when(is_error, F.lit(True))
+            .when(is_redirect, redirect_changed)
+            .otherwise(changed_content)
+        )
+        nxt, dt = schedule_next_cols(
+            sched_changed,
+            self.policy.recrawl_freq,
+            self.policy.recrawl_dt_min,
+            self.policy.recrawl_dt_max,
+            crawl_last=now_col,
+            crawl_dt=F.col("b.crawl_dt"),
+        )
+
+        replacements = joined.select(
+            F.col("url"),
+            F.col("b.url_hash").alias("url_hash"),
+            F.col("b.bucket").alias("bucket"),
+            F.col("b.url_domain").alias("url_domain"),
+            F.col("b.url_path").alias("url_path"),
+            F.col("b.collection_id").alias("collection_id"),
+            F.col("b.id").alias("id"),
+            F.coalesce(F.col("b.crawl_first"), now_col).alias("crawl_first"),
+            now_col.alias("crawl_last"),
+            nxt.alias("crawl_next"),
+            dt.alias("crawl_dt"),
+            F.col("b.crawl_recurse").alias("crawl_recurse"),
+            F.col("b.manual_crawl").alias("manual_crawl"),
+            # claim increments retries; success and generic error reset to 0,
+            # skip keeps the increment (se/document.py:742, :524, :817)
+            F.when(is_skip, F.col("b.retries") + 1)
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("retries"),
+            F.lit(None).cast("int").alias("worker_no"),
+            F.col("f.error").alias("error"),
+            F.when(is_error, F.md5(F.col("f.error"))).alias("error_hash"),
+            F.lit(False).alias("robotstxt_rejected"),
+            F.when(is_redirect, F.col("f.final_url")).alias("redirect_url"),
+            F.when(is_success, new_hash).otherwise(F.col("b.content_hash")).alias("content_hash"),
+            F.lit(round_no).alias("lineage_round"),
+            F.col("b.bucket").alias("lineage_part"),
+        )
+
+        rejected_rows = rejected.select(
+            F.col("url"),
+            "url_hash",
+            "bucket",
+            "url_domain",
+            "url_path",
+            "collection_id",
+            "id",
+            F.coalesce(F.col("crawl_first"), now_col).alias("crawl_first"),
+            now_col.alias("crawl_last"),
+            F.lit(None).cast("timestamp").alias("crawl_next"),
+            F.lit(None).cast("long").alias("crawl_dt"),
+            "crawl_recurse",
+            "manual_crawl",
+            F.lit(0).alias("retries"),
+            F.lit(None).cast("int").alias("worker_no"),
+            F.lit(None).cast("string").alias("error"),
+            F.lit(None).cast("string").alias("error_hash"),
+            F.lit(True).alias("robotstxt_rejected"),
+            F.lit(None).cast("string").alias("redirect_url"),
+            "content_hash",
+            F.lit(round_no).alias("lineage_round"),
+            F.col("bucket").alias("lineage_part"),
+        )
+        replacements = self._finalize_rows(
+            replacements.unionByName(self._finalize_rows(rejected_rows))
+        ).cache()
+
+        # --- link extraction & admission ---------------------------------
+        # parse skipped when hash unchanged and recrawl_condition=change
+        # (se/document.py:449-455)
+        parse_ok = is_success & (
+            F.lit(self.policy.recrawl_condition != "change") | changed_content
+        )
+        raw_links = (
+            joined.filter(parse_ok)
+            .select(
+                F.col("f.final_url").alias("base_url"),
+                F.col("b.crawl_recurse").alias("parent_recurse"),
+                F.col("b.global_rank").alias("parent_rank"),
+                F.posexplode_outer(F.col("f.links")).alias("link_no", "href"),
+            )
+            .filter(F.col("href").isNotNull())
+        )
+        resolved = (
+            raw_links.filter(browsable_udf(F.col("href")))
+            .withColumn("abs_url", absolutize_udf(F.col("base_url"), F.col("href")))
+            .filter(F.col("abs_url").isNotNull())
+            .withColumn("abs_url", F.split(F.col("abs_url"), "#", 2).getItem(0))
+        )
+        if not self.policy.keep_params:
+            resolved = resolved.withColumn(
+                "abs_url", F.split(F.col("abs_url"), r"\?", 2).getItem(0)
+            )
+        resolved = resolved.withColumn("url", F.col("abs_url")).cache()
+
+        admitted = admit_links(resolved, self.policy)
+        candidates = (
+            admitted.withColumn("url_hash", F.xxhash64("url"))
+            .withColumn("bucket", F.pmod(F.col("url_hash"), F.lit(self.n_buckets)).cast("int"))
+            .withColumn("url_domain", F.parse_url("url", F.lit("HOST")))
+            .withColumn("url_path", F.parse_url("url", F.lit("PATH")))
+            .withColumn("collection_id", F.lit(self.policy.collection_id))
+            .withColumn(
+                "disc_order",
+                (F.col("parent_rank").cast("long") * 4096 + F.col("link_no")).cast("long"),
+            )
+        )
+        # redirect targets are queued for the next round (BSP analog of
+        # pick_or_create continuation, se/document.py:924-946)
+        redirect_targets = (
+            joined.filter(is_redirect)
+            .select(
+                F.col("f.final_url").alias("url"),
+                F.col("b.crawl_recurse").alias("crawl_recurse"),
+                (F.col("b.global_rank").cast("long") * 4096 + 4095).alias("disc_order"),
+            )
+            .withColumn("url_hash", F.xxhash64("url"))
+            .withColumn("bucket", F.pmod(F.col("url_hash"), F.lit(self.n_buckets)).cast("int"))
+            .withColumn("url_domain", F.parse_url("url", F.lit("HOST")))
+            .withColumn("url_path", F.parse_url("url", F.lit("PATH")))
+            .withColumn("collection_id", F.lit(self.policy.collection_id))
+        )
+        cand_cols = [
+            "url",
+            "url_hash",
+            "bucket",
+            "url_domain",
+            "url_path",
+            "collection_id",
+            "crawl_recurse",
+            "disc_order",
+        ]
+        all_candidates = candidates.select(*cand_cols).unionByName(
+            redirect_targets.select(*cand_cols)
+        )
+
+        prev_bloom = self.bloom.read(spark)
+        new_urls = urlseen_dedup(all_candidates, frontier, prev_bloom, self.bloom_bits)
+        new_urls = assign_ids(new_urls, round_no)
+        inserts = new_urls
+        for col, typ in {
+            "crawl_first": "timestamp",
+            "crawl_last": "timestamp",
+            "crawl_next": "timestamp",
+            "crawl_dt": "long",
+            "worker_no": "int",
+            "error": "string",
+            "error_hash": "string",
+            "redirect_url": "string",
+            "content_hash": "string",
+        }.items():
+            inserts = inserts.withColumn(col, F.lit(None).cast(typ))
+        inserts = (
+            inserts.withColumn("manual_crawl", F.lit(False))
+            .withColumn("retries", F.lit(0))
+            .withColumn("robotstxt_rejected", F.lit(False))
+            .withColumn("lineage_round", F.lit(round_no))
+            .withColumn("lineage_part", F.col("bucket"))
+        )
+        inserts = self._finalize_rows(inserts).cache()
+
+        # --- commits ------------------------------------------------------
+        untouched_frontier = self._changed_bucket_slice(frontier, replacements, inserts)
+        merged = merge_frontier(untouched_frontier, replacements, inserts)
+        self.frontier.commit(spark, merged, round_no)
+        if inserts.take(1):
+            self.bloom.commit(
+                spark, bloom_build(inserts, prev_bloom, self.bloom_bits), round_no
+            )
+
+        docs = joined.filter(is_success).select(
+            F.col("url"),
+            F.col("f.final_url").alias("final_url"),
+            F.col("f.image_id").alias("image_id"),
+            F.col("f.bytes").alias("bytes"),
+            F.col("f.w").alias("w"),
+            F.col("f.h").alias("h"),
+            F.col("f.fmt").alias("fmt"),
+            F.col("f.caption").alias("caption"),
+            F.col("f.phash").alias("phash"),
+            new_hash.alias("content_hash"),
+            changed_content.alias("changed"),
+            F.lit(round_no).alias("round_no"),
+            now_col.alias("fetched_at"),
+        )
+        self.documents.append(spark, docs, round_no)
+
+        link_rows = resolved.join(
+            admitted.select(F.col("url"), F.lit(True).alias("is_admitted")).distinct(),
+            "url",
+            "left",
+        ).select(
+            F.col("base_url").alias("src_url"),
+            F.col("url").alias("dst_url"),
+            F.col("link_no"),
+            F.coalesce(F.col("is_admitted"), F.lit(False)).alias("is_admitted"),
+            F.lit(round_no).alias("round_no"),
+        )
+        self.links.append(spark, link_rows, round_no)
+
+        # --- metrics (F30 parity counts) ----------------------------------
+        n_rejected = rejected.count()
+        n_errors = joined.filter(is_error).count()
+        n_redirects = joined.filter(is_redirect).count()
+        n_success = joined.filter(is_success).count()
+        n_links = resolved.count()
+        n_new = inserts.count()
+        duration = time.time() - t0
+        metrics_row = {
+            "round_no": round_no,
+            "t": t,
+            "batch": n_batch,
+            "fetched": n_success + n_redirects + n_errors,
+            "success": n_success,
+            "errors": n_errors,
+            "redirects": n_redirects,
+            "robots_rejected": n_rejected,
+            "links_extracted": n_links,
+            "new_urls": n_new,
+            "duration_sec": duration,
+            "urls_per_sec": (n_batch / duration) if duration > 0 else 0.0,
+        }
+        self.metrics.append(
+            spark,
+            spark.createDataFrame(
+                [metrics_row],
+                "round_no int, t timestamp, batch long, fetched long, success long, "
+                "errors long, redirects long, robots_rejected long, links_extracted long, "
+                "new_urls long, duration_sec double, urls_per_sec double",
+            ),
+            round_no,
+        )
+
+        for df in (frontier, batch, checked, joined, resolved, replacements, inserts):
+            df.unpersist()
+        return metrics_row
+
+    # ------------------------------------------------------------------
+    def run_until_quiescent(
+        self, t0: datetime, round_dt: timedelta = timedelta(minutes=1), max_rounds: int = 50
+    ) -> list[dict]:
+        out = []
+        t = t0
+        for _ in range(max_rounds):
+            m = self.run_round(t)
+            if m is None:
+                break
+            out.append(m)
+            t = t + round_dt
+        return out

@@ -1,0 +1,28 @@
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import SparkSession
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = (
+        SparkSession.builder.master("local[4]")
+        .appName("sosse-spark-tests")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "4g")
+        .config("spark.sql.adaptive.enabled", "true")
+        .getOrCreate()
+    )
+    yield s
+    s.stop()
+
+
+@pytest.fixture()
+def tmp_root():
+    d = tempfile.mkdtemp(prefix="sosse_spark_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
