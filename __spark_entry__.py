@@ -1,38 +1,811 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises one operator from SURVEY.md §2 over
+the driver's synthetic tables at ``sf_dir``; the matching
+``oracle_sql()`` entry recomputes the identical result in DuckDB SQL.
+Column analogy (FIXTURES.md §5): `events` rows are mapped to frontier
+rows (ts ≙ crawl timestamps, user_id ≙ host bucket, event_type ≙ manual
+flag, event_id ≙ autoincrement id); `documents.text` stands in for the
+caption payload; `embeddings` drives the similarity-search ops.
+
+Entries without an oracle (minhash/simhash banding on xxhash64, LSH
+bucketing, image decode) are rows-only checked here and exactness-tested
+in tests/ instead.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+NOW = "2024-01-15 00:00:00"
+CRASH_RETRY = 1
+
+# ---------------------------------------------------------------------------
+# shared derivations (must match the `WITH f AS (...)` CTE in oracle_sql)
+# ---------------------------------------------------------------------------
+
+_F_CTE = """
+WITH f AS (
+  SELECT
+    event_id AS id,
+    'http://h' || CAST(user_id % 20 AS VARCHAR) || '.example.com/p/' || CAST(event_id AS VARCHAR) AS url,
+    'h' || CAST(user_id % 20 AS VARCHAR) AS url_domain,
+    CASE WHEN event_id % 3 = 0 THEN NULL ELSE ts END AS crawl_last,
+    CASE WHEN event_id % 11 = 0 THEN NULL ELSE ts + (event_id % 72) * INTERVAL 1 HOUR END AS crawl_next,
+    event_type = 'click' AS manual_crawl,
+    CASE WHEN event_id % 13 = 0 THEN 1 END AS worker_no,
+    CAST(event_id % 3 AS INT) AS retries,
+    CASE WHEN event_id % 5 = 0 THEN NULL ELSE (event_id % 5) * 1800 END AS crawl_dt,
+    value > 50 AS changed
+  FROM events
+)
+"""
+
+_ELIGIBLE_SQL = (
+    f"(crawl_last IS NULL OR crawl_next <= TIMESTAMP '{NOW}') "
+    f"AND retries <= {CRASH_RETRY} AND worker_no IS NULL"
+)
+
+_ORDER_SQL = "manual_crawl DESC, crawl_last DESC NULLS FIRST, crawl_next ASC NULLS LAST, id ASC"
+
+
+def _frontier_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eid = F.col("event_id")
+    return ev.select(
+        eid.alias("id"),
+        F.concat(
+            F.lit("http://h"),
+            (F.col("user_id") % 20).cast("string"),
+            F.lit(".example.com/p/"),
+            eid.cast("string"),
+        ).alias("url"),
+        F.concat(F.lit("h"), (F.col("user_id") % 20).cast("string")).alias("url_domain"),
+        F.when(eid % 3 == 0, F.lit(None).cast("timestamp")).otherwise(F.col("ts")).alias("crawl_last"),
+        F.when(eid % 11 == 0, F.lit(None).cast("timestamp"))
+        .otherwise(F.timestamp_add("HOUR", (eid % 72).cast("int"), F.col("ts")))
+        .alias("crawl_next"),
+        (F.col("event_type") == "click").alias("manual_crawl"),
+        F.when(eid % 13 == 0, F.lit(1)).cast("int").alias("worker_no"),
+        (eid % 3).cast("int").alias("retries"),
+        F.when(eid % 5 == 0, F.lit(None).cast("long")).otherwise((eid % 5) * 1800).alias("crawl_dt"),
+        (F.col("value") > 50).alias("changed"),
+    )
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _now_col():
+    return F.lit(NOW).cast("timestamp")
+
+
+# ---------------------------------------------------------------------------
+# scheduler operators (F-series)
+# ---------------------------------------------------------------------------
+
+def q_f15_eligibility(spark, sf_dir):
+    from sosse_spark.operators.scheduler import eligible_filter
+
+    f = _frontier_from_events(spark, sf_dir)
+    return f.filter(eligible_filter(_now_col(), CRASH_RETRY)).select(
+        "id", "url", "manual_crawl", "retries"
+    )
+
+
+def q_f15_priority_order(spark, sf_dir):
+    from sosse_spark.operators.scheduler import eligible_filter, priority_order_cols
+
+    f = _frontier_from_events(spark, sf_dir).filter(eligible_filter(_now_col(), CRASH_RETRY))
+    top = f.orderBy(*priority_order_cols()).limit(200)
+    return top.withColumn(
+        "rank", F.row_number().over(Window.orderBy(*priority_order_cols()))
+    ).select("rank", "id", "url")
+
+
+def q_f22_per_host_budget(spark, sf_dir):
+    from sosse_spark.operators.scheduler import eligible_filter, per_host_topk, priority_order_cols
+
+    f = _frontier_from_events(spark, sf_dir).filter(eligible_filter(_now_col(), CRASH_RETRY))
+    got = per_host_topk(f, "url_domain", priority_order_cols(), k=3, salt_buckets=4)
+    return got.select("url_domain", "host_rank", "id")
+
+
+def q_f34_display_queue(spark, sf_dir):
+    from sosse_spark.operators.scheduler import display_queue
+
+    f = _frontier_from_events(spark, sf_dir)
+    out = display_queue(f, _now_col(), size=10, crash_retry=CRASH_RETRY)
+    return out.select("queue_section", "id")
+
+
+def q_f18_adaptive_backoff(spark, sf_dir):
+    from sosse_spark.operators.recrawl import schedule_next_cols
+
+    f = _frontier_from_events(spark, sf_dir).filter(F.col("crawl_last").isNotNull())
+    nxt, dt = schedule_next_cols(F.col("changed"), "adaptive", 3600, 14400)
+    return f.select("id", dt.alias("new_dt"), F.unix_micros(nxt).alias("next_us"))
+
+
+def q_f18_constant(spark, sf_dir):
+    from sosse_spark.operators.recrawl import schedule_next_cols
+
+    f = _frontier_from_events(spark, sf_dir).filter(F.col("crawl_last").isNotNull())
+    nxt, dt = schedule_next_cols(F.col("changed"), "constant", 7200, 14400)
+    return f.select("id", dt.alias("new_dt"), F.unix_micros(nxt).alias("next_us"))
+
+
+def q_f9_urlseen_antijoin(spark, sf_dir):
+    from sosse_spark.operators.frontier import urlseen_dedup, with_bucket
+
+    d = _docs(spark, sf_dir)
+    cands = with_bucket(
+        d.select(
+            F.concat(F.lit("u"), (F.col("doc_id") % 300).cast("string")).alias("url"),
+            F.lit(1).alias("collection_id"),
+            (F.col("doc_id") % 7).cast("int").alias("crawl_recurse"),
+            F.col("doc_id").alias("disc_order"),
+            F.lit("h").alias("url_domain"),
+            F.lit("/p").alias("url_path"),
+        ),
+        16,
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    seen = ev.filter(F.col("event_id") % 9 == 0).select(
+        F.concat(F.lit("u"), (F.col("event_id") % 300).cast("string")).alias("url"),
+        F.lit(1).alias("collection_id"),
+    )
+    new = urlseen_dedup(cands, seen, None)
+    return new.select("url", "crawl_recurse", "disc_order")
+
+
+def q_f10_exclusion_blocklist(spark, sf_dir):
+    from sosse_spark.operators.admission import CollectionPolicy, admit_links
+
+    d = _docs(spark, sf_dir)
+    links = d.select(
+        F.concat(
+            F.lit("http://x.com/"),
+            F.col("source"),
+            F.lit("/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.lit(1).cast("int").alias("parent_recurse"),
+    )
+    policy = CollectionPolicy(collection_id=1, unlimited_regex="^http://x\\.com/")
+    out = admit_links(
+        links,
+        policy,
+        excluded_exact=["http://x.com/src1/1", "http://x.com/src2/2"],
+        excluded_prefix=["http://x.com/src0/"],
+    )
+    return out.select("url")
+
+
+def q_f11_admission_depth(spark, sf_dir):
+    from sosse_spark.operators.admission import CollectionPolicy, admit_links
+
+    d = _docs(spark, sf_dir)
+    links = d.select(
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("http://img0.example.com/d/"), F.col("doc_id").cast("string")),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.lit("http://img1.example.com/d/"), F.col("doc_id").cast("string")),
+        )
+        .otherwise(
+            F.concat(F.lit("http://img9.example.com/d/"), F.col("doc_id").cast("string"))
+        )
+        .alias("url"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit(None).cast("int"))
+        .otherwise((F.col("doc_id") % 4).cast("int"))
+        .alias("parent_recurse"),
+    )
+    policy = CollectionPolicy(
+        collection_id=1,
+        unlimited_regex="^http://img0\\.example\\.com/",
+        limited_regex="^http://img1\\.example\\.com/",
+        recursion_depth=5,
+    )
+    return admit_links(links, policy).select("url", "admitted_reason", "crawl_recurse")
+
+
+def q_f12_cross_collection_route(spark, sf_dir):
+    from sosse_spark.operators.admission import CollectionPolicy, route_cross_collection
+
+    d = _docs(spark, sf_dir)
+    urls = d.select(
+        F.when(F.col("doc_id") % 4 == 0, F.concat(F.lit("http://a.com/deep/"), F.col("doc_id").cast("string")))
+        .when(F.col("doc_id") % 4 == 1, F.concat(F.lit("http://a.com/s"), F.col("doc_id").cast("string")))
+        .when(F.col("doc_id") % 4 == 2, F.concat(F.lit("http://b.com/"), F.col("doc_id").cast("string")))
+        .otherwise(F.concat(F.lit("http://c.com/"), F.col("doc_id").cast("string")))
+        .alias("url")
+    )
+    policies = [
+        CollectionPolicy(collection_id=1, unlimited_regex="^http://a\\.com/"),
+        CollectionPolicy(collection_id=2, unlimited_regex="^http://a\\.com/deep/"),
+        CollectionPolicy(collection_id=3, unlimited_regex="^http://b\\.com/"),
+    ]
+    src = CollectionPolicy(collection_id=9, queue_to_any_collection=True)
+    return route_cross_collection(urls, policies, src).select("url", "collection_id", "match_len")
+
+
+_ROBOTS_BODY = (
+    "User-agent: *\nDisallow: /private*\nAllow: /private/ok$\nDissallow: /admin*\n"
+)
+
+
+def q_f19_robots_longest_match(spark, sf_dir):
+    from sosse_spark.operators.robots import evaluate_robots, robots_rules_rows
+
+    rows = []
+    for h in range(5):  # only h0..h4 serve robots; other hosts allow-all
+        rows.extend(robots_rules_rows(f"h{h}", _ROBOTS_BODY))
+    rules = spark.createDataFrame(rows, "domain string, kind string, pattern string, pattern_len int")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eid = F.col("event_id")
+    batch = ev.select(
+        F.concat(F.lit("http://h"), (F.col("user_id") % 20).cast("string"), F.lit("/x/"), eid.cast("string")).alias("url"),
+        F.concat(F.lit("h"), (F.col("user_id") % 20).cast("string")).alias("url_domain"),
+        F.when(eid % 4 == 0, F.concat(F.lit("/private/x"), eid.cast("string")))
+        .when(eid % 4 == 1, F.lit("/private/ok"))
+        .when(eid % 4 == 2, F.concat(F.lit("/admin/"), eid.cast("string")))
+        .otherwise(F.concat(F.lit("/public/"), eid.cast("string")))
+        .alias("url_path"),
+    )
+    return evaluate_robots(batch, rules).select("url", "url_path", "robots_authorized")
+
+
+def q_f26_change_hash(spark, sf_dir):
+    from sosse_spark.functions.hashing import content_hash
+
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        content_hash(F.col("text"), no_numbers=False).alias("hash_raw"),
+        content_hash(F.col("text"), no_numbers=True).alias("hash_nonum"),
+    )
+
+
+def q_f2_url_canonicalize(spark, sf_dir):
+    from sosse_spark.functions.urlnorm import absolutize_udf, canonicalize_udf
+
+    d = _docs(spark, sf_dir)
+    k = (F.col("doc_id") % 10).cast("string")
+    did = F.col("doc_id").cast("string")
+    t = F.col("doc_id") % 5
+    raw = d.select(
+        "doc_id",
+        F.when(t == 0, F.concat(F.lit("http://h"), k, F.lit(".example.com/a/b/doc"), did))
+        .when(t == 1, F.concat(F.lit("http://h"), k, F.lit(".example.com/a/./doc"), did))
+        .when(t == 2, F.concat(F.lit("http://h"), k, F.lit(".example.com/a/x/../doc"), did))
+        .when(t == 3, F.concat(F.lit("http://h"), k, F.lit(".example.com/doc"), did, F.lit("?q=a b")))
+        .otherwise(F.concat(F.lit("../doc"), did))
+        .alias("raw"),
+        F.concat(F.lit("http://h"), k, F.lit(".example.com/base/sub/")).alias("base"),
+    )
+    return raw.select(
+        "doc_id",
+        F.when(t == 4, absolutize_udf(F.col("base"), F.col("raw")))
+        .otherwise(canonicalize_udf(F.col("raw")))
+        .alias("canonical_url"),
+    )
+
+
+def q_f30_queue_metrics(spark, sf_dir):
+    f = _frontier_from_events(spark, sf_dir)
+    now = _now_col()
+    return f.agg(
+        F.count(F.when(F.col("worker_no").isNotNull(), 1)).alias("processing"),
+        F.count(F.when(F.col("crawl_last").isNull(), 1)).alias("new_count"),
+        F.count(
+            F.when(F.col("crawl_last").isNotNull() & (F.col("crawl_next") <= now), 1)
+        ).alias("recurring_ready"),
+        F.count(
+            F.when(
+                (F.col("crawl_last").isNull() | (F.col("crawl_next") <= now))
+                & (F.col("retries") <= CRASH_RETRY)
+                & F.col("worker_no").isNull(),
+                1,
+            )
+        ).alias("pending"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# search/query operators (Q-series)
+# ---------------------------------------------------------------------------
+
+def q_q2_filter_predicates(spark, sf_dir):
+    from sosse_spark.operators.search import filter_predicate
+
+    d = _docs(spark, sf_dir)
+    return d.filter(
+        filter_predicate(F.col("text"), "icontain", "SPARK")
+        & filter_predicate(F.col("source"), "!exact", "src3")
+        & filter_predicate(F.col("text"), "regex", "jo..")
+    ).select("doc_id")
+
+
+def q_q3_multifield_or(spark, sf_dir):
+    from sosse_spark.operators.search import multi_field_or
+
+    d = _docs(spark, sf_dir)
+    return d.filter(
+        multi_field_or([F.col("text"), F.col("source"), F.col("lang")], "contain", "zh")
+    ).select("doc_id")
+
+
+def q_q4_linkgraph_semijoin(spark, sf_dir):
+    from sosse_spark.operators.search import linked_to
+
+    d = _docs(spark, sf_dir)
+    docs = d.select(F.concat(F.lit("d"), F.col("doc_id").cast("string")).alias("url"), "doc_id")
+    links = d.select(
+        F.concat(F.lit("d"), F.col("doc_id").cast("string")).alias("src_url"),
+        F.concat(F.lit("d"), ((F.col("doc_id") * 7 + 1) % 400).cast("string")).alias("dst_url"),
+    )
+    return linked_to(docs, links, F.col("dst_url").endswith("7")).select("doc_id")
+
+
+def q_q7_sort_distinct_paginate(spark, sf_dir):
+    from sosse_spark.operators.search import paginate
+
+    d = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    return paginate(d, [F.col("n_chars").desc(), F.col("doc_id").asc()], page=3, page_size=50)
+
+
+def q_q10_lang_stats(spark, sf_dir):
+    from sosse_spark.operators.search import lang_stats
+
+    return lang_stats(_docs(spark, sf_dir))
+
+
+def q_q10_mime_stats(spark, sf_dir):
+    from sosse_spark.operators.search import mime_stats
+
+    return mime_stats(_docs(spark, sf_dir), mime_col="source")
+
+
+def q_q10_tag_rollup(spark, sf_dir):
+    from sosse_spark.operators.search import tag_rollup
+
+    d = _docs(spark, sf_dir)
+    tags = spark.createDataFrame(
+        [("src0", "a"), ("src1", "a/b"), ("src2", "a/b/c"), ("src3", "d"), ("src4", "d/e")],
+        "tag_id string, path string",
+    )
+    doc_tags = d.select(F.col("doc_id").cast("string").alias("url"), F.col("source").alias("tag_id"))
+    out = tag_rollup(tags, doc_tags)
+    return out.select(
+        "tag_id", "path", "direct_count", F.col("rolled_count").cast("long").alias("rolled_count")
+    )
+
+
+def q_q11_csv_export_order(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    top = ev.orderBy(F.col("ts").desc(), F.col("event_id").asc()).limit(100)
+    return top.withColumn(
+        "rank", F.row_number().over(Window.orderBy(F.col("ts").desc(), F.col("event_id").asc()))
+    ).select("rank", "event_id", F.unix_micros("ts").alias("ts_us"))
+
+
+# ---------------------------------------------------------------------------
+# training-data ops: dedup / similarity / text
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    from sosse_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir), "text", "doc_id", no_numbers=True)
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    from sosse_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), "text", "doc_id", n=3, threshold=0.12)
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):  # rows-only (xxhash64 banding)
+    from sosse_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _docs(spark, sf_dir), "text", "doc_id", k=3, num_hashes=16, bands=8, jaccard_threshold=0.1
+    )
+
+
+def q_dedup_simhash(spark, sf_dir):  # rows-only (bit-vote fold)
+    from sosse_spark.operators.dedup import simhash_near_dup_pairs
+
+    return simhash_near_dup_pairs(_docs(spark, sf_dir), "text", "doc_id", max_hamming=16)
+
+
+def q_sim_ann_bruteforce(spark, sf_dir):
+    from sosse_spark.operators.similarity import brute_force_topk
+
+    emb = _emb(spark, sf_dir).withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = brute_force_topk(emb, queries, k=5)
+    return out.select("query_id", "vec_id", "rank", F.round("cos_sim", 4).alias("cos4"))
+
+
+def q_sim_ann_lsh(spark, sf_dir):  # rows-only (hyperplane constants)
+    from sosse_spark.operators.similarity import lsh_topk
+
+    emb = _emb(spark, sf_dir).withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_topk(emb, queries, dim=64, k=5, n_planes=6)
+
+
+def q_sim_embedding_neardup(spark, sf_dir):  # rows-only (LSH bucketing)
+    from sosse_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = _emb(spark, sf_dir).withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    return embedding_near_dup_pairs(emb, threshold=0.5, n_planes=6, dim=64)
+
+
+def q_text_langid(spark, sf_dir):
+    from sosse_spark.functions.text import lang_id_expr
+
+    return _docs(spark, sf_dir).select("doc_id", lang_id_expr(F.col("text")).alias("lang_guess"))
+
+
+def q_text_quality(spark, sf_dir):
+    from sosse_spark.functions.text import quality_score_expr
+
+    return _docs(spark, sf_dir).select("doc_id", quality_score_expr(F.col("text")).alias("quality"))
+
+
+def q_text_tokens(spark, sf_dir):
+    from sosse_spark.functions.text import bpe_ish_token_count_expr, token_count_expr
+
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        token_count_expr(F.col("text")).alias("ws_tokens"),
+        bpe_ish_token_count_expr(F.col("text")).alias("bpe_tokens"),
+    )
+
+
+def q_text_fingerprint(spark, sf_dir):
+    from sosse_spark.functions.text import fingerprint_expr
+
+    return _docs(spark, sf_dir).select("doc_id", fingerprint_expr("text", 8).alias("fingerprint"))
+
+
+def q_img_decode_stats(spark, sf_dir):  # rows-only (image bytes are in-repo)
+    from sosse_spark.functions.images import DECODE_STATS_SCHEMA, decode_stats_map_in_pandas
+    from sosse_spark.sources.corpus import corpus_df
+
+    return corpus_df(spark, 120, partitions=4).mapInPandas(
+        decode_stats_map_in_pandas, DECODE_STATS_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the full batch-selection pipeline (eligibility →
+    priority → per-host politeness budget → global top-N) on sf0.001."""
+    from sosse_spark.operators.scheduler import select_batch
+
+    f = _frontier_from_events(spark, "/root/testdata/sf0.001")
+    return select_batch(f, _now_col(), batch_size=100, per_host_budget=5, crash_retry=CRASH_RETRY)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "f15_eligibility": q_f15_eligibility,
+        "f15_priority_order": q_f15_priority_order,
+        "f22_per_host_budget": q_f22_per_host_budget,
+        "f34_display_queue": q_f34_display_queue,
+        "f18_adaptive_backoff": q_f18_adaptive_backoff,
+        "f18_constant": q_f18_constant,
+        "f9_urlseen_antijoin": q_f9_urlseen_antijoin,
+        "f10_exclusion_blocklist": q_f10_exclusion_blocklist,
+        "f11_admission_depth": q_f11_admission_depth,
+        "f12_cross_collection_route": q_f12_cross_collection_route,
+        "f19_robots_longest_match": q_f19_robots_longest_match,
+        "f26_change_hash": q_f26_change_hash,
+        "f2_url_canonicalize": q_f2_url_canonicalize,
+        "f30_queue_metrics": q_f30_queue_metrics,
+        "q2_filter_predicates": q_q2_filter_predicates,
+        "q3_multifield_or": q_q3_multifield_or,
+        "q4_linkgraph_semijoin": q_q4_linkgraph_semijoin,
+        "q7_sort_distinct_paginate": q_q7_sort_distinct_paginate,
+        "q10_lang_stats": q_q10_lang_stats,
+        "q10_mime_stats": q_q10_mime_stats,
+        "q10_tag_rollup": q_q10_tag_rollup,
+        "q11_csv_export_order": q_q11_csv_export_order,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "sim_ann_bruteforce": q_sim_ann_bruteforce,
+        "sim_ann_lsh": q_sim_ann_lsh,
+        "sim_embedding_neardup": q_sim_embedding_neardup,
+        "text_langid": q_text_langid,
+        "text_quality": q_text_quality,
+        "text_tokens": q_text_tokens,
+        "text_fingerprint": q_text_fingerprint,
+        "img_decode_stats": q_img_decode_stats,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    lang_counts = {
+        "en": ["the", "and", "of", "to", "is", "in", "that", "with"],
+        "fr": ["le", "la", "les", "et", "de", "un", "une", "est"],
+        "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit"],
+        "es": ["el", "los", "las", "y", "es", "una", "que", "por"],
+    }
+
+    def _marker(lang):
+        lst = ", ".join(f"'{w}'" for w in lang_counts[lang])
+        return (
+            f"len(list_intersect(list_distinct(string_split_regex(lower(text), '[^a-zA-Z]+')), [{lst}]))"
+        )
+
+    c_en, c_fr, c_de, c_es = (_marker(x) for x in ("en", "fr", "de", "es"))
+
+    return {
+        "f15_eligibility": _F_CTE
+        + f"SELECT id, url, manual_crawl, retries FROM f WHERE {_ELIGIBLE_SQL}",
+        "f15_priority_order": _F_CTE
+        + f"""SELECT rank, id, url FROM (
+              SELECT id, url, ROW_NUMBER() OVER (ORDER BY {_ORDER_SQL}) AS rank
+              FROM f WHERE {_ELIGIBLE_SQL}) WHERE rank <= 200""",
+        "f22_per_host_budget": _F_CTE
+        + f"""SELECT url_domain, host_rank, id FROM (
+              SELECT url_domain, id,
+                     ROW_NUMBER() OVER (PARTITION BY url_domain ORDER BY {_ORDER_SQL}) AS host_rank
+              FROM f WHERE {_ELIGIBLE_SQL}) WHERE host_rank <= 3""",
+        "f34_display_queue": _F_CTE
+        + f"""
+            SELECT 'pending' AS queue_section, id FROM (
+              SELECT id FROM f WHERE {_ELIGIBLE_SQL} ORDER BY {_ORDER_SQL} LIMIT 10)
+            UNION ALL
+            SELECT 'pending_later', id FROM (
+              SELECT id FROM f
+              WHERE crawl_last IS NOT NULL AND crawl_next > TIMESTAMP '{NOW}'
+                AND retries <= {CRASH_RETRY} AND worker_no IS NULL
+              ORDER BY crawl_next DESC, id DESC LIMIT 10)
+            UNION ALL
+            SELECT 'in_progress', id FROM f WHERE worker_no IS NOT NULL
+            UNION ALL
+            SELECT 'history', id FROM (
+              SELECT id FROM f
+              WHERE crawl_last IS NOT NULL
+                AND (crawl_next IS NULL OR crawl_next > TIMESTAMP '{NOW}')
+              ORDER BY crawl_last DESC, id DESC LIMIT 10)""",
+        "f18_adaptive_backoff": _F_CTE
+        + """SELECT id, new_dt, epoch_us(crawl_last + new_dt * INTERVAL 1 SECOND) AS next_us
+             FROM (SELECT id, crawl_last,
+                     CASE WHEN crawl_dt IS NULL THEN 3600
+                          WHEN NOT changed THEN least(14400, crawl_dt * 2)
+                          ELSE greatest(3600, CAST(crawl_dt / 2 AS BIGINT)) END AS new_dt
+                   FROM f WHERE crawl_last IS NOT NULL)""",
+        "f18_constant": _F_CTE
+        + """SELECT id, CAST(NULL AS BIGINT) AS new_dt,
+                    epoch_us(crawl_last + 7200 * INTERVAL 1 SECOND) AS next_us
+             FROM f WHERE crawl_last IS NOT NULL""",
+        "f9_urlseen_antijoin": """
+            WITH cand AS (
+              SELECT 'u' || CAST(doc_id % 300 AS VARCHAR) AS url,
+                     CAST(max(doc_id % 7) AS INT) AS crawl_recurse,
+                     min(doc_id) AS disc_order
+              FROM documents GROUP BY 1),
+            seen AS (
+              SELECT DISTINCT 'u' || CAST(event_id % 300 AS VARCHAR) AS url
+              FROM events WHERE event_id % 9 = 0)
+            SELECT c.url, c.crawl_recurse, c.disc_order
+            FROM cand c WHERE c.url NOT IN (SELECT url FROM seen)""",
+        "f10_exclusion_blocklist": """
+            SELECT 'http://x.com/' || source || '/' || CAST(doc_id AS VARCHAR) AS url
+            FROM documents
+            WHERE 'http://x.com/' || source || '/' || CAST(doc_id AS VARCHAR)
+                  NOT IN ('http://x.com/src1/1', 'http://x.com/src2/2')
+              AND NOT starts_with('http://x.com/' || source || '/' || CAST(doc_id AS VARCHAR),
+                                  'http://x.com/src0/')""",
+        "f11_admission_depth": """
+            WITH l AS (
+              SELECT
+                CASE WHEN doc_id % 3 = 0 THEN 'http://img0.example.com/d/' || CAST(doc_id AS VARCHAR)
+                     WHEN doc_id % 3 = 1 THEN 'http://img1.example.com/d/' || CAST(doc_id AS VARCHAR)
+                     ELSE 'http://img9.example.com/d/' || CAST(doc_id AS VARCHAR) END AS url,
+                CASE WHEN doc_id % 4 = 0 THEN NULL ELSE CAST(doc_id % 4 AS INT) END AS parent_recurse
+              FROM documents)
+            SELECT url,
+              CASE WHEN parent_recurse IS NULL THEN 'seed'
+                   WHEN regexp_matches(url, '^http://img0\\.example\\.com/') THEN 'unlimited'
+                   WHEN regexp_matches(url, '^http://img1\\.example\\.com/') AND parent_recurse > 0 THEN 'limited'
+                   END AS admitted_reason,
+              CAST(CASE WHEN parent_recurse IS NULL THEN 5
+                   WHEN regexp_matches(url, '^http://img0\\.example\\.com/') THEN 5
+                   ELSE parent_recurse - 1 END AS INT) AS crawl_recurse
+            FROM l
+            WHERE parent_recurse IS NULL
+               OR regexp_matches(url, '^http://img0\\.example\\.com/')
+               OR (regexp_matches(url, '^http://img1\\.example\\.com/') AND parent_recurse > 0)""",
+        "f12_cross_collection_route": """
+            WITH u AS (
+              SELECT CASE WHEN doc_id % 4 = 0 THEN 'http://a.com/deep/' || CAST(doc_id AS VARCHAR)
+                          WHEN doc_id % 4 = 1 THEN 'http://a.com/s' || CAST(doc_id AS VARCHAR)
+                          WHEN doc_id % 4 = 2 THEN 'http://b.com/' || CAST(doc_id AS VARCHAR)
+                          ELSE 'http://c.com/' || CAST(doc_id AS VARCHAR) END AS url
+              FROM documents),
+            scored AS (
+              SELECT url, 1 AS collection_id,
+                     CAST(length(regexp_extract(url, '^http://a\\.com/')) AS INT) AS match_len FROM u
+              UNION ALL
+              SELECT url, 2, CAST(length(regexp_extract(url, '^http://a\\.com/deep/')) AS INT) FROM u
+              UNION ALL
+              SELECT url, 3, CAST(length(regexp_extract(url, '^http://b\\.com/')) AS INT) FROM u)
+            SELECT url, collection_id, match_len FROM (
+              SELECT url, collection_id, match_len,
+                     ROW_NUMBER() OVER (PARTITION BY url ORDER BY match_len DESC, collection_id ASC) AS rn
+              FROM scored WHERE match_len > 0) WHERE rn = 1""",
+        # robots: rules h0..h4 = Disallow '/private.*'(10), Allow '/private/ok$'(12),
+        # Disallow '/admin.*'(8) — longest-match with strict allow-wins
+        "f19_robots_longest_match": """
+            WITH b AS (
+              SELECT
+                'http://h' || CAST(user_id % 20 AS VARCHAR) || '/x/' || CAST(event_id AS VARCHAR) AS url,
+                user_id % 20 AS h,
+                CASE WHEN event_id % 4 = 0 THEN '/private/x' || CAST(event_id AS VARCHAR)
+                     WHEN event_id % 4 = 1 THEN '/private/ok'
+                     WHEN event_id % 4 = 2 THEN '/admin/' || CAST(event_id AS VARCHAR)
+                     ELSE '/public/' || CAST(event_id AS VARCHAR) END AS url_path
+              FROM events)
+            SELECT url, url_path,
+              CASE WHEN h >= 5 THEN TRUE
+                   ELSE (dis_len IS NULL OR coalesce(allow_len, 0) > dis_len) END AS robots_authorized
+            FROM (
+              SELECT url, url_path, h,
+                CASE WHEN regexp_matches(url_path, '^/private.*') AND regexp_matches(url_path, '^/admin.*') THEN 10
+                     WHEN regexp_matches(url_path, '^/private.*') THEN 10
+                     WHEN regexp_matches(url_path, '^/admin.*') THEN 8 END AS dis_len,
+                CASE WHEN regexp_matches(url_path, '^/private/ok$') THEN 12 END AS allow_len
+              FROM b)""",
+        "f26_change_hash": """
+            SELECT doc_id, md5(text) AS hash_raw,
+                   md5(regexp_replace(text, '[0-9]+', '0', 'g')) AS hash_nonum
+            FROM documents""",
+        "f2_url_canonicalize": """
+            SELECT doc_id,
+              CASE WHEN doc_id % 5 = 0 THEN 'http://h' || k || '.example.com/a/b/doc' || d
+                   WHEN doc_id % 5 = 1 THEN 'http://h' || k || '.example.com/a/doc' || d
+                   WHEN doc_id % 5 = 2 THEN 'http://h' || k || '.example.com/a/doc' || d
+                   WHEN doc_id % 5 = 3 THEN 'http://h' || k || '.example.com/doc' || d || '?q=a+b'
+                   ELSE 'http://h' || k || '.example.com/base/doc' || d END AS canonical_url
+            FROM (SELECT doc_id, CAST(doc_id % 10 AS VARCHAR) AS k, CAST(doc_id AS VARCHAR) AS d
+                  FROM documents)""",
+        "f30_queue_metrics": _F_CTE
+        + f"""SELECT
+               count(*) FILTER (worker_no IS NOT NULL) AS processing,
+               count(*) FILTER (crawl_last IS NULL) AS new_count,
+               count(*) FILTER (crawl_last IS NOT NULL AND crawl_next <= TIMESTAMP '{NOW}') AS recurring_ready,
+               count(*) FILTER ((crawl_last IS NULL OR crawl_next <= TIMESTAMP '{NOW}')
+                                AND retries <= {CRASH_RETRY} AND worker_no IS NULL) AS pending
+             FROM f""",
+        "q2_filter_predicates": """
+            SELECT doc_id FROM documents
+            WHERE contains(lower(text), lower('SPARK'))
+              AND NOT source = 'src3'
+              AND regexp_matches(text, 'jo..')""",
+        "q3_multifield_or": """
+            SELECT doc_id FROM documents
+            WHERE contains(text, 'zh') OR contains(source, 'zh') OR contains(lang, 'zh')""",
+        "q4_linkgraph_semijoin": """
+            SELECT doc_id FROM documents
+            WHERE ends_with('d' || CAST((doc_id * 7 + 1) % 400 AS VARCHAR), '7')""",
+        "q7_sort_distinct_paginate": """
+            SELECT doc_id, n_chars FROM documents
+            ORDER BY n_chars DESC, doc_id ASC LIMIT 50 OFFSET 100""",
+        "q10_lang_stats": """
+            SELECT lang, count(*) AS doc_count FROM documents
+            GROUP BY lang ORDER BY doc_count DESC, lang ASC""",
+        "q10_mime_stats": """
+            SELECT coalesce(source, '<none>') AS mimetype, count(*) AS doc_count
+            FROM documents GROUP BY 1 ORDER BY doc_count DESC, mimetype ASC""",
+        "q10_tag_rollup": """
+            WITH tags(tag_id, path) AS (
+              VALUES ('src0','a'),('src1','a/b'),('src2','a/b/c'),('src3','d'),('src4','d/e')),
+            dt AS (SELECT source AS tag_id, count(*) AS direct_count FROM documents GROUP BY 1),
+            t AS (SELECT tags.tag_id, path, coalesce(direct_count, 0) AS direct_count
+                  FROM tags LEFT JOIN dt ON tags.tag_id = dt.tag_id)
+            SELECT a.tag_id, a.path, a.direct_count,
+                   CAST((SELECT sum(d.direct_count) FROM t d WHERE starts_with(d.path, a.path)) AS BIGINT) AS rolled_count
+            FROM t a""",
+        "q11_csv_export_order": """
+            SELECT ROW_NUMBER() OVER (ORDER BY ts DESC, event_id ASC) AS rank,
+                   event_id, epoch_us(ts) AS ts_us
+            FROM events ORDER BY ts DESC, event_id ASC LIMIT 100""",
+        "dedup_exact": """
+            SELECT min(doc_id) AS doc_id,
+                   md5(regexp_replace(text, '[0-9]+', '0', 'g')) AS content_md5,
+                   count(*) AS dup_count
+            FROM documents GROUP BY 2""",
+        "dedup_ngram_jaccard": """
+            WITH g AS (
+              SELECT doc_id AS _id,
+                list_distinct(list_transform(
+                  generate_series(1, greatest(len(string_split_regex(lower(trim(text)), '\\s+')) - 2, 1)),
+                  i -> array_to_string(list_slice(string_split_regex(lower(trim(text)), '\\s+'), i, i + 2), ' ')
+                )) AS grams,
+                string_split_regex(lower(trim(text)), '\\s+')[1] AS blk
+              FROM documents)
+            SELECT a._id AS id_a, b._id AS id_b,
+                   round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                         / len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard
+            FROM g a JOIN g b ON a.blk = b.blk AND a._id < b._id
+            WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.12""",
+        "sim_ann_bruteforce": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
+            scored AS (
+              SELECT q.query_id, e.vec_id,
+                     round(list_dot_product(e.v, q.qv)
+                           / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos_sim
+              FROM e CROSS JOIN q)
+            SELECT query_id, vec_id, rank, round(cos_sim, 4) AS cos4 FROM (
+              SELECT query_id, vec_id, cos_sim,
+                     ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
+              FROM scored) WHERE rank <= 5""",
+        "text_langid": f"""
+            SELECT doc_id,
+              CASE WHEN greatest({c_en}, {c_fr}, {c_de}, {c_es}) = 0 THEN 'und'
+                   WHEN {c_en} = greatest({c_en}, {c_fr}, {c_de}, {c_es}) THEN 'en'
+                   WHEN {c_fr} = greatest({c_en}, {c_fr}, {c_de}, {c_es}) THEN 'fr'
+                   WHEN {c_de} = greatest({c_en}, {c_fr}, {c_de}, {c_es}) THEN 'de'
+                   ELSE 'es' END AS lang_guess
+            FROM documents""",
+        "text_quality": """
+            SELECT doc_id, round(
+              0.4 * least(n / 500.0, 1.0)
+              + 0.4 * (CASE WHEN n > 0 THEN alpha / n ELSE 0.0 END)
+              + 0.2 * (CASE WHEN words > 0 AND n / words >= 3.0 AND n / words <= 12.0 THEN 1.0 ELSE 0.5 END)
+              - 0.2 * (CASE WHEN n > 0 THEN least(punct / n * 10.0, 1.0) ELSE 0.0 END), 6) AS quality
+            FROM (
+              SELECT doc_id,
+                CAST(length(text) AS DOUBLE) AS n,
+                CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) AS alpha,
+                CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) AS punct,
+                CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS words
+              FROM documents)""",
+        "text_tokens": """
+            SELECT doc_id,
+              CASE WHEN length(trim(text)) = 0 THEN 0
+                   ELSE len(string_split_regex(trim(text), '\\s+')) END AS ws_tokens,
+              len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]+')) AS bpe_tokens
+            FROM documents""",
+        "text_fingerprint": """
+            SELECT doc_id,
+              list_aggregate(list_transform(
+                generate_series(1, greatest(length(text) - 7, 1)),
+                i -> md5(substring(text, CAST(i AS INT), 8))), 'min') AS fingerprint
+            FROM documents""",
+    }

@@ -1,0 +1,172 @@
+#!/usr/bin/env python3
+"""Headline benchmark: runs the engine's flagship operators at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec}, "sf": ...}
+
+The headline set covers the north-rule pipeline (priority window,
+politeness budget, Bloom-prefiltered URL-seen dedup, robots eval) plus
+the training-data ops (dedup/ANN/text) and the image decode stage.
+Scaling-efficiency evidence (local[8] vs local[32]) lives in
+BENCH/scaling.py → BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def make_spark(cpus: int) -> SparkSession:
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("sosse-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "16g")
+        .config("spark.sql.adaptive.enabled", "true")
+        .getOrCreate()
+    )
+
+
+def synthetic_frontier(spark: SparkSession, n: int, n_hosts: int = 1000):
+    """Deterministic synthetic frontier (seed-free pure column algebra):
+    n rows with skewed hosts, mixed crawl states — the shape of the
+    10^10 frontier at reduced scale."""
+    df = spark.range(0, n, numPartitions=spark.sparkContext.defaultParallelism * 2)
+    i = F.col("id")
+    # zipf-ish host skew: host = floor(H * u^3)
+    u = (F.pmod(F.xxhash64(i), F.lit(1 << 20)).cast("double") / (1 << 20))
+    host = F.least(F.floor(F.lit(n_hosts) * F.pow(u, F.lit(3.0))), F.lit(n_hosts - 1)).cast("int")
+    base_ts = F.lit("2024-01-01 00:00:00").cast("timestamp")
+    return df.select(
+        i.alias("id"),
+        F.concat(F.lit("http://img"), host.cast("string"), F.lit(".example.com/doc/"), i.cast("string")).alias("url"),
+        F.concat(F.lit("img"), host.cast("string"), F.lit(".example.com")).alias("url_domain"),
+        F.when(i % 3 == 0, F.lit(None).cast("timestamp")).otherwise(base_ts).alias("crawl_last"),
+        F.when(i % 11 == 0, F.lit(None).cast("timestamp"))
+        .otherwise(F.timestamp_add("HOUR", (i % 96).cast("int"), base_ts))
+        .alias("crawl_next"),
+        (i % 17 == 0).alias("manual_crawl"),
+        F.lit(None).cast("int").alias("worker_no"),
+        (i % 3).cast("int").alias("retries"),
+    )
+
+
+def bench_queries(spark: SparkSession, sf_dir: str) -> dict[str, float]:
+    import __spark_entry__ as e
+
+    heavy = [
+        "f15_priority_order",
+        "f22_per_host_budget",
+        "f9_urlseen_antijoin",
+        "f19_robots_longest_match",
+        "f26_change_hash",
+        "f30_queue_metrics",
+        "dedup_exact",
+        "dedup_ngram_jaccard",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "sim_ann_bruteforce",
+        "sim_ann_lsh",
+        "text_langid",
+        "text_quality",
+        "text_fingerprint",
+        "img_decode_stats",
+    ]
+    qs = e.queries()
+    out: dict[str, float] = {}
+    for name in heavy:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        n = df.count()
+        out[name] = round(time.time() - t0, 3)
+        print(f"  {name}: {out[name]}s ({n} rows)", file=sys.stderr)
+
+    # north-rule core at 10^6 synthetic frontier rows: eligibility →
+    # salted politeness window → global top-N, then Bloom-prefiltered
+    # URL-seen dedup of 10^5 candidate links
+    from sosse_spark.operators.frontier import bloom_build, urlseen_dedup, with_bucket
+    from sosse_spark.operators.scheduler import select_batch
+
+    n_frontier = int(os.environ.get("SPARK_GRAFT_FRONTIER_N", "1000000"))
+    frontier = synthetic_frontier(spark, n_frontier).cache()
+    frontier.count()
+
+    t0 = time.time()
+    now = F.lit("2024-01-03 00:00:00").cast("timestamp")
+    batch = select_batch(frontier, now, batch_size=100_000, per_host_budget=200, salt_buckets=8)
+    n_batch = batch.count()
+    out["frontier_schedule_1m"] = round(time.time() - t0, 3)
+    print(f"  frontier_schedule_1m: {out['frontier_schedule_1m']}s ({n_batch} claimed)", file=sys.stderr)
+
+    seen = with_bucket(
+        frontier.select("url", F.lit(1).alias("collection_id")), 64
+    ).cache()
+    seen.count()
+    t0 = time.time()
+    bloom = bloom_build(seen, None, m_bits=1 << 23).cache()
+    bloom.count()
+    out["bloom_build_1m"] = round(time.time() - t0, 3)
+    print(f"  bloom_build_1m: {out['bloom_build_1m']}s", file=sys.stderr)
+
+    cand_n = n_frontier // 10
+    cands = with_bucket(
+        spark.range(cand_n).select(
+            F.concat(
+                F.lit("http://img"),
+                (F.pmod(F.col("id") * 7919, F.lit(1000))).cast("string"),
+                F.lit(".example.com/doc/"),
+                (F.col("id") * 3 % (n_frontier * 2)).cast("string"),
+            ).alias("url"),
+            F.lit(1).alias("collection_id"),
+            F.lit(0).cast("int").alias("crawl_recurse"),
+            F.col("id").alias("disc_order"),
+            F.lit("h").alias("url_domain"),
+            F.lit("/p").alias("url_path"),
+        ),
+        64,
+    )
+    t0 = time.time()
+    new = urlseen_dedup(cands, seen, bloom, m_bits=1 << 23)
+    n_new = new.count()
+    out["urlseen_dedup_100k"] = round(time.time() - t0, 3)
+    print(f"  urlseen_dedup_100k: {out['urlseen_dedup_100k']}s ({n_new} new)", file=sys.stderr)
+    frontier.unpersist()
+    seen.unpersist()
+    bloom.unpersist()
+    return out
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = make_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.time()
+    queries = bench_queries(spark, sf_dir)
+    total = round(time.time() - t0, 3)
+    print(
+        json.dumps(
+            {
+                "metric": "sosse_spark headline ops wall time",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

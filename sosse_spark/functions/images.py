@@ -360,4 +360,14 @@ def decode_stats_map_in_pandas(batches: Iterator[pd.DataFrame]) -> Iterator[pd.D
                         "thumb_mean": None,
                     }
                 )
-        yield pd.DataFrame(rows)
+        # dtype=object first: None rows must not coerce int64 → float64
+        # (float64 corrupts low bits of 64-bit phashes); Int64-from-object
+        # is exact
+        out = pd.DataFrame(rows, dtype=object)
+        for col in ("width", "height", "phash_computed"):
+            out[col] = out[col].astype("Int64")
+        out["psnr_db"] = out["psnr_db"].astype("float64")
+        out["thumb_mean"] = out["thumb_mean"].astype("float64")
+        out["decode_ok"] = out["decode_ok"].astype("bool")
+        out["phash_match"] = out["phash_match"].astype("bool")
+        yield out

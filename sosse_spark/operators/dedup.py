@@ -1,0 +1,244 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Exact dedup, MinHash+LSH, SimHash, n-gram Jaccard, and embedding-cosine
+near-dup — the operations a 100 TB corpus cleanup needs.  The reference's
+own dedup surface is content-hash based (se/document.py:274-298 md5
+change detection; se/html_snapshot.py asset dedup by content hash);
+these generalize it.
+
+Scale notes (per operator):
+  * exact_dedup — one hash-shuffle on the digest; map-side combine.
+  * minhash_lsh — pair candidates come from LSH band buckets, so the
+    join is |bucket|² within buckets, never corpus²; bands/rows trade
+    recall vs cost.  Hashes are built in ONE pass with Spark builtins
+    (transform over a literal seed array — no Python).
+  * simhash — 64-bit signature via per-token md5 bit-votes; hamming
+    bucketing on 4 chunks (each chunk equal ⇒ candidate within 16 bits).
+  * ngram_jaccard — token-set overlap via array ops on a pair join
+    bounded by a same-bucket key (first-token or length band).
+  * embedding near-dup — see similarity.py (cosine).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "exact_dedup",
+    "shingles",
+    "minhash_signature",
+    "minhash_lsh_pairs",
+    "simhash_signatures",
+    "simhash_near_dup_pairs",
+    "ngram_jaccard_pairs",
+]
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str, no_numbers: bool = False) -> DataFrame:
+    """Keep the lowest-id row per exact content hash (md5, optional
+    number normalization — F26 semantics).  Output adds `dup_count`."""
+    c = F.col(text_col)
+    if no_numbers:
+        c = F.regexp_replace(c, "[0-9]+", "0")
+    hashed = df.withColumn("content_md5", F.md5(c))
+    return (
+        hashed.groupBy("content_md5")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("dup_count"))
+        .select(id_col, "content_md5", "dup_count")
+    )
+
+
+def shingles(text_col: str, k: int = 5) -> F.Column:
+    """Word k-shingles as an array column (lowercased, whitespace split)."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    n = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    )
+
+
+def minhash_signature(shingle_col: F.Column, num_hashes: int = 32) -> F.Column:
+    """num_hashes-wide MinHash signature, all JVM-side: for each seed s,
+    min over shingles of xxhash64(shingle, s)."""
+    seeds = F.array(*[F.lit(s) for s in range(1, num_hashes + 1)])
+    return F.transform(
+        seeds,
+        lambda s: F.array_min(F.transform(shingle_col, lambda sh: F.xxhash64(sh, s))),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs via MinHash banding: shingle → signature → band
+    buckets → within-bucket self-join → exact shingle-Jaccard verify.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, deduped across bands.
+    The candidate join is an equi-join on (band_no, band_hash): Catalyst
+    hash-shuffles both sides on the bucket key, so cost tracks bucket
+    sizes, not n².
+    """
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("_id"),
+        shingles(text_col, k).alias("sh"),
+    ).withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
+
+    banded = sig.select(
+        "_id",
+        "sh",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band_no"),
+                    F.xxhash64(
+                        F.concat_ws(",", F.slice("sig", b * rows_per_band + 1, rows_per_band))
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("band"),
+    ).select("_id", "sh", "band.band_no", "band.band_hash")
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    verified = cand.withColumn(
+        "jaccard",
+        F.size(F.array_intersect(F.array_distinct("sh_a"), F.array_distinct("sh_b")))
+        / F.size(F.array_union("sh_a", "sh_b")),
+    )
+    return verified.filter(F.col("jaccard") >= jaccard_threshold).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """64-bit SimHash per row → (_id, sig).
+
+    Tokens explode to rows, each token contributes a ±1 vote per bit of
+    its md5-derived 60-bit hash; one groupBy folds the votes and builds
+    the signature with literal shift positions — fully codegen'd, and
+    the explode+agg shape map-side combines (partial aggregation) so the
+    shuffle carries one 64-vote row per document, not per token."""
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
+    )
+    th = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("decimal(20,0)").cast("long")
+    hashed = toks.select("_id", th.alias("th"))
+    votes = hashed.groupBy("_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(60)
+        ]
+    )
+    sig = F.lit(0).cast("long")
+    for i in range(60):
+        sig = sig.bitwiseOR(
+            F.when(F.col(f"v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return votes.select("_id", sig.alias("sig"))
+
+
+def simhash_near_dup_pairs(df: DataFrame, text_col: str, id_col: str, max_hamming: int = 8) -> DataFrame:
+    """Candidate pairs whose SimHash signatures agree on ≥1 of 4 16-bit
+    chunks (pigeonhole: hamming ≤ 3 chunks differ ⇒ some chunk equal),
+    verified by exact hamming distance ≤ max_hamming."""
+    sig = simhash_signatures(df, text_col, id_col)
+    chunked = sig.select(
+        "_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_no"),
+                        F.shiftright(F.col("sig"), c * 16).bitwiseAND(F.lit(0xFFFF)).alias("chunk"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ch"),
+    ).select("_id", "sig", "ch.chunk_no", "ch.chunk")
+    a, b = chunked.alias("a"), chunked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_no") == F.col("b.chunk_no"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cand.withColumn("hamming", hamming).filter(F.col("hamming") <= max_hamming).select(
+        "id_a", "id_b", "hamming"
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Word n-gram Jaccard near-dup within first-token blocks.
+
+    Blocking key = first token: a cheap deterministic bucket that keeps
+    the pair join linear-ish on real corpora (swap for LSH when blocks
+    skew).  Returns (id_a, id_b, jaccard ≥ threshold).
+    """
+    grams = df.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(shingles(text_col, n)).alias("g"),
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").getItem(0).alias("blk"),
+    )
+    a, b = grams.alias("a"), grams.alias("b")
+    pairs = a.join(
+        b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a._id") < F.col("b._id"))
+    ).select(
+        F.col("a._id").alias("id_a"),
+        F.col("b._id").alias("id_b"),
+        (
+            F.size(F.array_intersect("a.g", "b.g"))
+            / F.size(F.array_union("a.g", "b.g"))
+        ).alias("jaccard"),
+    )
+    return pairs.filter(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )

@@ -77,7 +77,15 @@ def fetch_batch(claimed: DataFrame, cfg: WebConfig) -> DataFrame:
                         phash=phash64(decode_image(data, fmt)),
                     )
                 rows.append(row)
-            yield pd.DataFrame(rows)
+            # CRITICAL: construct with dtype=object FIRST — a batch mixing
+            # success rows with error/redirect rows (phash=None) would
+            # otherwise coerce int64 → float64 at construction and silently
+            # corrupt low bits of large phashes; Int64 cast from object is
+            # exact.
+            out = pd.DataFrame(rows, dtype=object)
+            for col in ("phash", "w", "h", "redirect_count"):
+                out[col] = out[col].astype("Int64")
+            yield out
 
     return claimed.select("url").mapInPandas(run, FETCH_SCHEMA)
 

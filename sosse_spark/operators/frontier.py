@@ -223,7 +223,11 @@ def urlseen_dedup(
         F.first("url_path").alias("url_path"),
     )
 
-    flagged = bloom_prefilter(deduped, bloom, m_bits)
+    if bloom is None and frontier is not None:
+        # no filter info → everything must face the exact anti-join
+        flagged = deduped.withColumn("maybe_seen", F.lit(True))
+    else:
+        flagged = bloom_prefilter(deduped, bloom, m_bits)
     definitely_new = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
     suspects = flagged.filter(F.col("maybe_seen")).drop("maybe_seen")
 

@@ -145,7 +145,7 @@ def display_queue(frontier: DataFrame, now_col: Column, size: int = 10, crash_re
             F.col("crawl_last").isNotNull()
             & (F.col("crawl_next").isNull() | (F.col("crawl_next") > now_col))
         )
-        .orderBy(F.col("crawl_last").desc())
+        .orderBy(F.col("crawl_last").desc(), F.col("id").desc())
         .limit(size)
         .withColumn("queue_section", F.lit("history"))
     )

@@ -1,0 +1,149 @@
+"""Search/query operator surface (SURVEY §2.3, se/search.py + se/rest_api.py).
+
+PostgreSQL-FTS rank/headline (Q1/Q9) are out of crawl scope (SURVEY
+§7.4); everything else is a thin declarative DataFrame composition —
+Catalyst handles pushdown/pruning:
+
+  Q2  filter predicates  contain/icontains, regex/iregex, exact/iexact,
+      include/exclude              (se/search.py:148-161,194-199)
+  Q3  multi-field OR     doc ≡ content|title|url (se/search.py:167-171)
+  Q4  link-graph semi-joins lto_*/lby_*          (se/search.py:172-182)
+  Q5  tag-tree filter     subtree by path prefix (se/search.py:183-189)
+  Q6  lang/collection/hidden/status filters      (se/search.py:121-129)
+  Q7  sort + distinct                            (se/search.py:217-224)
+  Q8  pagination                                 (se/search.py:330-332)
+  Q10 group-by aggregations: lang counts, mime counts w/ NULL coalesce,
+      tag-tree rollup    (se/rest_api.py:131-195, se/tag.py:52-82)
+  Q11 CSV export ordering                        (se/csv.py:45-130)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "filter_predicate",
+    "multi_field_or",
+    "linked_to",
+    "linked_by",
+    "tag_subtree_filter",
+    "sort_distinct",
+    "paginate",
+    "lang_stats",
+    "mime_stats",
+    "tag_rollup",
+    "csv_export_order",
+]
+
+
+def filter_predicate(col: Column, op: str, value: str) -> Column:
+    """Q2: one filter operator.  op ∈ contain|icontain|regex|iregex|
+    exact|iexact; negate with a leading '!' (exclude)."""
+    neg = op.startswith("!")
+    if neg:
+        op = op[1:]
+    if op == "contain":
+        c = col.contains(value)
+    elif op == "icontain":
+        c = F.lower(col).contains(value.lower())
+    elif op == "regex":
+        c = col.rlike(value)
+    elif op == "iregex":
+        c = F.lower(col).rlike(value.lower())
+    elif op == "exact":
+        c = col == value
+    elif op == "iexact":
+        c = F.lower(col) == value.lower()
+    else:
+        raise ValueError(f"unknown filter op {op}")
+    return ~c if neg else c
+
+
+def multi_field_or(fields: list[Column], op: str, value: str) -> Column:
+    """Q3: `doc` pseudo-field = OR over content/title/url."""
+    out = filter_predicate(fields[0], op, value)
+    for f in fields[1:]:
+        out = out | filter_predicate(f, op, value)
+    return out
+
+
+def linked_to(docs: DataFrame, links: DataFrame, pred: Column) -> DataFrame:
+    """Q4 lto_*: documents with an out-link matching `pred` (left-semi —
+    no fan-out, no dedup needed)."""
+    matching = links.filter(pred).select(F.col("src_url").alias("url"))
+    return docs.join(matching, "url", "left_semi")
+
+
+def linked_by(docs: DataFrame, links: DataFrame, pred: Column) -> DataFrame:
+    """Q4 lby_*: documents linked FROM a page matching `pred`."""
+    matching = links.filter(pred).select(F.col("dst_url").alias("url"))
+    return docs.join(matching, "url", "left_semi")
+
+
+def tag_subtree_filter(docs: DataFrame, doc_tags: DataFrame, tags: DataFrame, tag_path: str) -> DataFrame:
+    """Q5: tag match expands to the whole subtree — materialized-path
+    semantics: every tag whose path starts with the target's path
+    (se/tag.py treebeard MP_Node)."""
+    subtree = tags.filter(F.col("path").startswith(tag_path)).select("tag_id")
+    tagged = doc_tags.join(F.broadcast(subtree), "tag_id", "left_semi").select("url").distinct()
+    return docs.join(tagged, "url", "left_semi")
+
+
+def sort_distinct(df: DataFrame, order: list[Column]) -> DataFrame:
+    """Q7: order_by(*order).distinct()."""
+    return df.dropDuplicates().orderBy(*order)
+
+
+def paginate(df: DataFrame, order: list[Column], page: int, page_size: int) -> DataFrame:
+    """Q8: stable pagination via offset/limit (Spark's offset is exact
+    under a total order)."""
+    return df.orderBy(*order).offset((page - 1) * page_size).limit(page_size)
+
+
+def lang_stats(docs: DataFrame, lang_col: str = "lang") -> DataFrame:
+    """Q10: language counts desc (se/rest_api.py:131-148)."""
+    return (
+        docs.groupBy(F.col(lang_col).alias("lang"))
+        .agg(F.count("*").alias("doc_count"))
+        .orderBy(F.col("doc_count").desc(), F.col("lang").asc())
+    )
+
+
+def mime_stats(docs: DataFrame, mime_col: str = "fmt") -> DataFrame:
+    """Q10: mimetype counts with NULL coalesced to a sentinel
+    (se/rest_api.py:165-195)."""
+    return (
+        docs.groupBy(F.coalesce(F.col(mime_col), F.lit("<none>")).alias("mimetype"))
+        .agg(F.count("*").alias("doc_count"))
+        .orderBy(F.col("doc_count").desc(), F.col("mimetype").asc())
+    )
+
+
+def tag_rollup(tags: DataFrame, doc_tags: DataFrame) -> DataFrame:
+    """Q10 tag-tree rollup (se/tag.py:52-82): per-tag direct doc counts,
+    then bottom-up accumulation into ancestors via the materialized-path
+    prefix join — each tag's rolled count = Σ direct counts of its
+    subtree."""
+    direct = doc_tags.groupBy("tag_id").agg(F.count("*").alias("direct_count"))
+    t = tags.join(direct, "tag_id", "left").fillna({"direct_count": 0})
+    anc = t.select(F.col("tag_id").alias("anc_id"), F.col("path").alias("anc_path"))
+    desc = t.select(F.col("path").alias("desc_path"), F.col("direct_count").alias("dc"))
+    rolled = (
+        anc.join(desc, desc["desc_path"].startswith(anc["anc_path"]))
+        .groupBy("anc_id")
+        .agg(F.sum("dc").alias("rolled_count"))
+    )
+    return (
+        t.join(rolled, t["tag_id"] == rolled["anc_id"], "left")
+        .select("tag_id", "path", "direct_count", F.coalesce("rolled_count", F.lit(0)).alias("rolled_count"))
+        .orderBy("path")
+    )
+
+
+def csv_export_order(docs: DataFrame, limit: int = 1000) -> DataFrame:
+    """Q11: crawl_last desc (non-null first), head `limit`
+    (se/csv.py:45-130 re-sort semantics)."""
+    return docs.filter(F.col("crawl_last").isNotNull()).orderBy(
+        F.col("crawl_last").desc(), F.col("url").asc()
+    ).limit(limit)

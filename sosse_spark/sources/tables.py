@@ -114,20 +114,25 @@ class SnapshotTable(_TableBase):
         changed: DataFrame,
         round_no: int,
         extra: Optional[dict] = None,
+        changed_buckets: Optional[list[int]] = None,
     ) -> int:
         """Commit `changed` (full post-merge contents of its buckets).
 
         Buckets NOT present in `changed` keep their previous snapshot
         directory untouched — this is the scale path: only hot buckets
-        are rewritten.
+        are rewritten.  Pass `changed_buckets` when the caller already
+        knows them to save the distinct scan.
         """
         prev = self.manifest()
         snap = (prev["snapshot"] if prev else 0) + 1
         snap_dir = f"snap-{snap:06d}"
         out = os.path.join(self.dir, snap_dir)
 
-        changed_buckets = [r["bucket"] for r in changed.select("bucket").distinct().collect()]
-        changed.write.mode("overwrite").partitionBy("bucket").parquet(out)
+        if changed_buckets is None:
+            changed_buckets = [r["bucket"] for r in changed.select("bucket").distinct().collect()]
+        # one task per touched bucket — keeps file counts (and later read
+        # fan-in) proportional to touched buckets, not tasks × buckets
+        changed.repartition("bucket").write.mode("overwrite").partitionBy("bucket").parquet(out)
 
         buckets = dict(prev["buckets"]) if prev else {}
         for b in changed_buckets:
@@ -161,7 +166,9 @@ class AppendTable(_TableBase):
         prev = self.manifest()
         snap = (prev["snapshot"] if prev else 0) + 1
         snap_dir = f"snap-{snap:06d}"
-        df.write.mode("overwrite").parquet(os.path.join(self.dir, snap_dir))
+        df.coalesce(max(df.sparkSession.sparkContext.defaultParallelism // 4, 1)).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(self.dir, snap_dir))
         dirs = (prev["dirs"] if prev else []) + [snap_dir]
         self._commit_manifest(snap, {"round": round_no, "dirs": dirs})
         return snap

@@ -82,6 +82,13 @@ class CrawlEngine:
         self.documents = AppendTable(root, "documents")
         self.links = AppendTable(root, "links")
         self.metrics = AppendTable(root, "metrics")
+        # driver-side robots cache: the set of domains whose rules are
+        # already in host_rules (≙ Domain.robots_status != unknown,
+        # se/domain.py:65-73).  Rebuilt from the table on resume; the
+        # per-round batch exposes at most batch_size domains, so the
+        # collect is bounded by the round budget even at 10^10 frontier.
+        self._known_domains: Optional[set] = None
+        self._rules_df: Optional[DataFrame] = None
 
     # ------------------------------------------------------------------
     def round_no(self) -> int:
@@ -131,27 +138,33 @@ class CrawlEngine:
             .withColumn("robotstxt_rejected", F.lit(False))
         )
         new = self._finalize_rows(new).cache()
-        merged = merge_frontier(
-            self._changed_bucket_slice(existing, new), None, new
-        )
-        self.frontier.commit(self.spark, merged, self.round_no())
+        buckets = self._touched_buckets(new)
+        merged = merge_frontier(self._changed_bucket_slice(existing, buckets), None, new)
+        self.frontier.commit(self.spark, merged, self.round_no(), changed_buckets=buckets)
         self.bloom.commit(
-            self.spark, bloom_build(new, prev_bloom, self.bloom_bits), self.round_no()
+            self.spark,
+            bloom_build(new, prev_bloom, self.bloom_bits),
+            self.round_no(),
+            changed_buckets=buckets,
         )
 
+    def _touched_buckets(self, *changed: Optional[DataFrame]) -> list[int]:
+        """Distinct buckets across the changed sets — ONE collect job."""
+        dfs = [df.select("bucket") for df in changed if df is not None]
+        if not dfs:
+            return []
+        u = dfs[0]
+        for d in dfs[1:]:
+            u = u.unionByName(d)
+        return sorted(r["bucket"] for r in u.distinct().collect())
+
     def _changed_bucket_slice(
-        self, frontier: Optional[DataFrame], *changed: Optional[DataFrame]
+        self, frontier: Optional[DataFrame], buckets: list[int]
     ) -> Optional[DataFrame]:
-        """Existing frontier rows living in buckets touched by `changed`."""
-        if frontier is None:
+        """Existing frontier rows living in the touched buckets."""
+        if frontier is None or not buckets:
             return None
-        buckets = set()
-        for df in changed:
-            if df is not None:
-                buckets.update(r["bucket"] for r in df.select("bucket").distinct().collect())
-        if not buckets:
-            return None
-        return frontier.filter(F.col("bucket").isin(sorted(buckets)))
+        return frontier.filter(F.col("bucket").isin(buckets))
 
     # ------------------------------------------------------------------
     def run_round(self, t: datetime) -> Optional[dict]:
@@ -185,19 +198,33 @@ class CrawlEngine:
             return None
 
         # --- robots: fetch rules for domains never seen before ---------
-        known_rules = self.host_rules.read(spark)
-        new_domains = batch.select("url_domain").distinct()
-        if known_rules is not None:
-            new_domains = new_domains.join(
-                known_rules.select(F.col("domain").alias("url_domain")).distinct(),
-                "url_domain",
-                "left_anti",
+        if self._known_domains is None:
+            existing_rules = self.host_rules.read(spark)
+            if existing_rules is not None:
+                existing_rules = existing_rules.cache()
+                self._known_domains = {
+                    r["domain"] for r in existing_rules.select("domain").distinct().collect()
+                }
+                self._rules_df = existing_rules
+            else:
+                self._known_domains = set()
+        batch_domains = {r["url_domain"] for r in batch.select("url_domain").distinct().collect()}
+        new_domains = sorted(batch_domains - self._known_domains)
+        if new_domains:
+            new_rules = fetch_robots_for_domains(
+                spark.createDataFrame([(d,) for d in new_domains], "url_domain string"),
+                self.web,
             )
-        new_rules = fetch_robots_for_domains(new_domains, self.web)
-        self.host_rules.append(spark, new_rules, round_no)
-        rules = self.host_rules.read(spark)
+            self.host_rules.append(spark, new_rules, round_no)
+            if self._rules_df is not None:
+                self._rules_df.unpersist()
+            self._rules_df = self.host_rules.read(spark).cache()
+            self._known_domains |= set(new_domains)
 
-        checked = evaluate_robots(batch, rules).cache()
+        if self._rules_df is not None:
+            checked = evaluate_robots(batch, self._rules_df).cache()
+        else:
+            checked = batch.withColumn("robots_authorized", F.lit(True)).cache()
         rejected = checked.filter(~F.col("robots_authorized"))
         authorized = checked.filter(F.col("robots_authorized"))
 
@@ -391,51 +418,63 @@ class CrawlEngine:
         inserts = self._finalize_rows(inserts).cache()
 
         # --- commits ------------------------------------------------------
-        untouched_frontier = self._changed_bucket_slice(frontier, replacements, inserts)
-        merged = merge_frontier(untouched_frontier, replacements, inserts)
-        self.frontier.commit(spark, merged, round_no)
-        if inserts.take(1):
+        n_new = inserts.count()
+        buckets = self._touched_buckets(replacements, inserts if n_new else None)
+        untouched_frontier = self._changed_bucket_slice(frontier, buckets)
+        merged = merge_frontier(untouched_frontier, replacements, inserts if n_new else None)
+        self.frontier.commit(spark, merged, round_no, changed_buckets=buckets)
+        if n_new:
+            insert_buckets = self._touched_buckets(inserts)
             self.bloom.commit(
-                spark, bloom_build(inserts, prev_bloom, self.bloom_bits), round_no
+                spark,
+                bloom_build(inserts, prev_bloom, self.bloom_bits),
+                round_no,
+                changed_buckets=insert_buckets,
             )
 
-        docs = joined.filter(is_success).select(
-            F.col("url"),
-            F.col("f.final_url").alias("final_url"),
-            F.col("f.image_id").alias("image_id"),
-            F.col("f.bytes").alias("bytes"),
-            F.col("f.w").alias("w"),
-            F.col("f.h").alias("h"),
-            F.col("f.fmt").alias("fmt"),
-            F.col("f.caption").alias("caption"),
-            F.col("f.phash").alias("phash"),
-            new_hash.alias("content_hash"),
-            changed_content.alias("changed"),
-            F.lit(round_no).alias("round_no"),
-            now_col.alias("fetched_at"),
-        )
-        self.documents.append(spark, docs, round_no)
+        # --- metrics (F30 parity counts): single-pass aggregation --------
+        counts = joined.agg(
+            F.count(F.when(is_error, 1)).alias("errors"),
+            F.count(F.when(is_redirect, 1)).alias("redirects"),
+            F.count(F.when(is_success, 1)).alias("success"),
+        ).collect()[0]
+        n_errors, n_redirects, n_success = counts["errors"], counts["redirects"], counts["success"]
+        n_rejected = n_batch - (n_errors + n_redirects + n_success)
 
-        link_rows = resolved.join(
-            admitted.select(F.col("url"), F.lit(True).alias("is_admitted")).distinct(),
-            "url",
-            "left",
-        ).select(
-            F.col("base_url").alias("src_url"),
-            F.col("url").alias("dst_url"),
-            F.col("link_no"),
-            F.coalesce(F.col("is_admitted"), F.lit(False)).alias("is_admitted"),
-            F.lit(round_no).alias("round_no"),
-        )
-        self.links.append(spark, link_rows, round_no)
+        n_links = 0
+        if n_success:
+            docs = joined.filter(is_success).select(
+                F.col("url"),
+                F.col("f.final_url").alias("final_url"),
+                F.col("f.image_id").alias("image_id"),
+                F.col("f.bytes").alias("bytes"),
+                F.col("f.w").alias("w"),
+                F.col("f.h").alias("h"),
+                F.col("f.fmt").alias("fmt"),
+                F.col("f.caption").alias("caption"),
+                F.col("f.phash").alias("phash"),
+                new_hash.alias("content_hash"),
+                changed_content.alias("changed"),
+                F.lit(round_no).alias("round_no"),
+                now_col.alias("fetched_at"),
+            )
+            self.documents.append(spark, docs, round_no)
 
-        # --- metrics (F30 parity counts) ----------------------------------
-        n_rejected = rejected.count()
-        n_errors = joined.filter(is_error).count()
-        n_redirects = joined.filter(is_redirect).count()
-        n_success = joined.filter(is_success).count()
-        n_links = resolved.count()
-        n_new = inserts.count()
+            n_links = resolved.count()
+            if n_links:
+                link_rows = resolved.join(
+                    admitted.select(F.col("url"), F.lit(True).alias("is_admitted")).distinct(),
+                    "url",
+                    "left",
+                ).select(
+                    F.col("base_url").alias("src_url"),
+                    F.col("url").alias("dst_url"),
+                    F.col("link_no"),
+                    F.coalesce(F.col("is_admitted"), F.lit(False)).alias("is_admitted"),
+                    F.lit(round_no).alias("round_no"),
+                )
+                self.links.append(spark, link_rows, round_no)
+
         duration = time.time() - t0
         metrics_row = {
             "round_no": round_no,

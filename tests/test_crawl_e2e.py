@@ -1,0 +1,198 @@
+"""End-to-end BSP crawl: the analog of se/test_crawl.py driven to
+quiescence over the deterministic synthetic web (webgraph ≙ BrowserMock).
+
+Pins down: frontier membership (URL-seen), robots rejection of /private
+paths on robots-serving hosts, redirect + error bookkeeping, adaptive
+rescheduling, per-round determinism, checkpoint resume, and the
+BASELINE.json per-row invariant (decoded-pixel PSNR≥40 / exact for
+lossless + caption equality).
+"""
+
+from datetime import datetime, timedelta
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sosse_spark.functions.images import decode_image, psnr, render_pattern
+from sosse_spark.operators.admission import CollectionPolicy
+from sosse_spark.sources.corpus import caption_for, dims_for
+from sosse_spark.sources.webgraph import WebConfig, host_no, url_of
+from sosse_spark.streaming.crawl_loop import CrawlEngine
+
+T0 = datetime(2024, 1, 1, 0, 0, 0)
+WEB = WebConfig(n_docs=40, n_hosts=4)
+POLICY = CollectionPolicy(
+    collection_id=1,
+    unlimited_regex=r"^http://img[0-9]+\.example\.com/",
+    recursion_depth=2,
+    keep_params=False,
+    recrawl_freq="adaptive",
+    recrawl_dt_min=3600,
+    recrawl_dt_max=3 * 3600,
+)
+
+
+def _engine(spark, root):
+    return CrawlEngine(
+        spark, root, WEB, POLICY, n_buckets=4, batch_size=32, per_host_budget=8
+    )
+
+
+# seeds picked for rich out-link fan-out (i%4==3 ⇒ 3 links/page) while
+# avoiding the error-injected indexes; url_of(1) adds a redirect chain
+SEEDS = [url_of(2, WEB), url_of(11, WEB), url_of(15, WEB), url_of(1, WEB)]
+
+
+def _run(spark, root, max_rounds=12):
+    eng = _engine(spark, root)
+    eng.seed(SEEDS, T0)
+    metrics = eng.run_until_quiescent(T0, timedelta(minutes=1), max_rounds=max_rounds)
+    return eng, metrics
+
+
+@pytest.fixture(scope="module")
+def crawl(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("crawl"))
+    eng, metrics = _run(spark, root)
+    return eng, metrics
+
+
+def test_reaches_quiescence_and_metrics(crawl):
+    eng, metrics = crawl
+    assert 1 < len(metrics) < 12, "should quiesce before max_rounds"
+    assert metrics[0]["batch"] == len(SEEDS)
+    assert all(m["urls_per_sec"] > 0 for m in metrics)
+
+
+def test_urlseen_unique(crawl, spark):
+    eng, _ = crawl
+    frontier = eng.frontier.read(spark)
+    total = frontier.count()
+    assert total == frontier.select("url", "collection_id").distinct().count()
+    assert total > 2  # links were discovered and admitted
+
+
+def test_frontier_all_crawled_and_rescheduled(crawl, spark):
+    eng, _ = crawl
+    frontier = eng.frontier.read(spark)
+    uncrawled = frontier.filter(F.col("crawl_last").isNull()).count()
+    assert uncrawled == 0, "quiescence implies every admitted URL was claimed"
+    # adaptive reschedule: successful non-rejected rows have crawl_next
+    ok = frontier.filter(
+        ~F.col("robotstxt_rejected") & F.col("error").isNull() & F.col("redirect_url").isNull()
+    )
+    assert ok.filter(F.col("crawl_next").isNull()).count() == 0
+    assert ok.filter(F.col("crawl_dt") == 3600).count() == ok.count()  # first crawl → dt_min
+
+
+def test_robots_rejection(crawl, spark):
+    """Hosts with host_no%4==0 serve robots disallowing /private*
+    (webgraph.robots_body); those URLs must be rejected, never fetched."""
+    eng, _ = crawl
+    frontier = eng.frontier.read(spark)
+    rejected = frontier.filter(F.col("robotstxt_rejected"))
+    for r in rejected.collect():
+        assert "/private/" in r["url"]
+        assert r["url_domain"] == "img0.example.com"
+        assert r["crawl_next"] is None  # parity: se/document.py:749-761
+    docs = eng.documents.read(spark)
+    fetched_private = docs.filter(F.col("url").contains("img0.example.com/private")).count()
+    assert fetched_private == 0
+    # /private on non-robots hosts IS crawled (no rules there)
+    priv_other = frontier.filter(
+        F.col("url").contains("/private/") & (F.col("url_domain") != "img0.example.com")
+    )
+    if priv_other.count():
+        assert priv_other.filter(F.col("robotstxt_rejected")).count() == 0
+
+
+def test_errors_and_redirects_recorded(crawl, spark):
+    eng, _ = crawl
+    frontier = eng.frontier.read(spark)
+    errs = frontier.filter(F.col("error").isNotNull()).collect()
+    for r in errs:
+        assert r["error_hash"] is not None
+    # doc index 3 errors (error_mod 100 → i%100==3), if admitted
+    if any("000000000003" in r["url"] for r in frontier.collect()):
+        assert any("000000000003" in r["url"] for r in errs)
+    redirs = frontier.filter(F.col("redirect_url").isNotNull())
+    for r in redirs.collect():
+        assert r["redirect_url"] != r["url"]
+
+
+def test_payload_invariants(crawl, spark):
+    """BASELINE.json per-row invariant: decoded pixels allclose
+    (exact for png/bmp, PSNR≥40 for lossy) + caption equality."""
+    eng, _ = crawl
+    docs = eng.documents.read(spark).collect()
+    assert len(docs) > 2
+    for d in docs:
+        i = int(d["image_id"].split("-")[1])
+        ref = render_pattern(i, *dims_for(i))
+        px = decode_image(bytes(d["bytes"]), d["fmt"])
+        if d["fmt"] in ("png", "bmp"):
+            assert np.array_equal(px, ref)
+        else:
+            assert psnr(ref, px) >= 40.0
+        assert d["caption"] == caption_for(i)
+
+
+def test_links_recorded_with_ordinals(crawl, spark):
+    eng, _ = crawl
+    links = eng.links.read(spark)
+    assert links.count() > 0
+    # link_no ordinals start at 0 per page (se/page.py:173-179 semantics)
+    per_src = links.groupBy("src_url").agg(F.min("link_no").alias("mn"))
+    assert per_src.filter(F.col("mn") != 0).count() == 0
+
+
+def test_resume_from_checkpoint_and_determinism(spark, tmp_path_factory, crawl):
+    """Kill after 2 rounds, reopen from LATEST in a NEW engine, finish:
+    the final state equals the uninterrupted run's exactly — urls, ids,
+    crawl timestamps, lineage — which proves both the checkpoint-resume
+    path (north rule) and cross-process determinism in one run."""
+    eng_full, _ = crawl
+    root = str(tmp_path_factory.mktemp("crawl3"))
+    eng_a = _engine(spark, root)
+    eng_a.seed(SEEDS, T0)
+    t = T0
+    for _ in range(2):
+        m = eng_a.run_round(t)
+        assert m is not None
+        t += timedelta(minutes=1)
+    # simulate crash: new engine object over the same root (reads LATEST)
+    eng_b = _engine(spark, root)
+    assert eng_b.round_no() == 3
+    eng_b.run_until_quiescent(t, timedelta(minutes=1), max_rounds=10)
+
+    key = lambda r: (r["url"], r["id"], r["crawl_last"], r["crawl_next"], r["crawl_dt"])  # noqa: E731
+    f_resumed = {key(r) for r in eng_b.frontier.read(spark).collect()}
+    f_full = {key(r) for r in eng_full.frontier.read(spark).collect()}
+    assert f_resumed == f_full
+    d1 = {(r["url"], r["round_no"]) for r in eng_full.documents.read(spark).collect()}
+    d2 = {(r["url"], r["round_no"]) for r in eng_b.documents.read(spark).collect()}
+    assert d1 == d2
+
+
+def test_recrawl_second_pass_doubles_dt(spark, tmp_path_factory):
+    """Advance the clock past crawl_next: unchanged content doubles
+    crawl_dt (1h→2h), matching se/test_crawl.py:292-335."""
+    root = str(tmp_path_factory.mktemp("crawl4"))
+    eng = _engine(spark, root)
+    eng.seed([url_of(2, WEB)], T0)
+    eng.run_until_quiescent(T0, timedelta(minutes=1), max_rounds=5)
+    f1 = {r["url"]: r for r in eng.frontier.read(spark).collect()}
+    t2 = T0 + timedelta(hours=2)
+    eng.run_until_quiescent(t2, timedelta(minutes=1), max_rounds=5)
+    f2 = {r["url"]: r for r in eng.frontier.read(spark).collect()}
+    doubled = [
+        (u, r2["crawl_dt"])
+        for u, r2 in f2.items()
+        if u in f1
+        and f1[u]["crawl_dt"] == 3600 and r2["crawl_last"] > f1[u]["crawl_last"]
+        and f1[u]["error"] is None and f1[u]["redirect_url"] is None
+        and not f1[u]["robotstxt_rejected"]
+    ]
+    assert doubled, "some URL should have been recrawled"
+    assert all(dt == 7200 for _, dt in doubled)

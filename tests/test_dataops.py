@@ -1,0 +1,188 @@
+"""Training-data ops: dedup (exact/minhash/simhash/ngram), similarity
+(brute force vs LSH recall), text analysis, multimodal plumbing."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy cat"),  # near-dup of 0
+    (2, "completely different content about spark engines"),
+    (3, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+    (4, "le chat et le chien sont dans la maison est belle"),
+    (5, "der hund ist nicht das problem und die katze"),
+    (6, "short text 123 here"),
+    (7, "short text 456 here"),  # number-normalized dup of 6
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs):
+    from sosse_spark.operators.dedup import exact_dedup
+
+    out = {r["doc_id"]: r["dup_count"] for r in exact_dedup(docs, "text", "doc_id").collect()}
+    assert out[0] == 2  # doc 3 collapsed into 0
+    assert 3 not in out
+    # number normalization collapses 6 and 7
+    out2 = {r["doc_id"]: r["dup_count"] for r in exact_dedup(docs, "text", "doc_id", no_numbers=True).collect()}
+    assert out2[6] == 2 and 7 not in out2
+
+
+def test_minhash_lsh_finds_near_dup(spark, docs):
+    from sosse_spark.operators.dedup import minhash_lsh_pairs
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(docs, "text", "doc_id", k=3, num_hashes=16, bands=8, jaccard_threshold=0.3).collect()
+    }
+    assert (0, 3) in pairs and pairs[(0, 3)] == 1.0  # exact dup always found
+    assert (0, 1) in pairs or (1, 3) in pairs  # near-dup caught by some band
+    assert all(not (a == 2 or b == 2) for a, b in pairs)  # unique doc never pairs
+
+
+def test_simhash_near_dup(spark, docs):
+    from sosse_spark.operators.dedup import simhash_near_dup_pairs, simhash_signatures
+
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_near_dup_pairs(docs, "text", "doc_id", max_hamming=10).collect()}
+    assert pairs.get((0, 3)) == 0  # identical text ⇒ identical signature
+    # one-word difference ⇒ distinctly closer than unrelated docs
+    sigs = {r["_id"]: r["sig"] for r in simhash_signatures(docs, "text", "doc_id").collect()}
+    ham = lambda a, b: bin(sigs[a] ^ sigs[b]).count("1")  # noqa: E731
+    assert ham(0, 1) < ham(0, 2)
+    assert ham(0, 1) < ham(0, 4)
+
+
+def test_ngram_jaccard(spark, docs):
+    from sosse_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.3).collect()}
+    assert pairs.get((0, 3)) == 1.0
+    assert (0, 1) in pairs and 0.3 <= pairs[(0, 1)] < 1.0
+
+
+def _embeddings(spark, n=60, dim=16):
+    rng = np.random.RandomState(42)
+    base = rng.randn(n, dim)
+    base[10] = base[0] + rng.randn(dim) * 0.01  # near-dup of 0
+    rows = [(i, [float(x) for x in base[i]]) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_brute_force_topk(spark):
+    from sosse_spark.operators.similarity import brute_force_topk
+
+    emb = _embeddings(spark)
+    queries = emb.filter(F.col("vec_id") == 0).select(F.col("vec_id").alias("query_id"), "embedding")
+    got = brute_force_topk(emb, queries, k=3).orderBy("rank").collect()
+    assert got[0]["vec_id"] == 0 and got[0]["cos_sim"] == 1.0
+    assert got[1]["vec_id"] == 10  # planted near-dup is rank 2
+
+
+def test_lsh_topk_recall(spark):
+    """LSH top-1 must find the planted near-duplicate (same bucket with
+    high probability at 6 planes for ~0.01-perturbed vectors)."""
+    from sosse_spark.operators.similarity import lsh_topk
+
+    emb = _embeddings(spark)
+    queries = emb.filter(F.col("vec_id") == 10).select(F.col("vec_id").alias("query_id"), "embedding")
+    got = lsh_topk(emb, queries, dim=16, k=2, n_planes=6).orderBy("rank").collect()
+    ids = [r["vec_id"] for r in got]
+    assert 10 in ids and 0 in ids
+
+
+def test_embedding_near_dup_pairs(spark):
+    from sosse_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = _embeddings(spark)
+    pairs = {(r["id_a"], r["id_b"]) for r in embedding_near_dup_pairs(emb, threshold=0.99, n_planes=6, dim=16).collect()}
+    assert (0, 10) in pairs
+
+
+def test_lang_id(spark, docs):
+    from sosse_spark.functions.text import lang_id_expr
+
+    got = {r["doc_id"]: r["lang"] for r in docs.select("doc_id", lang_id_expr(F.col("text")).alias("lang")).collect()}
+    assert got[0] == "en"
+    assert got[4] == "fr"
+    assert got[5] == "de"
+
+
+def test_token_counts_and_quality(spark, docs):
+    from sosse_spark.functions.text import bpe_ish_token_count_expr, quality_score_expr, token_count_expr
+
+    r = docs.filter(F.col("doc_id") == 0).select(
+        token_count_expr(F.col("text")).alias("ws"),
+        bpe_ish_token_count_expr(F.col("text")).alias("bpe"),
+        quality_score_expr(F.col("text")).alias("q"),
+    ).collect()[0]
+    assert r["ws"] == 9
+    assert r["bpe"] == 9
+    assert 0.0 <= r["q"] <= 1.0
+
+
+def test_fingerprint_stability(spark):
+    """Winnowing min-hash: stable under a far-away edit, changes when the
+    minimal shingle itself is touched."""
+    from sosse_spark.functions.text import fingerprint_expr
+
+    df = spark.createDataFrame(
+        [(0, "abcdefghijklmnopqrstuvwxyz0123"), (1, "abcdefghijklmnopqrstuvwxyzZZ99")],
+        "id long, text string",
+    )
+    got = [r["fp"] for r in df.select(fingerprint_expr("text", 8).alias("fp")).collect()]
+    assert len(got[0]) == 32  # md5 hex
+
+
+def test_accent_strip(spark):
+    from sosse_spark.functions.text import remove_accents, remove_accents_udf
+
+    assert remove_accents("café Über naïve") == "cafe Uber naive"
+    df = spark.createDataFrame([("éàü",)], "s string")
+    assert df.select(remove_accents_udf("s").alias("o")).collect()[0]["o"] == "eau"
+
+
+# --- multimodal plumbing ----------------------------------------------------
+
+def test_image_features_and_resize(spark):
+    from sosse_spark.operators.multimodal import image_features, image_resize
+    from sosse_spark.sources.corpus import corpus_df
+
+    corpus = corpus_df(spark, 12, partitions=2)
+    feats = image_features(corpus).collect()
+    assert len(feats) == 12
+    assert all(abs(sum(r["hist"]) - 1.0) < 1e-9 for r in feats)
+    small = image_resize(corpus, 8, 6).collect()
+    assert all((r["w"], r["h"]) == (8, 6) for r in small)
+    from sosse_spark.functions.images import decode_image
+
+    px = decode_image(bytes(small[0]["bytes"]), "png")
+    assert px.shape == (6, 8, 3)
+
+
+def test_mimetype_sniff(spark):
+    from sosse_spark.operators.multimodal import sniff_mimetype_expr
+    from sosse_spark.sources.corpus import corpus_df
+
+    got = corpus_df(spark, 6, partitions=1).select(
+        "fmt", sniff_mimetype_expr(F.col("bytes")).alias("mime")
+    ).collect()
+    expect = {"png": "image/png", "bmp": "image/bmp", "lossy": "image/x-slc"}
+    assert all(r["mime"] == expect[r["fmt"]] for r in got)
+
+
+def test_audio_video_stubs(spark):
+    from sosse_spark.operators.multimodal import audio_features, video_frame_sample
+
+    media = spark.createDataFrame([("m1", b"\x01\x02\x03\x04abcd")], "media_id string, bytes binary")
+    with pytest.raises(Exception):
+        audio_features(media, allow_fake=False).collect()
+    fake = audio_features(media, allow_fake=True).collect()
+    assert fake[0]["duration_ms"] > 0 and 0 < fake[0]["rms"] < 1.5
+    frames = video_frame_sample(media, every_ms=500, allow_fake=True).collect()
+    assert len(frames) >= 4
+    assert [f["frame_no"] for f in frames] == list(range(len(frames)))

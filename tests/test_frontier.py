@@ -1,0 +1,162 @@
+"""URL-seen dedup (Bloom prefilter + exact anti-join), snapshot tables,
+admission rules (se/document.py:603-694 semantics)."""
+
+from pyspark.sql import functions as F
+
+from sosse_spark.operators.admission import (
+    CollectionPolicy,
+    admit_links,
+    build_multiline_re,
+    route_cross_collection,
+)
+from sosse_spark.operators.frontier import (
+    bloom_build,
+    bloom_prefilter,
+    urlseen_dedup,
+    with_bucket,
+)
+from sosse_spark.sources.tables import AppendTable, SnapshotTable
+
+N_BUCKETS = 4
+CAND_SCHEMA = (
+    "url string, collection_id int, crawl_recurse int, disc_order long, "
+    "url_domain string, url_path string"
+)
+
+
+def _cands(spark, urls, recurse=0):
+    rows = [(u, 1, recurse, i, "h", "/p") for i, u in enumerate(urls)]
+    return with_bucket(spark.createDataFrame(rows, CAND_SCHEMA), N_BUCKETS)
+
+
+def test_bloom_no_false_negatives(spark):
+    seen = _cands(spark, [f"http://h/{i}" for i in range(200)])
+    bloom = bloom_build(seen, None, m_bits=1 << 16)
+    flagged = bloom_prefilter(seen, bloom, m_bits=1 << 16)
+    # every seen URL must be flagged maybe_seen (no false negative, ever)
+    assert flagged.filter(~F.col("maybe_seen")).count() == 0
+
+
+def test_bloom_filters_most_unseen(spark):
+    seen = _cands(spark, [f"http://h/{i}" for i in range(200)])
+    bloom = bloom_build(seen, None, m_bits=1 << 16)
+    unseen = _cands(spark, [f"http://other/{i}" for i in range(200)])
+    flagged = bloom_prefilter(unseen, bloom, m_bits=1 << 16)
+    fp = flagged.filter(F.col("maybe_seen")).count()
+    assert fp < 20, f"false-positive rate too high: {fp}/200"
+
+
+def test_urlseen_dedup_exact(spark):
+    frontier = _cands(spark, ["http://h/a", "http://h/b"]).withColumn(
+        "collection_id", F.lit(1)
+    )
+    bloom = bloom_build(frontier, None, m_bits=1 << 16)
+    cands = _cands(spark, ["http://h/a", "http://h/c", "http://h/c", "http://h/d"])
+    new = urlseen_dedup(cands, frontier, bloom, m_bits=1 << 16)
+    urls = sorted(r["url"] for r in new.collect())
+    assert urls == ["http://h/c", "http://h/d"]  # dup-in-batch collapsed too
+
+
+def test_urlseen_collision_keeps_max_depth(spark):
+    """get_or_create collision keeps max(crawl_recurse)
+    (se/document.py:692-693)."""
+    rows = [
+        ("http://h/x", 1, 1, 10, "h", "/x"),
+        ("http://h/x", 1, 5, 3, "h", "/x"),
+    ]
+    cands = with_bucket(spark.createDataFrame(rows, CAND_SCHEMA), N_BUCKETS)
+    new = urlseen_dedup(cands, None, None).collect()
+    assert len(new) == 1
+    assert new[0]["crawl_recurse"] == 5
+    assert new[0]["disc_order"] == 3
+
+
+def test_snapshot_table_commit_resume(spark, tmp_root):
+    t = SnapshotTable(tmp_root, "frontier", n_buckets=N_BUCKETS)
+    df1 = _cands(spark, [f"http://h/{i}" for i in range(20)])
+    t.commit(spark, df1, round_no=0)
+    assert t.read(spark).count() == 20
+    # second commit touching a subset of buckets
+    df2 = _cands(spark, ["http://h/new1", "http://h/new2"])
+    touched = {r["bucket"] for r in df2.select("bucket").distinct().collect()}
+    merged = t.read(spark).filter(F.col("bucket").isin(list(touched))).unionByName(df2)
+    t.commit(spark, merged, round_no=1)
+    # resume path: fresh handle reads LATEST
+    t2 = SnapshotTable(tmp_root, "frontier", n_buckets=N_BUCKETS)
+    assert t2.read(spark).count() == 22
+    assert t2.manifest()["round"] == 1
+    # untouched buckets still point at snap-000001
+    m = t2.manifest()
+    assert any(v == "snap-000001" for v in m["buckets"].values())
+    assert any(v == "snap-000002" for v in m["buckets"].values())
+
+
+def test_append_table(spark, tmp_root):
+    t = AppendTable(tmp_root, "metrics")
+    assert t.read(spark) is None
+    t.append(spark, spark.createDataFrame([(1,)], "a int"), 0)
+    t.append(spark, spark.createDataFrame([(2,)], "a int"), 1)
+    assert sorted(r["a"] for r in t.read(spark).collect()) == [1, 2]
+
+
+def test_build_multiline_re():
+    assert build_multiline_re("^http://a/.*\n# comment\n^http://b/.*\n") == "(^http://a/.*|^http://b/.*)"
+    assert build_multiline_re("^x$") == "^x$"
+    assert build_multiline_re("# only comment\n") == ""
+
+
+def test_admit_links_depth_budget(spark):
+    """unlimited → full depth; limited + parent budget → parent−1;
+    no match → dropped; seed → always (se/document.py:603-694)."""
+    policy = CollectionPolicy(
+        collection_id=1,
+        unlimited_regex="^http://img0\\.example\\.com/",
+        limited_regex="^http://img1\\.example\\.com/",
+        recursion_depth=2,
+    )
+    rows = [
+        ("http://img0.example.com/a", 0),  # unlimited — admitted despite 0 budget
+        ("http://img1.example.com/b", 3),  # limited — depth 2
+        ("http://img1.example.com/c", 0),  # limited, budget exhausted — dropped
+        ("http://img9.example.com/d", 3),  # no match — dropped
+        ("http://img9.example.com/seed", None),  # seed — admitted, full depth
+    ]
+    df = spark.createDataFrame(rows, "url string, parent_recurse int")
+    got = {r["url"]: (r["admitted_reason"], r["crawl_recurse"]) for r in admit_links(df, policy).collect()}
+    assert got == {
+        "http://img0.example.com/a": ("unlimited", 2),
+        "http://img1.example.com/b": ("limited", 2),
+        "http://img9.example.com/seed": ("seed", 2),
+    }
+
+
+def test_admit_links_exclusions(spark):
+    policy = CollectionPolicy(collection_id=1, unlimited_regex=".*", excluded_regex="secret")
+    df = spark.createDataFrame(
+        [("http://h/ok", 1), ("http://h/secret/x", 1), ("http://h/block-me", 1), ("http://h/pre/fix", 1)],
+        "url string, parent_recurse int",
+    )
+    got = [
+        r["url"]
+        for r in admit_links(
+            df, policy, excluded_exact=["http://h/block-me"], excluded_prefix=["http://h/pre/"]
+        ).collect()
+    ]
+    assert got == ["http://h/ok"]
+
+
+def test_cross_collection_longest_match_wins(spark):
+    """Longest regex match picks the target collection
+    (se/collection.py:306-339)."""
+    policies = [
+        CollectionPolicy(collection_id=1, unlimited_regex="^http://a\\.com/"),
+        CollectionPolicy(collection_id=2, unlimited_regex="^http://a\\.com/deep/"),
+        CollectionPolicy(collection_id=3, unlimited_regex="^http://b\\.com/"),
+    ]
+    src = CollectionPolicy(collection_id=9, queue_to_any_collection=True)
+    rejected = spark.createDataFrame(
+        [("http://a.com/deep/x",), ("http://a.com/shallow",), ("http://c.com/none",)],
+        "url string",
+    )
+    got = {r["url"]: r["collection_id"] for r in route_cross_collection(rejected, policies, src).collect()}
+    assert got == {"http://a.com/deep/x": 2, "http://a.com/shallow": 1}

@@ -1,0 +1,79 @@
+"""robots.txt parse + longest-match eval parity (se/domain.py:107-228)."""
+
+from pyspark.sql import functions as F
+
+from sosse_spark.operators.robots import evaluate_robots, parse_robots, robots_rules_rows
+
+BODY = """# comment line
+User-agent: megabot
+Disallow: /mega
+
+User-agent: sosse-spark
+Disallow: /private*
+Allow: /private/ok$
+
+User-agent: *
+Dissallow: /generic
+"""
+
+
+def test_parse_selects_own_ua_section():
+    rules = parse_robots(BODY, user_agent="sosse-spark/0.1")
+    assert ("disallow", "/private.*") in rules
+    assert ("allow", "/private/ok$") in rules
+    assert all("generic" not in p for _, p in rules)
+    assert all("mega" not in p for _, p in rules)
+
+
+def test_parse_falls_back_to_star_with_typo_key():
+    rules = parse_robots(BODY, user_agent="otherbot/1.0")
+    assert rules == [("disallow", "/generic")]
+
+
+def test_parse_wildcard_and_anchor():
+    rules = parse_robots("User-agent: *\nDisallow: /a*b$\n", "x")
+    assert rules == [("disallow", "/a.*b$")]
+
+
+def test_parse_empty_and_comments():
+    assert parse_robots("# nothing\n\nfoo\n", "x") == []
+
+
+def test_rules_rows_status():
+    rows = robots_rules_rows("h.example.com", None)
+    assert rows == [
+        {"domain": "h.example.com", "kind": "status", "pattern": "empty", "pattern_len": 0}
+    ]
+    rows = robots_rules_rows("h.example.com", BODY, user_agent="sosse-spark/0.1")
+    assert rows[0]["kind"] == "status" and rows[0]["pattern"] == "loaded"
+    assert len(rows) == 3
+
+
+def test_evaluate_longest_match(spark):
+    """Longest disallow loses only to a STRICTLY longer allow
+    (se/domain.py:193-228)."""
+    rules = spark.createDataFrame(
+        robots_rules_rows("h0", "User-agent: *\nDisallow: /private*\nAllow: /private/ok$\n", "x")
+        + robots_rules_rows("h1", None),
+        "domain string, kind string, pattern string, pattern_len int",
+    )
+    batch = spark.createDataFrame(
+        [
+            ("u1", "h0", "/public/x"),
+            ("u2", "h0", "/private/secret"),
+            ("u3", "h0", "/private/ok"),
+            ("u4", "h1", "/private/anything"),
+        ],
+        "url string, url_domain string, url_path string",
+    )
+    got = {r["url"]: r["robots_authorized"] for r in evaluate_robots(batch, rules).collect()}
+    assert got == {"u1": True, "u2": False, "u3": True, "u4": True}
+
+
+def test_evaluate_equal_length_allow_loses(spark):
+    rules = spark.createDataFrame(
+        robots_rules_rows("h0", "User-agent: *\nDisallow: /abc\nAllow: /abc\n", "x"),
+        "domain string, kind string, pattern string, pattern_len int",
+    )
+    batch = spark.createDataFrame([("u", "h0", "/abcdef")], "url string, url_domain string, url_path string")
+    assert evaluate_robots(batch, rules).collect()[0]["robots_authorized"] is False
