@@ -755,12 +755,16 @@ def oracle_sql() -> dict[str, str]:
                   generate_series(1, greatest(len(string_split_regex(lower(trim(text)), '\\s+')) - 2, 1)),
                   i -> array_to_string(list_slice(string_split_regex(lower(trim(text)), '\\s+'), i, i + 2), ' ')
                 )) AS grams,
-                string_split_regex(lower(trim(text)), '\\s+')[1] AS blk
-              FROM documents)
+                string_split_regex(lower(trim(text)), '\\s+')[1]
+                  || '|' || CAST(CAST(floor(len(string_split_regex(lower(trim(text)), '\\s+')) / 8.0) AS INT) AS VARCHAR) AS blk
+              FROM documents),
+            gs AS (SELECT _id, grams, blk, len(grams) AS gsz FROM g)
             SELECT a._id AS id_a, b._id AS id_b,
                    round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
                          / len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard
-            FROM g a JOIN g b ON a.blk = b.blk AND a._id < b._id
+            FROM gs a JOIN gs b
+              ON a.blk = b.blk AND a._id < b._id
+             AND least(a.gsz, b.gsz) >= greatest(a.gsz, b.gsz) * 0.12
             WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
                   / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.12""",
         "sim_ann_bruteforce": """

@@ -216,22 +216,41 @@ def ngram_jaccard_pairs(
     id_col: str,
     n: int = 3,
     threshold: float = 0.3,
+    len_band: int = 8,
 ) -> DataFrame:
-    """Word n-gram Jaccard near-dup within first-token blocks.
+    """Word n-gram Jaccard near-dup within (first-token, length-band)
+    blocks, with a size-ratio prefilter.
 
-    Blocking key = first token: a cheap deterministic bucket that keeps
-    the pair join linear-ish on real corpora (swap for LSH when blocks
-    skew).  Returns (id_a, id_b, jaccard ≥ threshold).
+    Two cost levers that matter at corpus scale:
+      * blocking on (first token, token-count // len_band) keeps the
+        self-join quadratic only within small homogeneous blocks —
+        near-dups share the first token and have similar length;
+      * jaccard ≤ min(|A|,|B|)/max(|A|,|B|), so pairs whose distinct-gram
+        counts are too far apart are dropped on two ints BEFORE the
+        O(|A|+|B|) intersect/union ever runs.
+
+    Returns (id_a, id_b, jaccard ≥ threshold).
     """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     grams = df.select(
         F.col(id_col).alias("_id"),
         F.array_distinct(shingles(text_col, n)).alias("g"),
-        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").getItem(0).alias("blk"),
-    )
+        F.concat_ws(
+            "|", toks.getItem(0), (F.size(toks) / len_band).cast("int").cast("string")
+        ).alias("blk"),
+    ).withColumn("gs", F.size("g"))
     a, b = grams.alias("a"), grams.alias("b")
-    pairs = a.join(
-        b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a._id") < F.col("b._id"))
-    ).select(
+    cand = a.join(
+        b,
+        (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a._id") < F.col("b._id"))
+        # size-ratio upper bound on two scalars — prunes before array work
+        & (
+            F.least(F.col("a.gs"), F.col("b.gs"))
+            >= F.greatest(F.col("a.gs"), F.col("b.gs")) * threshold
+        ),
+    )
+    pairs = cand.select(
         F.col("a._id").alias("id_a"),
         F.col("b._id").alias("id_b"),
         (
