@@ -101,16 +101,23 @@ def select_batch(
     per_host_budget: int = 4,
     crash_retry: int = 1,
     salt_buckets: int = 8,
+    exact_global_order: bool = True,
 ) -> DataFrame:
     """One round's claim: eligible → per-host budget → global top-N.
 
-    The global cut is orderBy().limit() (TakeOrderedAndProject — each
-    task keeps N rows, the driver merges; no full sort at scale).
-    """
+    exact_global_order=True applies the reference's total queue order as
+    a hard batch_size cut via orderBy().limit() — exact, but the limit
+    merge is a single point: right for operational batch sizes (10^4-10^5).
+    At bulk-crawl scale the POLITENESS BUDGET is the real limiter; pass
+    exact_global_order=False to claim every budgeted row (callers size
+    per_host_budget × live-host-count to the round target) and keep the
+    plan fully parallel — no global merge."""
     eligible = frontier.filter(eligible_filter(now_col, crash_retry))
     budgeted = per_host_topk(
         eligible, "url_domain", priority_order_cols(), per_host_budget, salt_buckets
     )
+    if not exact_global_order:
+        return budgeted
     return budgeted.orderBy(*priority_order_cols()).limit(batch_size)
 
 

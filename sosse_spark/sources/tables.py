@@ -154,13 +154,24 @@ class SnapshotTable(_TableBase):
 
 
 class AppendTable(_TableBase):
-    """Append-only table (documents / links / metrics)."""
+    """Append-only table (documents / links / metrics).
+
+    Each append dir is tagged with its crawl round so a crashed,
+    re-run round can be logically truncated (`truncate_from`) before
+    its appends are replayed — exactly-once across crash points.
+    """
+
+    @staticmethod
+    def _entries(m: dict) -> list[dict]:
+        return [{"dir": e, "round": m.get("round", 0)} if isinstance(e, str) else e for e in m["dirs"]]
 
     def read(self, spark: SparkSession, snap: Optional[int] = None) -> Optional[DataFrame]:
         m = self.manifest(snap)
         if m is None or not m["dirs"]:
             return None
-        return spark.read.parquet(*[os.path.join(self.dir, d) for d in m["dirs"]])
+        return spark.read.parquet(
+            *[os.path.join(self.dir, e["dir"]) for e in self._entries(m)]
+        )
 
     def append(self, spark: SparkSession, df: DataFrame, round_no: int) -> int:
         prev = self.manifest()
@@ -169,6 +180,19 @@ class AppendTable(_TableBase):
         df.coalesce(max(df.sparkSession.sparkContext.defaultParallelism // 4, 1)).write.mode(
             "overwrite"
         ).parquet(os.path.join(self.dir, snap_dir))
-        dirs = (prev["dirs"] if prev else []) + [snap_dir]
+        dirs = (self._entries(prev) if prev else []) + [{"dir": snap_dir, "round": round_no}]
         self._commit_manifest(snap, {"round": round_no, "dirs": dirs})
         return snap
+
+    def truncate_from(self, round_no: int) -> None:
+        """Drop append dirs written by rounds >= round_no (crash repair:
+        a round that never reached its frontier commit gets replayed, so
+        its partial appends must not survive)."""
+        prev = self.manifest()
+        if prev is None:
+            return
+        kept = [e for e in self._entries(prev) if e["round"] < round_no]
+        if len(kept) == len(prev["dirs"]):
+            return
+        snap = prev["snapshot"] + 1
+        self._commit_manifest(snap, {"round": round_no, "dirs": kept})

@@ -89,6 +89,19 @@ class CrawlEngine:
         # collect is bounded by the round budget even at 10^10 frontier.
         self._known_domains: Optional[set] = None
         self._rules_df: Optional[DataFrame] = None
+        self._repaired = False
+
+    def _repair(self) -> None:
+        """Crash repair on first use (≙ the reference's startup orphan-claim
+        cleanup, se/management/commands/crawl.py:184-189): drop append-log
+        dirs from any round that never reached its frontier commit, so the
+        replayed round appends exactly once."""
+        if self._repaired:
+            return
+        r = self.round_no()
+        for table in (self.documents, self.links, self.metrics):
+            table.truncate_from(r)
+        self._repaired = True
 
     # ------------------------------------------------------------------
     def round_no(self) -> int:
@@ -140,13 +153,14 @@ class CrawlEngine:
         new = self._finalize_rows(new).cache()
         buckets = self._touched_buckets(new)
         merged = merge_frontier(self._changed_bucket_slice(existing, buckets), None, new)
-        self.frontier.commit(self.spark, merged, self.round_no(), changed_buckets=buckets)
+        # bloom first (superset-safe), frontier commit is the commit point
         self.bloom.commit(
             self.spark,
             bloom_build(new, prev_bloom, self.bloom_bits),
             self.round_no(),
             changed_buckets=buckets,
         )
+        self.frontier.commit(self.spark, merged, self.round_no(), changed_buckets=buckets)
 
     def _touched_buckets(self, *changed: Optional[DataFrame]) -> list[int]:
         """Distinct buckets across the changed sets — ONE collect job."""
@@ -170,6 +184,7 @@ class CrawlEngine:
     def run_round(self, t: datetime) -> Optional[dict]:
         """One BSP round.  Returns the metrics row, or None if quiescent."""
         t0 = time.time()
+        self._repair()
         round_no = self.round_no()
         spark = self.spark
         now_col = F.lit(t).cast("timestamp")
@@ -417,21 +432,6 @@ class CrawlEngine:
         )
         inserts = self._finalize_rows(inserts).cache()
 
-        # --- commits ------------------------------------------------------
-        n_new = inserts.count()
-        buckets = self._touched_buckets(replacements, inserts if n_new else None)
-        untouched_frontier = self._changed_bucket_slice(frontier, buckets)
-        merged = merge_frontier(untouched_frontier, replacements, inserts if n_new else None)
-        self.frontier.commit(spark, merged, round_no, changed_buckets=buckets)
-        if n_new:
-            insert_buckets = self._touched_buckets(inserts)
-            self.bloom.commit(
-                spark,
-                bloom_build(inserts, prev_bloom, self.bloom_bits),
-                round_no,
-                changed_buckets=insert_buckets,
-            )
-
         # --- metrics (F30 parity counts): single-pass aggregation --------
         counts = joined.agg(
             F.count(F.when(is_error, 1)).alias("errors"),
@@ -474,6 +474,28 @@ class CrawlEngine:
                     F.lit(round_no).alias("round_no"),
                 )
                 self.links.append(spark, link_rows, round_no)
+
+        # --- commits: bloom BEFORE frontier ------------------------------
+        # The frontier commit is the round's atomic commit point.  Bloom
+        # goes first: a crash between the two leaves the bloom a SUPERSET
+        # (extra bits only make the prefilter send more candidates to the
+        # exact anti-join — never drops a URL).  The inverse order would
+        # leave frontier URLs missing from the bloom, whose false
+        # negatives BYPASS the anti-join → duplicate admissions.
+        # documents/links appends above are round-tagged and truncated on
+        # replay (see _repair / AppendTable.truncate_from).
+        n_new = inserts.count()
+        if n_new:
+            self.bloom.commit(
+                spark,
+                bloom_build(inserts, prev_bloom, self.bloom_bits),
+                round_no,
+                changed_buckets=self._touched_buckets(inserts),
+            )
+        buckets = self._touched_buckets(replacements, inserts if n_new else None)
+        untouched_frontier = self._changed_bucket_slice(frontier, buckets)
+        merged = merge_frontier(untouched_frontier, replacements, inserts if n_new else None)
+        self.frontier.commit(spark, merged, round_no, changed_buckets=buckets)
 
         duration = time.time() - t0
         metrics_row = {

@@ -196,3 +196,32 @@ def test_recrawl_second_pass_doubles_dt(spark, tmp_path_factory):
     ]
     assert doubled, "some URL should have been recrawled"
     assert all(dt == 7200 for _, dt in doubled)
+
+
+def test_crash_repair_drops_partial_round(spark, crawl):
+    """Simulate a crash AFTER a docs append but BEFORE the frontier
+    commit: the replaying engine must truncate the partial round's
+    appends (exactly-once).  Runs last — it mutates and then repairs
+    the module fixture's documents log."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    eng, _ = crawl
+    r = eng.round_no()
+    n_before = eng.documents.read(spark).count()
+    fake = (
+        eng.documents.read(spark)
+        .limit(1)
+        .withColumn("url", F.lit("http://fake/crashed-round-row"))
+        .withColumn("round_no", F.lit(r))
+    )
+    eng.documents.append(spark, fake, r)
+    assert eng.documents.read(spark).count() == n_before + 1
+
+    root = os.path.dirname(eng.frontier.dir)
+    eng2 = _engine(spark, root)
+    assert eng2.run_round(T0 + timedelta(minutes=30)) is None  # quiescent, but repaired
+    docs = eng2.documents.read(spark)
+    assert docs.count() == n_before
+    assert docs.filter(F.col("url") == "http://fake/crashed-round-row").count() == 0

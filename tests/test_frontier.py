@@ -99,6 +99,21 @@ def test_append_table(spark, tmp_root):
     assert sorted(r["a"] for r in t.read(spark).collect()) == [1, 2]
 
 
+def test_append_table_truncate_from(spark, tmp_root):
+    """Crash repair: appends from a round that never reached its frontier
+    commit are dropped before the round replays (exactly-once)."""
+    t = AppendTable(tmp_root, "docs")
+    t.append(spark, spark.createDataFrame([(1,)], "a int"), 0)
+    t.append(spark, spark.createDataFrame([(2,)], "a int"), 1)
+    t.append(spark, spark.createDataFrame([(3,)], "a int"), 1)
+    t.truncate_from(1)
+    assert [r["a"] for r in t.read(spark).collect()] == [1]
+    t.truncate_from(1)  # idempotent
+    assert [r["a"] for r in t.read(spark).collect()] == [1]
+    t.truncate_from(0)
+    assert t.read(spark) is None
+
+
 def test_build_multiline_re():
     assert build_multiline_re("^http://a/.*\n# comment\n^http://b/.*\n") == "(^http://a/.*|^http://b/.*)"
     assert build_multiline_re("^x$") == "^x$"

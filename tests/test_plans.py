@@ -1,0 +1,139 @@
+"""Physical-plan quality gates: the plans we WANT, not just plans that
+produce right answers (the 100 TB criteria — broadcasts broadcast,
+filters reach the scan, candidate joins are equi-joins, payload bytes
+stay out of scheduling scans)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_robots_eval_broadcasts_rules(spark):
+    from sosse_spark.operators.robots import evaluate_robots, robots_rules_rows
+
+    rules = spark.createDataFrame(
+        robots_rules_rows("h0", "User-agent: *\nDisallow: /private*\n"),
+        "domain string, kind string, pattern string, pattern_len int",
+    )
+    batch = spark.createDataFrame(
+        [("u1", "h0", "/x")], "url string, url_domain string, url_path string"
+    )
+    plan = _plan(evaluate_robots(batch, rules))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_eligibility_filter_pushed_to_scan(spark, tmp_root):
+    """The frontier scan must receive the eligibility predicates as
+    pushed filters (parquet min/max pruning at scale)."""
+    from sosse_spark.operators.scheduler import eligible_filter
+
+    df = spark.createDataFrame(
+        [("u", None, None, False, 0, None)],
+        "url string, crawl_last timestamp, crawl_next timestamp, "
+        "manual_crawl boolean, retries int, worker_no int",
+    )
+    path = f"{tmp_root}/frontier_scan"
+    df.write.parquet(path)
+    scan = spark.read.parquet(path).filter(eligible_filter(F.lit("2024-01-01").cast("timestamp")))
+    plan = _plan(scan)
+    assert "PushedFilters: [" in plan
+    # retries and worker_no are simple comparisons — must be pushed
+    assert "retries" in plan.split("PushedFilters")[1][:200]
+
+
+def test_scheduling_scan_prunes_payload_columns(spark, tmp_root):
+    """Column pruning: a frontier projection for scheduling must not read
+    unrelated fat columns from parquet (ReadSchema excludes them)."""
+    df = spark.createDataFrame(
+        [("u", "h", 0, "fat-payload")],
+        "url string, url_domain string, retries int, fat_blob string",
+    )
+    path = f"{tmp_root}/prune"
+    df.write.parquet(path)
+    scan = spark.read.parquet(path).select("url", "url_domain").filter(F.col("url_domain") == "h")
+    plan = _plan(scan)
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "fat_blob" not in read_schema
+    assert "retries" not in read_schema
+
+
+def test_minhash_candidates_equi_join(spark):
+    """LSH banding must produce a hash-partitioned equi-join on
+    (band_no, band_hash) — never a cartesian/broadcast-nested-loop."""
+    from sosse_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"text number {i} with words") for i in range(10)], "doc_id long, text string"
+    )
+    plan = _plan(minhash_lsh_pairs(docs, "text", "doc_id", k=2, num_hashes=8, bands=4))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ngram_pairs_equi_join(spark):
+    from sosse_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma {i}") for i in range(10)], "doc_id long, text string"
+    )
+    plan = _plan(ngram_jaccard_pairs(docs, "text", "doc_id", n=2, threshold=0.2))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ann_brute_force_broadcasts_queries(spark):
+    from sosse_spark.operators.similarity import brute_force_topk
+
+    corpus = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(20)], "vec_id long, embedding array<double>"
+    )
+    queries = corpus.limit(2).select(F.col("vec_id").alias("query_id"), "embedding")
+    plan = _plan(brute_force_topk(corpus, queries, k=3))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_urlseen_antijoin_projects_thin_columns(spark):
+    """The exact anti-join must ship only (url, collection_id) from the
+    frontier side — never payload columns."""
+    from sosse_spark.operators.frontier import urlseen_dedup, with_bucket
+
+    cands = with_bucket(
+        spark.createDataFrame(
+            [("u1", 1, 0, 0, "h", "/p")],
+            "url string, collection_id int, crawl_recurse int, disc_order long, "
+            "url_domain string, url_path string",
+        ),
+        4,
+    )
+    frontier = spark.createDataFrame(
+        [("u1", 1, "FATPAYLOAD")], "url string, collection_id int, fat string"
+    )
+    plan = _plan(urlseen_dedup(cands, frontier, None))
+    # the anti-join subtree must not reference the fat column
+    anti_section = plan[plan.find("LeftAnti") - 2000 : plan.find("LeftAnti") + 2000]
+    assert "fat" not in anti_section
+
+
+def test_whole_stage_codegen_in_scheduler(spark):
+    """Eligibility + priority algebra must stay inside WholeStageCodegen
+    (no Python/UDF breaks in the hot scheduling path)."""
+    from sosse_spark.operators.scheduler import eligible_filter, priority_order_cols
+
+    df = spark.createDataFrame(
+        [("u", "h", None, None, False, 0, None, 1)],
+        "url string, url_domain string, crawl_last timestamp, crawl_next timestamp, "
+        "manual_crawl boolean, retries int, worker_no int, id long",
+    )
+    out = df.filter(eligible_filter(F.lit("2024-01-01").cast("timestamp"))).orderBy(
+        *priority_order_cols()
+    )
+    out.collect()  # under AQE the final plan exists only after execution
+    plan = _plan(out)
+    assert "isFinalPlan=true" in plan
+    # codegen'd spans print as "*(n) Operator" in the executed plan
+    assert "WholeStageCodegen" in plan or "*(1)" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
