@@ -8,9 +8,13 @@ rows (ts ≙ crawl timestamps, user_id ≙ host bucket, event_type ≙ manual
 flag, event_id ≙ autoincrement id); `documents.text` stands in for the
 caption payload; `embeddings` drives the similarity-search ops.
 
-Entries without an oracle (minhash/simhash banding on xxhash64, LSH
-bucketing, image decode) are rows-only checked here and exactness-tested
-in tests/ instead.
+Entries without an oracle (sim_ann_lsh — approximate top-k, recall
+pinned vs brute force in tests/; img_decode_stats — image bytes are
+generated in-repo) are rows-only checked here and exactness-tested in
+tests/ instead.  The LSH/banding dedup entries (minhash, simhash,
+embedding near-dup) DO carry brute-force oracles: their banding is
+recall-1 on this data (simhash by pigeonhole construction), so the
+exact-verified outputs must equal brute force.
 """
 
 from __future__ import annotations
@@ -392,6 +396,72 @@ def q_q10_tag_rollup(spark, sf_dir):
     )
 
 
+def q_q1_fts_rank(spark, sf_dir):
+    from sosse_spark.operators.fts import fts_match_rank
+
+    d = _docs(spark, sf_dir)
+    out = fts_match_rank(d, 'spark "the data"', text_col="text")
+    return out.select("doc_id", "rank")
+
+
+def _doctyped_content(d):
+    """Synthetic doctype variants over documents.text (html / rss / atom /
+    plain) — shared by the P1 sniff and P14 filename entries."""
+    mod = F.col("doc_id") % 4
+    return (
+        F.when(mod == 0, F.concat(F.lit("<html><body>"), F.col("text")))
+        .when(mod == 1, F.concat(F.lit('<?xml version="1.0"?><rss version="2.0">'), F.col("text")))
+        .when(mod == 2, F.concat(F.lit('<?xml version="1.0"?><feed xmlns="atom">'), F.col("text")))
+        .otherwise(F.col("text"))
+    )
+
+
+def q_p1_mimetype_sniff(spark, sf_dir):
+    from sosse_spark.operators.multimodal import sniff_doctype_expr
+
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", sniff_doctype_expr(_doctyped_content(d)).alias("mimetype"))
+
+
+def q_p12_cache_gate(spark, sf_dir):
+    from sosse_spark.operators.http_cache import cache_fresh_col
+
+    f = _frontier_from_events(spark, sf_dir)
+    f = f.withColumn(
+        "max_age",
+        F.when(F.col("id") % 7 == 0, (F.col("id") % 5) * 3600).cast("long"),
+    ).withColumn(
+        "modified_date",
+        F.when(
+            F.col("id") % 4 == 0,
+            F.timestamp_add("HOUR", -(F.col("id") % 100).cast("int"), F.col("crawl_last")),
+        ),
+    )
+    return f.select("id", cache_fresh_col(_now_col()).alias("cache_fresh"))
+
+
+def q_p13_asset_gc(spark, sf_dir):
+    from sosse_spark.operators.assets import asset_refcount_gc
+
+    d = _docs(spark, sf_dir)
+    assets = d.select(
+        F.col("source").alias("filename"),
+        F.when(F.col("doc_id") % 3 == 0, -1).otherwise(1).alias("ref_delta"),
+    )
+    out = asset_refcount_gc(assets)
+    return out.select("filename", F.col("ref_count").cast("long").alias("ref_count"), "deletable")
+
+
+def q_p14_content_filename(spark, sf_dir):
+    from sosse_spark.operators.assets import content_filename
+    from sosse_spark.operators.multimodal import sniff_doctype_expr
+
+    d = _docs(spark, sf_dir)
+    content = _doctyped_content(d)
+    mime = sniff_doctype_expr(content)
+    return d.select("doc_id", content_filename(content.cast("binary"), mime).alias("filename"))
+
+
 def q_q11_csv_export_order(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
         "ts", F.col("ts").cast("timestamp")
@@ -418,7 +488,10 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(_docs(spark, sf_dir), "text", "doc_id", n=3, threshold=0.12)
 
 
-def q_dedup_minhash_lsh(spark, sf_dir):  # rows-only (xxhash64 banding)
+def q_dedup_minhash_lsh(spark, sf_dir):
+    # Oracle = brute-force 3-shingle Jaccard: the banding is recall-1 on
+    # this data (true pairs sit at j >= 0.9; per-band hit p = j^2, miss
+    # (1-p)^8 ~ 1e-6), so the END-TO-END output must equal brute force.
     from sosse_spark.operators.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(
@@ -426,10 +499,14 @@ def q_dedup_minhash_lsh(spark, sf_dir):  # rows-only (xxhash64 banding)
     )
 
 
-def q_dedup_simhash(spark, sf_dir):  # rows-only (bit-vote fold)
+def q_dedup_simhash(spark, sf_dir):
+    # Oracle = brute-force hamming over DuckDB-recomputed signatures:
+    # chunk count is derived as max_hamming+1, so candidate recall is 1
+    # BY PIGEONHOLE — the operator must equal brute force exactly.
     from sosse_spark.operators.dedup import simhash_near_dup_pairs
 
-    return simhash_near_dup_pairs(_docs(spark, sf_dir), "text", "doc_id", max_hamming=16)
+    out = simhash_near_dup_pairs(_docs(spark, sf_dir), "text", "doc_id", max_hamming=7)
+    return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
 
 def q_sim_ann_bruteforce(spark, sf_dir):
@@ -445,7 +522,11 @@ def q_sim_ann_bruteforce(spark, sf_dir):
     return out.select("query_id", "vec_id", "rank", F.round("cos_sim", 4).alias("cos4"))
 
 
-def q_sim_ann_lsh(spark, sf_dir):  # rows-only (hyperplane constants)
+def q_sim_ann_lsh(spark, sf_dir):
+    # Oracle = the exact top-k SQL: with 48×5 OR-amplified bands (+
+    # brute-force fill for starved queries) the candidate set covers the
+    # true top-5 on this data (recall pinned in tests/), so the rescored
+    # output must equal exact brute force.
     from sosse_spark.operators.similarity import lsh_topk
 
     emb = _emb(spark, sf_dir).withColumn(
@@ -454,16 +535,23 @@ def q_sim_ann_lsh(spark, sf_dir):  # rows-only (hyperplane constants)
     queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return lsh_topk(emb, queries, dim=64, k=5, n_planes=6)
+    out = lsh_topk(emb, queries, dim=64, k=5, bands=48, rows_per_band=5)
+    return out.select("query_id", "vec_id", "rank", F.round("cos_sim", 4).alias("cos4"))
 
 
-def q_sim_embedding_neardup(spark, sf_dir):  # rows-only (LSH bucketing)
+def q_sim_embedding_neardup(spark, sf_dir):
+    # Oracle = brute-force cosine pairs: OR-amplified banding is sized
+    # from (threshold, target_recall) and verified recall-1 on this data
+    # (tests/test_dataops.py pins recall vs brute force), so the exact-
+    # verified output must equal brute force.
     from sosse_spark.operators.similarity import embedding_near_dup_pairs
 
     emb = _emb(spark, sf_dir).withColumn(
         "embedding", F.transform("embedding", lambda x: x.cast("double"))
     )
-    return embedding_near_dup_pairs(emb, threshold=0.5, n_planes=6, dim=64)
+    return embedding_near_dup_pairs(
+        emb, threshold=0.5, rows_per_band=8, target_recall=0.995, dim=64
+    )
 
 
 def q_text_langid(spark, sf_dir):
@@ -539,6 +627,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_mime_stats": q_q10_mime_stats,
         "q10_tag_rollup": q_q10_tag_rollup,
         "q11_csv_export_order": q_q11_csv_export_order,
+        "q1_fts_rank": q_q1_fts_rank,
+        "p1_mimetype_sniff": q_p1_mimetype_sniff,
+        "p12_cache_gate": q_p12_cache_gate,
+        "p13_asset_gc": q_p13_asset_gc,
+        "p14_content_filename": q_p14_content_filename,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -555,6 +648,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # --- simhash brute-force oracle: recompute the 60-bit signature in
+    # SQL (md5 token hash == Spark's conv(md5,16,10) path — verified
+    # identical), then all pairs at hamming <= 7 -------------------------
+    simhash_votes = ", ".join(
+        f"sum(CASE WHEN (th >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}" for i in range(60)
+    )
+    simhash_sig = " + ".join(f"CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END" for i in range(60))
+    simhash_sql = f"""
+        WITH toks AS (
+          SELECT doc_id AS _id,
+                 unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+          FROM documents),
+        th AS (
+          SELECT _id, CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS th
+          FROM toks),
+        votes AS (SELECT _id, {simhash_votes} FROM th GROUP BY _id),
+        sig AS (SELECT _id, CAST({simhash_sig} AS BIGINT) AS sig FROM votes)
+        SELECT a._id AS id_a, b._id AS id_b,
+               CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+        FROM sig a JOIN sig b ON a._id < b._id
+        WHERE bit_count(xor(a.sig, b.sig)) <= 7"""
+
+    # doctype-variant content shared by p1/p14 oracles (mirrors
+    # _doctyped_content)
+    doctyped = """
+        CASE WHEN doc_id % 4 = 0 THEN '<html><body>' || text
+             WHEN doc_id % 4 = 1 THEN '<?xml version="1.0"?><rss version="2.0">' || text
+             WHEN doc_id % 4 = 2 THEN '<?xml version="1.0"?><feed xmlns="atom">' || text
+             ELSE text END"""
+    sniff = f"""
+        CASE WHEN starts_with(lower(substr({doctyped}, 1, 256)), '<html')
+               OR starts_with(lower(substr({doctyped}, 1, 256)), '<!doctype html') THEN 'text/html'
+             WHEN starts_with(lower(substr({doctyped}, 1, 256)), '<?xml')
+               AND contains(lower(substr({doctyped}, 1, 256)), '<rss') THEN 'application/rss+xml'
+             WHEN starts_with(lower(substr({doctyped}, 1, 256)), '<?xml')
+               AND contains(lower(substr({doctyped}, 1, 256)), '<feed') THEN 'application/atom+xml'
+             WHEN starts_with(lower(substr({doctyped}, 1, 256)), '<?xml') THEN 'application/xml'
+             ELSE 'text/plain' END"""
+    ext = """
+        CASE mime WHEN 'text/html' THEN '.html'
+                  WHEN 'application/rss+xml' THEN '.xml'
+                  WHEN 'application/atom+xml' THEN '.xml'
+                  WHEN 'application/xml' THEN '.xml'
+                  WHEN 'text/plain' THEN '.txt'
+                  ELSE '.bin' END"""
+
     lang_counts = {
         "en": ["the", "and", "of", "to", "is", "in", "that", "with"],
         "fr": ["le", "la", "les", "et", "de", "un", "une", "est"],
@@ -748,6 +887,64 @@ def oracle_sql() -> dict[str, str]:
                    md5(regexp_replace(text, '[0-9]+', '0', 'g')) AS content_md5,
                    count(*) AS dup_count
             FROM documents GROUP BY 2""",
+        "q1_fts_rank": """
+            WITH t AS (
+              SELECT doc_id, text,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+              FROM documents)
+            SELECT doc_id, rank FROM (
+              SELECT doc_id,
+                     round(CAST(len(list_filter(toks, x -> list_contains(['spark'], x))) AS DOUBLE)
+                           / greatest(len(toks), 1), 6) AS rank
+              FROM t
+              WHERE list_has_all(toks, ['spark'])
+                AND contains(lower(text), 'the data'))
+            WHERE rank > 0.01""",
+        "p1_mimetype_sniff": f"SELECT doc_id, {sniff} AS mimetype FROM documents",
+        "p12_cache_gate": _F_CTE
+        + f"""SELECT id,
+               crawl_last IS NOT NULL AND (
+                 (max_age IS NOT NULL AND epoch(TIMESTAMP '{NOW}') - epoch(crawl_last) < max_age)
+                 OR (max_age IS NULL AND modified_date IS NOT NULL
+                     AND epoch(TIMESTAMP '{NOW}') - epoch(crawl_last)
+                         < 0.1 * (epoch(crawl_last) - epoch(modified_date)))
+               ) AS cache_fresh
+             FROM (
+               SELECT id, crawl_last,
+                 CASE WHEN id % 7 = 0 THEN CAST((id % 5) * 3600 AS BIGINT) END AS max_age,
+                 CASE WHEN id % 4 = 0 THEN crawl_last - (id % 100) * INTERVAL 1 HOUR END AS modified_date
+               FROM f)""",
+        "p13_asset_gc": """
+            SELECT source AS filename,
+                   CAST(sum(CASE WHEN doc_id % 3 = 0 THEN -1 ELSE 1 END) AS BIGINT) AS ref_count,
+                   sum(CASE WHEN doc_id % 3 = 0 THEN -1 ELSE 1 END) <= 0 AS deletable
+            FROM documents GROUP BY source""",
+        "p14_content_filename": f"""
+            SELECT doc_id, substr(substr(md5({doctyped}), 1, 10) || {ext}, 1, 64) AS filename
+            FROM (SELECT doc_id, text, {sniff} AS mime FROM documents)""",
+        "dedup_minhash_lsh": """
+            WITH g AS (
+              SELECT doc_id AS _id,
+                list_distinct(list_transform(
+                  generate_series(1, greatest(len(string_split_regex(lower(trim(text)), '\\s+')) - 2, 1)),
+                  i -> array_to_string(list_slice(string_split_regex(lower(trim(text)), '\\s+'), i, i + 2), ' ')
+                )) AS sh
+              FROM documents)
+            SELECT a._id AS id_a, b._id AS id_b,
+                   round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                         / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+            FROM g a JOIN g b ON a._id < b._id
+            WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.1""",
+        "dedup_simhash": simhash_sql,
+        "sim_embedding_neardup": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_dot_product(a.v, b.v)
+                         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE round(list_dot_product(a.v, b.v)
+                        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.5""",
         "dedup_ngram_jaccard": """
             WITH g AS (
               SELECT doc_id AS _id,
@@ -767,6 +964,18 @@ def oracle_sql() -> dict[str, str]:
              AND least(a.gsz, b.gsz) >= greatest(a.gsz, b.gsz) * 0.12
             WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
                   / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.12""",
+        "sim_ann_lsh": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
+            scored AS (
+              SELECT q.query_id, e.vec_id,
+                     round(list_dot_product(e.v, q.qv)
+                           / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos_sim
+              FROM e CROSS JOIN q)
+            SELECT query_id, vec_id, rank, round(cos_sim, 4) AS cos4 FROM (
+              SELECT query_id, vec_id, cos_sim,
+                     ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
+              FROM scored) WHERE rank <= 5""",
         "sim_ann_bruteforce": """
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
             q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),

@@ -319,10 +319,29 @@ DECODE_STATS_SCHEMA = (
 )
 
 
+def _reference_psnr(image_id: str, px: np.ndarray, w, h) -> float | None:
+    """PSNR of the decoded pixels against the deterministic reference
+    render (image_id 'img-<i>' encodes the render index) — the north
+    rule's decoded-pixel invariant (PSNR ≥ 40 dB for lossy formats).
+    Exact round-trips report 99.0 (capped); unknown ids → None."""
+    try:
+        i = int(image_id.rsplit("-", 1)[-1])
+    except (ValueError, AttributeError):
+        return None
+    if w is None or h is None or pd.isna(w) or pd.isna(h):
+        return None
+    ref = render_pattern(i, int(w), int(h))
+    if ref.shape != px.shape:
+        return None
+    val = psnr(px, ref)
+    return 99.0 if val == float("inf") else float(val)
+
+
 def decode_stats_map_in_pandas(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas kernel: decode every payload, recompute phash, measure
-    PSNR of a reference re-render when (w,h) known.  One python loop per
-    Arrow batch — vectorized numpy inside."""
+    PSNR against the deterministic reference render when (image_id, w, h)
+    identify one.  One python loop per Arrow batch — vectorized numpy
+    inside."""
     for pdf in batches:
         rows = []
         for image_id, data, w, h, fmt, expected_phash in zip(
@@ -340,7 +359,7 @@ def decode_stats_map_in_pandas(batches: Iterator[pd.DataFrame]) -> Iterator[pd.D
                         "decode_ok": True,
                         "width": px.shape[1],
                         "height": px.shape[0],
-                        "psnr_db": float("nan"),
+                        "psnr_db": _reference_psnr(image_id, px, w, h),
                         "phash_computed": ph,
                         "phash_match": ph == expected_phash,
                         "thumb_mean": float(thumb.mean()),

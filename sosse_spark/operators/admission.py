@@ -61,6 +61,9 @@ class CollectionPolicy:
     recrawl_condition: str = "change"  # change | always | manual
     queue_to_any_collection: bool = False
     queue_to_collections: tuple = field(default_factory=tuple)
+    # P17 webhook trigger conditions kept as metric events
+    # (se/webhook.py:108-117): subset of discovery|change|always|manual
+    webhooks: tuple = field(default_factory=tuple)
 
 
 def admit_links(

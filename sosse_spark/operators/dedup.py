@@ -12,8 +12,9 @@ Scale notes (per operator):
     join is |bucket|² within buckets, never corpus²; bands/rows trade
     recall vs cost.  Hashes are built in ONE pass with Spark builtins
     (transform over a literal seed array — no Python).
-  * simhash — 64-bit signature via per-token md5 bit-votes; hamming
-    bucketing on 4 chunks (each chunk equal ⇒ candidate within 16 bits).
+  * simhash — 60-bit signature via per-token md5 bit-votes; hamming
+    bucketing on (max_hamming + 1) chunks — pigeonhole guarantees
+    candidate recall 1 at the requested distance.
   * ngram_jaccard — token-set overlap via array ops on a pair join
     bounded by a same-bucket key (first-token or length band).
   * embedding near-dup — see similarity.py (cosine).
@@ -89,12 +90,14 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes // bands
     sig = df.select(
         F.col(id_col).alias("_id"),
-        shingles(text_col, k).alias("sh"),
+        F.array_distinct(shingles(text_col, k)).alias("sh"),
     ).withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
 
+    # THIN banding: only (_id, band_no, band_hash) rides the explode and
+    # both sides of the candidate self-join — the shingle arrays never
+    # shuffle with the bands (at corpus scale they ARE the documents).
     banded = sig.select(
         "_id",
-        "sh",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -106,7 +109,7 @@ def minhash_lsh_pairs(
                 ),
             )
         ).alias("band"),
-    ).select("_id", "sh", "band.band_no", "band.band_hash")
+    ).select("_id", "band.band_no", "band.band_hash")
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -117,19 +120,19 @@ def minhash_lsh_pairs(
             & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col("a._id") < F.col("b._id")),
         )
-        .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
-        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
 
-    verified = cand.withColumn(
-        "jaccard",
-        F.size(F.array_intersect(F.array_distinct("sh_a"), F.array_distinct("sh_b")))
-        / F.size(F.array_union("sh_a", "sh_b")),
+    # shingles join back ONCE, post-dedup, for the exact verification
+    sh = sig.select("_id", "sh")
+    verified = (
+        cand.join(sh.select(F.col("_id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("_id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b")),
+        )
     )
     return verified.filter(F.col("jaccard") >= jaccard_threshold).select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
@@ -168,10 +171,32 @@ def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return votes.select("_id", sig.alias("sig"))
 
 
+def _chunk_bounds(n_bits: int, n_chunks: int) -> list[tuple[int, int]]:
+    """(start, width) per chunk, widths differing by at most 1."""
+    base, rem = divmod(n_bits, n_chunks)
+    bounds, start = [], 0
+    for i in range(n_chunks):
+        width = base + (1 if i < rem else 0)
+        bounds.append((start, width))
+        start += width
+    return bounds
+
+
 def simhash_near_dup_pairs(df: DataFrame, text_col: str, id_col: str, max_hamming: int = 8) -> DataFrame:
-    """Candidate pairs whose SimHash signatures agree on ≥1 of 4 16-bit
-    chunks (pigeonhole: hamming ≤ 3 chunks differ ⇒ some chunk equal),
-    verified by exact hamming distance ≤ max_hamming."""
+    """Near-dup pairs at hamming ≤ max_hamming over the 60-bit SimHash.
+
+    Chunk count is DERIVED from max_hamming: splitting the signature
+    into (max_hamming + 1) chunks guarantees by pigeonhole that any pair
+    within max_hamming bits agrees on ≥1 whole chunk — so candidate
+    generation has recall 1 BY CONSTRUCTION at the requested distance,
+    for every max_hamming (the old fixed-4-chunk layout silently dropped
+    pairs beyond hamming 3).  Exact hamming verify after the bucket join.
+
+    Scale note: chunk width shrinks as max_hamming grows (60/(h+1)
+    bits), so the bucket filter gets coarser — large h is inherently
+    expensive on 60-bit signatures; keep h ≤ ~10 at corpus scale.
+    """
+    n_chunks = max_hamming + 1
     sig = simhash_signatures(df, text_col, id_col)
     chunked = sig.select(
         "_id",
@@ -181,9 +206,11 @@ def simhash_near_dup_pairs(df: DataFrame, text_col: str, id_col: str, max_hammin
                 *[
                     F.struct(
                         F.lit(c).alias("chunk_no"),
-                        F.shiftright(F.col("sig"), c * 16).bitwiseAND(F.lit(0xFFFF)).alias("chunk"),
+                        F.shiftright(F.col("sig"), start)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("chunk"),
                     )
-                    for c in range(4)
+                    for c, (start, width) in enumerate(_chunk_bounds(60, n_chunks))
                 ]
             )
         ).alias("ch"),

@@ -25,15 +25,26 @@ from pyspark.sql import functions as F
 from sosse_spark.functions.images import encode_image, phash64, render_pattern
 from sosse_spark.functions.images import decode_image
 from sosse_spark.sources.corpus import caption_for, dims_for, fmt_for, image_id_for
-from sosse_spark.sources.webgraph import WebConfig, fetch_sim, robots_body
+from sosse_spark.sources.webgraph import (
+    WebConfig,
+    favicon_of,
+    fetch_sim,
+    max_age_of,
+    robots_body,
+)
 from sosse_spark.operators.robots import robots_rules_rows
 
-__all__ = ["FETCH_SCHEMA", "fetch_batch", "fetch_robots_for_domains"]
+__all__ = [
+    "FETCH_SCHEMA",
+    "fetch_batch",
+    "fetch_robots_for_domains",
+    "fetch_favicons_for_domains",
+]
 
 FETCH_SCHEMA = (
     "url string, final_url string, redirect_count int, error string, "
     "image_id string, bytes binary, w int, h int, fmt string, "
-    "caption string, phash bigint, links array<string>"
+    "caption string, phash bigint, links array<string>, max_age bigint"
 )
 
 
@@ -61,6 +72,7 @@ def fetch_batch(claimed: DataFrame, cfg: WebConfig) -> DataFrame:
                     "caption": None,
                     "phash": None,
                     "links": res.links,
+                    "max_age": None,
                 }
                 if res.error is None and res.doc_index is not None:
                     i = res.doc_index
@@ -75,6 +87,7 @@ def fetch_batch(claimed: DataFrame, cfg: WebConfig) -> DataFrame:
                         fmt=fmt,
                         caption=caption_for(i),
                         phash=phash64(decode_image(data, fmt)),
+                        max_age=max_age_of(i, cfg),
                     )
                 rows.append(row)
             # CRITICAL: construct with dtype=object FIRST — a batch mixing
@@ -83,7 +96,7 @@ def fetch_batch(claimed: DataFrame, cfg: WebConfig) -> DataFrame:
             # corrupt low bits of large phashes; Int64 cast from object is
             # exact.
             out = pd.DataFrame(rows, dtype=object)
-            for col in ("phash", "w", "h", "redirect_count"):
+            for col in ("phash", "w", "h", "redirect_count", "max_age"):
                 out[col] = out[col].astype("Int64")
             yield out
 
@@ -110,3 +123,51 @@ def fetch_robots_for_domains(domains: DataFrame, cfg: WebConfig) -> DataFrame:
             yield pd.DataFrame(rows, columns=["domain", "kind", "pattern", "pattern_len"])
 
     return domains.select("url_domain").distinct().mapInPandas(run, ROBOTS_FETCH_SCHEMA)
+
+
+FAVICON_FETCH_SCHEMA = (
+    "domain string, favicon_url string, mimetype string, missing boolean, content_len int"
+)
+
+
+def fetch_favicons_for_domains(domains: DataFrame, cfg: WebConfig) -> DataFrame:
+    """Fetch /favicon.ico once per new domain (P8: FavIcon.extract,
+    se/models.py:383-440 — url-unique cache, `missing` flag on 404).
+    Same distributed shape as the robots fetch."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for domain in pdf["url_domain"]:
+                try:
+                    host = int(domain.split(".")[0].removeprefix("img"))
+                except ValueError:
+                    host = -1
+                fav = favicon_of(host, cfg) if host >= 0 else None
+                if fav is None:
+                    rows.append(
+                        {
+                            "domain": domain,
+                            "favicon_url": f"http://{domain}/favicon.ico",
+                            "mimetype": None,
+                            "missing": True,
+                            "content_len": None,
+                        }
+                    )
+                else:
+                    data = encode_image(render_pattern(fav, 16, 16), "png")
+                    rows.append(
+                        {
+                            "domain": domain,
+                            "favicon_url": f"http://{domain}/favicon.ico",
+                            "mimetype": "image/png",
+                            "missing": False,
+                            "content_len": len(data),
+                        }
+                    )
+            out = pd.DataFrame(rows, dtype=object)
+            out["content_len"] = out["content_len"].astype("Int64")
+            out["missing"] = out["missing"].astype("bool")
+            yield out
+
+    return domains.select("url_domain").distinct().mapInPandas(run, FAVICON_FETCH_SCHEMA)

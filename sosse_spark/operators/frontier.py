@@ -69,6 +69,11 @@ FRONTIER_SCHEMA = T.StructType(
         T.StructField("robotstxt_rejected", T.BooleanType(), False),
         T.StructField("redirect_url", T.StringType(), True),
         T.StructField("content_hash", T.StringType(), True),
+        # HTTP-cache fields (P12, se/html_cache.py:56-156): server
+        # max-age (seconds) and last content-change time (F27 tail,
+        # se/document.py:456-457) drive the pre-fetch freshness gate
+        T.StructField("max_age", T.LongType(), True),
+        T.StructField("modified_date", T.TimestampType(), True),
         T.StructField("lineage_round", T.IntegerType(), True),
         T.StructField("lineage_part", T.IntegerType(), True),
     ]
@@ -94,6 +99,8 @@ def frontier_row_defaults() -> dict:
         "robotstxt_rejected": False,
         "redirect_url": None,
         "content_hash": None,
+        "max_age": None,
+        "modified_date": None,
         "lineage_round": None,
         "lineage_part": None,
     }
@@ -255,14 +262,43 @@ def urlseen_dedup(
     return definitely_new.unionByName(survivors)
 
 
-def assign_ids(new_rows: DataFrame, round_no: int) -> DataFrame:
+def assign_ids(
+    new_rows: DataFrame, round_no: int, base_rank: int = 0, n_parts: int = 32
+) -> DataFrame:
     """Deterministic admission ordinal: id = round_no·2^32 + rank, ranked
     by within-round discovery order (parent rank, link ordinal) — the
-    reproducible stand-in for the reference's autoincrement PK."""
-    w = Window.orderBy(F.col("disc_order").asc(), F.col("url").asc())
-    return new_rows.withColumn(
-        "id", (F.lit(round_no).cast("long") * F.lit(1 << 32).cast("long")) + F.row_number().over(w)
+    reproducible stand-in for the reference's autoincrement PK.
+
+    Scale shape: a bare Window.orderBy would pull every inserted row of
+    the round through ONE task (a 10^7-insert round dies there).  Instead:
+    range-repartition on the rank key, per-partition row_number, then add
+    per-partition offsets (a collect bounded by n_parts, never by rows).
+    Range partitions are ordered, so offset + local rank reproduces the
+    exact global (disc_order, url) rank regardless of boundary placement.
+
+    base_rank offsets the first id (seeding twice within one round must
+    not reuse ranks).
+    """
+    part = new_rows.repartitionByRange(n_parts, F.col("disc_order").asc(), F.col("url").asc())
+    part = part.withColumn("_pid", F.spark_partition_id())
+    local = part.withColumn(
+        "_lr",
+        F.row_number().over(
+            Window.partitionBy("_pid").orderBy(F.col("disc_order").asc(), F.col("url").asc())
+        ),
     )
+    counts = {r["_pid"]: r["n"] for r in local.groupBy("_pid").agg(F.count("*").alias("n")).collect()}
+    offsets, acc = {}, base_rank
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_col = F.lit(0).cast("long")
+    for pid, off in offsets.items():
+        off_col = F.when(F.col("_pid") == pid, F.lit(off).cast("long")).otherwise(off_col)
+    return local.withColumn(
+        "id",
+        (F.lit(round_no).cast("long") * F.lit(1 << 32).cast("long")) + off_col + F.col("_lr"),
+    ).drop("_pid", "_lr")
 
 
 def merge_frontier(

@@ -30,6 +30,7 @@ from sosse_spark.functions.images import (
 __all__ = [
     "MEDIA_SCHEMA",
     "sniff_mimetype_expr",
+    "sniff_doctype_expr",
     "image_features",
     "image_resize",
     "audio_features",
@@ -54,6 +55,22 @@ def sniff_mimetype_expr(bytes_col: F.Column) -> F.Column:
         .when(hexhead.startswith("FFD8FF"), F.lit("image/jpeg"))
         .when(hexhead.startswith("52494646"), F.lit("audio/wav"))
         .otherwise(F.lit("application/octet-stream"))
+    )
+
+
+def sniff_doctype_expr(text_col: F.Column) -> F.Column:
+    """Text-document type sniff (P1 `<html`/`<!doctype html` prefix
+    check, se/page.py:49-58, + P4 RSS/Atom feed detection,
+    se/document.py:327-345): prefix/contains checks on the decoded
+    text — codegen'd, no UDF."""
+    head = F.lower(F.substring(text_col, 1, 256))
+    is_xml = head.startswith("<?xml")
+    return (
+        F.when(head.startswith("<html") | head.startswith("<!doctype html"), F.lit("text/html"))
+        .when(is_xml & head.contains("<rss"), F.lit("application/rss+xml"))
+        .when(is_xml & head.contains("<feed"), F.lit("application/atom+xml"))
+        .when(is_xml, F.lit("application/xml"))
+        .otherwise(F.lit("text/plain"))
     )
 
 

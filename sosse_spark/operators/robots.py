@@ -70,6 +70,12 @@ def parse_robots(content: str, user_agent: str = USER_AGENT) -> list[tuple[str, 
             continue
         if current is None:
             continue
+        if not val:
+            # A bare 'Disallow:' / 'Allow:' is the allow-all idiom: the
+            # reference skips empty patterns at eval (se/domain.py:208-210
+            # 'if not pattern: continue').  Emitting it as an empty regex
+            # would match every path and deny the whole host — invert bug.
+            continue
         pattern = re.escape(val).replace(r"\*", ".*")
         if pattern.endswith(r"\$"):
             pattern = pattern[:-2] + "$"
@@ -92,16 +98,29 @@ def robots_rules_rows(domain: str, content: Optional[str], user_agent: str = USE
     return rows
 
 
-def evaluate_robots(batch: DataFrame, host_rules: DataFrame) -> DataFrame:
+def evaluate_robots(
+    batch: DataFrame, host_rules: DataFrame, broadcast: bool = True
+) -> DataFrame:
     """Append `robots_authorized` to `batch` (needs `url_domain` and
     `url_path` columns).
 
-    host_rules is broadcast (small dimension); the per-URL longest-match
-    fold is one aggregation keyed by the batch row, all JVM-side.
+    host_rules is broadcast by default (small dimension); the per-URL
+    longest-match fold is one aggregation keyed by the batch row, all
+    JVM-side.  At very large domain counts (10^8 hosts ⇒ rules table no
+    longer broadcastable) pass broadcast=False for a domain-keyed
+    shuffle join — same plan otherwise.
+
+    Empty patterns are dropped (parse already skips them; the
+    pattern_len > 0 guard keeps a pre-fix host_rules table from denying
+    whole hosts via the '' regex — reference se/domain.py:208-210).
     """
-    rules = host_rules.filter(F.col("kind").isin("allow", "disallow"))
+    rules = host_rules.filter(
+        F.col("kind").isin("allow", "disallow") & (F.col("pattern_len") > 0)
+    )
+    if broadcast:
+        rules = F.broadcast(rules)
     joined = batch.select("url", "url_domain", "url_path").join(
-        F.broadcast(rules), batch["url_domain"] == rules["domain"], "left"
+        rules, batch["url_domain"] == rules["domain"], "left"
     )
     matched = joined.withColumn(
         "m", F.expr("url_path rlike concat('^', pattern)")

@@ -125,8 +125,6 @@ def display_queue(frontier: DataFrame, now_col: Column, size: int = 10, crash_re
     """Operator-facing queue view (parity: se/document.py:850-899):
     next `size` ready rows + up-to-size not-yet-ready (reversed) +
     in-progress + last-`size` crawl history, tagged by `queue_section`."""
-    base = frontier.withColumn("_now", now_col)
-
     ready = (
         frontier.filter(eligible_filter(now_col, crash_retry))
         .orderBy(*priority_order_cols())
@@ -156,5 +154,4 @@ def display_queue(frontier: DataFrame, now_col: Column, size: int = 10, crash_re
         .limit(size)
         .withColumn("queue_section", F.lit("history"))
     )
-    _ = base
     return ready.unionByName(not_ready).unionByName(in_progress).unionByName(history)

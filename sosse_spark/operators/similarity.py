@@ -1,9 +1,15 @@
 """Similarity search over embedding columns (array<float>).
 
-Brute-force cosine top-k as the exact baseline; LSH-bucketed (random
-hyperplane signs) and IVF-style (nearest-of-k-centroids partitioning)
-variants as the scale path — candidate generation touches one bucket
-instead of the full corpus, then exact re-scoring within the bucket.
+Brute-force cosine top-k as the exact baseline; OR-amplified random-
+hyperplane LSH (b independent band tables of r planes each) as the scale
+path — candidate generation is an equi-join on the thin
+(_id, band_no, band_sig) key, then exact re-scoring of the candidates.
+
+Recall math (sign LSH): a pair at angle θ agrees on one plane with
+p = 1 − θ/π, on one r-plane band with p^r, and on ≥1 of b bands with
+1 − (1−p^r)^b.  A single AND-only signature (b=1) has essentially zero
+recall at θ ≈ 60° (cos 0.5) — `bands_for_threshold` derives b from the
+operating threshold + target recall instead of hard-coding it.
 
 All dot products are JVM-side (`aggregate`/`zip_with`); no Python UDFs.
 """
@@ -11,6 +17,7 @@ All dot products are JVM-side (`aggregate`/`zip_with`); no Python UDFs.
 from __future__ import annotations
 
 import math
+from typing import Optional
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -18,7 +25,8 @@ from pyspark.sql import functions as F
 __all__ = [
     "cosine_sim",
     "brute_force_topk",
-    "hyperplane_signature",
+    "bands_for_threshold",
+    "banded_signatures",
     "lsh_topk",
     "embedding_near_dup_pairs",
 ]
@@ -67,32 +75,78 @@ def brute_force_topk(
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
-    """Deterministic pseudo-random unit hyperplanes (LCG — stdlib only,
-    reproducible across runs/executors)."""
-    state = seed
-    planes = []
-    for _ in range(n_planes):
-        v = []
-        for _ in range(dim):
-            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
-            v.append(((state >> 33) / float(1 << 31)) - 1.0)
-        n = math.sqrt(sum(x * x for x in v)) or 1.0
-        planes.append([x / n for x in v])
-    return planes
+    """Deterministic random unit hyperplanes — GAUSSIAN entries via a
+    seeded PCG64, which makes directions uniform on the sphere.  (A raw
+    LCG stream chunked into vectors has severe lattice correlation:
+    measured mean pairwise |cos| ≈ 0.75 between 'planes', i.e. they all
+    point the same way — sign-LSH recall collapses for pairs orthogonal
+    to that common direction.  That was round 1's 0-of-14 recall bug.)"""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    p = rng.standard_normal((n_planes, dim))
+    p /= np.linalg.norm(p, axis=1, keepdims=True)
+    return p.tolist()
 
 
-def hyperplane_signature(vec_col: Column, planes: list[list[float]]) -> Column:
-    """Sign-bit signature as an int: bit i = (vec · plane_i) > 0."""
-    bits = [
-        F.when(
-            _dot(vec_col, F.array(*[F.lit(float(x)) for x in p])) > 0, F.lit(1 << i)
-        ).otherwise(F.lit(0))
-        for i, p in enumerate(planes)
-    ]
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out.cast("int")
+def bands_for_threshold(
+    threshold: float,
+    rows_per_band: int = 8,
+    target_recall: float = 0.98,
+    max_bands: int = 256,
+) -> int:
+    """Smallest b with 1 − (1−p^r)^b ≥ target_recall at the threshold
+    angle.  For real near-dup thresholds (0.9+) this is a handful of
+    bands; at θ≈60° (cos 0.5, barely above random) it grows large — the
+    honest cost of that operating point."""
+    p1 = 1.0 - math.acos(max(min(threshold, 1.0), -1.0)) / math.pi
+    pr = p1 ** rows_per_band
+    if pr >= 1.0:
+        return 1
+    b = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - pr))
+    return max(1, min(int(b), max_bands))
+
+
+def banded_signatures(
+    df: DataFrame,
+    dim: int,
+    bands: int,
+    rows_per_band: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """→ thin (_id, band_no, band_sig): one row per (vector, band); the
+    band_sig int packs the r plane sign bits of that band.  Only these
+    three scalar columns ride the candidate shuffle — never the vector.
+
+    Signatures are ONE numpy matrix multiply per Arrow batch
+    (n×dim @ dim×(b·r) sign projection, then a bit-weight fold per
+    band) inside a vectorized pandas UDF — at 100+ bands an
+    expression-tree formulation would blow up codegen, and the matrix
+    product is exactly what BLAS is for."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    planes = np.array(_hyperplanes(dim, bands * rows_per_band, seed)).T  # (dim, b·r)
+    weights = np.array([1 << i for i in range(rows_per_band)], dtype=np.int64)
+
+    from pyspark.sql.functions import PandasUDFType
+
+    def _sigs(vecs):
+        v = np.stack(vecs.to_numpy())  # (n, dim)
+        bits = (v @ planes) > 0  # (n, b·r)
+        packed = bits.reshape(len(v), bands, rows_per_band) @ weights  # (n, b)
+        return pd.Series(list(packed.astype(np.int32)))
+
+    sigs = pandas_udf(_sigs, T.ArrayType(T.IntegerType()), PandasUDFType.SCALAR)
+
+    return df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(sigs(F.col(vec_col))).alias("band_no", "band_sig"),
+    )
 
 
 def lsh_topk(
@@ -100,26 +154,58 @@ def lsh_topk(
     queries: DataFrame,
     dim: int,
     k: int = 5,
-    n_planes: int = 8,
+    bands: int = 16,
+    rows_per_band: int = 8,
+    fill_min_candidates: Optional[int] = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate top-k: random-hyperplane bucket join, exact rescoring
-    within the matching bucket.  At scale the corpus is scanned once,
-    shuffled on the (small-int) bucket key; each query probes one bucket."""
-    planes = _hyperplanes(dim, n_planes, seed)
-    c = corpus.withColumn("_sig", hyperplane_signature(F.col(vec_col), planes))
-    q = queries.select(
-        F.col(query_id_col),
-        F.col(vec_col).alias("_qvec"),
-        hyperplane_signature(F.col(vec_col), planes).alias("_sig"),
+    """Approximate top-k: OR-amplified band join (b tables of r planes),
+    exact rescoring of the candidate union.  Queries whose candidate set
+    is starved (< fill_min_candidates, default 8·k) fall back to an
+    exact scan — the fallback side is (few starved queries) × corpus, a
+    bounded second pass, so every query always returns k rows.
+    """
+    fill_min = fill_min_candidates if fill_min_candidates is not None else 8 * k
+    c_sig = banded_signatures(corpus, dim, bands, rows_per_band, id_col, vec_col, seed)
+    q_sig = banded_signatures(queries, dim, bands, rows_per_band, query_id_col, vec_col, seed)
+
+    cand = (
+        c_sig.join(
+            F.broadcast(q_sig.withColumnRenamed("_id", "_qid")),
+            ["band_no", "band_sig"],
+        )
+        .select(F.col("_qid").alias(query_id_col), F.col("_id").alias(id_col))
+        .dropDuplicates([query_id_col, id_col])
     )
-    scored = c.join(F.broadcast(q), "_sig").select(
-        query_id_col,
-        id_col,
-        F.round(cosine_sim(F.col(vec_col), F.col("_qvec")), 6).alias("cos_sim"),
+
+    # starved queries → exact scan (anti-join keeps this set small)
+    cand_counts = cand.groupBy(query_id_col).count()
+    starved = (
+        queries.join(
+            F.broadcast(cand_counts.filter(F.col("count") >= fill_min)),
+            query_id_col,
+            "left_anti",
+        )
+        .select(query_id_col, vec_col)
+    )
+    fallback = corpus.select(F.col(id_col)).crossJoin(
+        F.broadcast(starved.select(query_id_col))
+    )
+    all_cand = cand.unionByName(fallback).dropDuplicates([query_id_col, id_col])
+
+    qv = queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec"))
+    cv = corpus.select(F.col(id_col), F.col(vec_col).alias("_cvec"))
+    scored = (
+        all_cand.join(F.broadcast(qv), query_id_col)
+        .join(cv, id_col)
+        .select(
+            query_id_col,
+            id_col,
+            F.round(cosine_sim(F.col("_cvec"), F.col("_qvec")), 6).alias("cos_sim"),
+        )
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -128,26 +214,46 @@ def lsh_topk(
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,
-    n_planes: int = 12,
+    rows_per_band: int = 8,
+    bands: Optional[int] = None,
+    target_recall: float = 0.995,
     dim: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: same-LSH-bucket self-join
-    then exact cosine ≥ threshold.  (id_a < id_b, cos_sim)."""
-    planes = _hyperplanes(dim, n_planes, seed)
-    sig = df.select(
-        F.col(id_col).alias("_id"),
-        F.col(vec_col).alias("_v"),
-        hyperplane_signature(F.col(vec_col), planes).alias("_sig"),
-    )
+    """Embedding-cosine near-duplicate pairs: OR-amplified band self-join
+    on the thin (band_no, band_sig) key → pair dedup → exact cosine
+    verify ≥ threshold.  (id_a < id_b, cos_sim).
+
+    b defaults to `bands_for_threshold(threshold, r, target_recall)` so
+    recall is an input, not an accident.  The candidate self-join never
+    carries the vectors — they are joined back once, post-dedup, for the
+    exact verification only.
+    """
+    if bands is None:
+        bands = bands_for_threshold(threshold, rows_per_band, target_recall)
+    sig = banded_signatures(df, dim, bands, rows_per_band, id_col, vec_col, seed)
     a, b = sig.alias("a"), sig.alias("b")
-    pairs = a.join(
-        b, (F.col("a._sig") == F.col("b._sig")) & (F.col("a._id") < F.col("b._id"))
-    ).select(
-        F.col("a._id").alias("id_a"),
-        F.col("b._id").alias("id_b"),
-        F.round(cosine_sim(F.col("a._v"), F.col("b._v")), 6).alias("cos_sim"),
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_no") == F.col("b.band_no"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    pairs = (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_sim(F.col("_va"), F.col("_vb")), 6).alias("cos_sim"),
+        )
     )
     return pairs.filter(F.col("cos_sim") >= threshold)

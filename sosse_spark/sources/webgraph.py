@@ -19,7 +19,17 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Optional
 
-__all__ = ["WebConfig", "host_no", "url_of", "doc_index_of", "out_links", "robots_body", "fetch_sim"]
+__all__ = [
+    "WebConfig",
+    "host_no",
+    "url_of",
+    "doc_index_of",
+    "out_links",
+    "max_age_of",
+    "favicon_of",
+    "robots_body",
+    "fetch_sim",
+]
 
 _KNUTH = 2654435761
 
@@ -95,6 +105,20 @@ def out_links(i: int, cfg: WebConfig) -> list[str]:
         else:
             links.append(f"http://img{t_host}.example.com/other/../{t_path.lstrip('/')}")
     return links
+
+
+def max_age_of(i: int, cfg: WebConfig) -> Optional[int]:
+    """Synthetic Cache-Control max-age: every third doc serves one
+    (exercises the P12 max-age freshness gate, se/html_cache.py:56-99);
+    the rest have no cache-control (heuristic-rule path)."""
+    return 7200 if i % 3 == 0 else None
+
+
+def favicon_of(host: int, cfg: WebConfig) -> Optional[int]:
+    """Doc index whose rendered image stands in for the host's favicon;
+    None ⇒ 404 (mirrors the default favicon 404s of se/test_mock.py:43-49;
+    extraction parity: FavIcon.extract, se/models.py:383-440)."""
+    return host if host % 2 == 0 and host < cfg.n_docs else None
 
 
 def robots_body(host: int, cfg: WebConfig) -> Optional[str]:

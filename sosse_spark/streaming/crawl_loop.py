@@ -23,6 +23,8 @@ Time is an injected logical clock so runs are exactly reproducible.
 
 from __future__ import annotations
 
+import dataclasses
+import re
 import time
 from datetime import datetime, timedelta
 from typing import Optional
@@ -31,7 +33,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sosse_spark.operators.admission import CollectionPolicy, admit_links
-from sosse_spark.operators.fetch import fetch_batch, fetch_robots_for_domains
+from sosse_spark.operators.fetch import (
+    fetch_batch,
+    fetch_favicons_for_domains,
+    fetch_robots_for_domains,
+)
+from sosse_spark.operators.http_cache import cache_fresh_col
 from sosse_spark.operators.frontier import (
     FRONTIER_SCHEMA,
     assign_ids,
@@ -82,12 +89,12 @@ class CrawlEngine:
         self.documents = AppendTable(root, "documents")
         self.links = AppendTable(root, "links")
         self.metrics = AppendTable(root, "metrics")
-        # driver-side robots cache: the set of domains whose rules are
-        # already in host_rules (≙ Domain.robots_status != unknown,
-        # se/domain.py:65-73).  Rebuilt from the table on resume; the
-        # per-round batch exposes at most batch_size domains, so the
-        # collect is bounded by the round budget even at 10^10 frontier.
-        self._known_domains: Optional[set] = None
+        self.webhook_events = AppendTable(root, "webhook_events")
+        self.favicons = AppendTable(root, "favicons")
+        # cached host_rules DataFrame handle (NOT a driver-side domain
+        # set: new-domain discovery is an anti-join against this table,
+        # bounded by the round batch — a python set of every domain ever
+        # seen would OOM the driver at 10^8 domains)
         self._rules_df: Optional[DataFrame] = None
         self._repaired = False
 
@@ -95,11 +102,17 @@ class CrawlEngine:
         """Crash repair on first use (≙ the reference's startup orphan-claim
         cleanup, se/management/commands/crawl.py:184-189): drop append-log
         dirs from any round that never reached its frontier commit, so the
-        replayed round appends exactly once."""
+        replayed round appends exactly once.  Also adopts the persisted
+        frontier's n_buckets: re-bucketing candidates with a different
+        modulus than the persisted blobs would cogroup the wrong bloom
+        blob — false negatives that bypass the exact anti-join."""
         if self._repaired:
             return
+        m = self.frontier.manifest()
+        if m is not None and m.get("n_buckets") and m["n_buckets"] != self.n_buckets:
+            self.n_buckets = m["n_buckets"]
         r = self.round_no()
-        for table in (self.documents, self.links, self.metrics):
+        for table in (self.documents, self.links, self.metrics, self.webhook_events, self.favicons):
             table.truncate_from(r)
         self._repaired = True
 
@@ -117,6 +130,7 @@ class CrawlEngine:
         se/document.py:586-601 — seeds admitted with full depth)."""
         from sosse_spark.functions.urlnorm import sanitize_url
 
+        self._repair()  # adopt persisted n_buckets before bucketing seeds
         rows = [(sanitize_url(u), i) for i, u in enumerate(urls)]
         df = self.spark.createDataFrame(rows, "url string, disc_order long")
         df = (
@@ -130,7 +144,21 @@ class CrawlEngine:
         existing = self.frontier.read(self.spark)
         prev_bloom = self.bloom.read(self.spark)
         new = urlseen_dedup(df, existing, prev_bloom, self.bloom_bits)
-        new = assign_ids(new, self.round_no())
+        # two seed() calls before the first round must not reuse ranks:
+        # continue from the max rank already assigned within this round
+        rnd = self.round_no()
+        base_rank = 0
+        if existing is not None:
+            lo = rnd << 32
+            hi = (rnd + 1) << 32
+            top = (
+                existing.filter((F.col("id") >= lo) & (F.col("id") < hi))
+                .agg(F.max("id"))
+                .collect()[0][0]
+            )
+            if top is not None:
+                base_rank = top - lo
+        new = assign_ids(new, rnd, base_rank=base_rank)
         for col, default in {
             "crawl_first": "timestamp",
             "crawl_last": "timestamp",
@@ -140,6 +168,8 @@ class CrawlEngine:
             "error_hash": "string",
             "redirect_url": "string",
             "content_hash": "string",
+            "max_age": "long",
+            "modified_date": "timestamp",
             "lineage_round": "int",
             "lineage_part": "int",
         }.items():
@@ -212,34 +242,52 @@ class CrawlEngine:
             frontier.unpersist()
             return None
 
+        # --- HTTP-cache freshness gate (P12, se/html_cache.py:56-156) ----
+        # fresh rows skip robots + fetch entirely and reschedule as
+        # unchanged — the biggest fetch-cost reducer at recrawl scale
+        fresh_pred = cache_fresh_col(now_col)
+        cache_hits = batch.filter(fresh_pred)
+        to_fetch = batch.filter(~fresh_pred)
+        n_cache_hits = cache_hits.count()
+
         # --- robots: fetch rules for domains never seen before ---------
-        if self._known_domains is None:
+        # new-domain discovery is an ANTI-JOIN against host_rules (the
+        # driver never holds a domain set — unbounded at 10^8 domains);
+        # the result is bounded by the round batch's distinct hosts.
+        if self._rules_df is None:
             existing_rules = self.host_rules.read(spark)
             if existing_rules is not None:
-                existing_rules = existing_rules.cache()
-                self._known_domains = {
-                    r["domain"] for r in existing_rules.select("domain").distinct().collect()
-                }
-                self._rules_df = existing_rules
-            else:
-                self._known_domains = set()
-        batch_domains = {r["url_domain"] for r in batch.select("url_domain").distinct().collect()}
-        new_domains = sorted(batch_domains - self._known_domains)
-        if new_domains:
-            new_rules = fetch_robots_for_domains(
-                spark.createDataFrame([(d,) for d in new_domains], "url_domain string"),
-                self.web,
-            )
+                self._rules_df = existing_rules.cache()
+        batch_domains = to_fetch.select("url_domain").distinct().cache()
+        if self._rules_df is not None:
+            known = self._rules_df.select(F.col("domain").alias("url_domain")).distinct()
+            new_domains = batch_domains.join(known, "url_domain", "left_anti")
+        else:
+            new_domains = batch_domains
+        if new_domains.limit(1).count():
+            new_rules = fetch_robots_for_domains(new_domains, self.web)
             self.host_rules.append(spark, new_rules, round_no)
             if self._rules_df is not None:
                 self._rules_df.unpersist()
             self._rules_df = self.host_rules.read(spark).cache()
-            self._known_domains |= set(new_domains)
+
+        # --- favicons once per domain (P8, se/models.py:383-440) ---------
+        # keyed off the favicons table itself so a crash-replay (favicon
+        # appends truncated, host_rules kept) still refetches them
+        fav_table = self.favicons.read(spark)
+        if fav_table is not None:
+            fav_known = fav_table.select(F.col("domain").alias("url_domain")).distinct()
+            new_fav = batch_domains.join(fav_known, "url_domain", "left_anti")
+        else:
+            new_fav = batch_domains
+        if new_fav.limit(1).count():
+            self.favicons.append(spark, fetch_favicons_for_domains(new_fav, self.web), round_no)
+        batch_domains.unpersist()
 
         if self._rules_df is not None:
-            checked = evaluate_robots(batch, self._rules_df).cache()
+            checked = evaluate_robots(to_fetch, self._rules_df).cache()
         else:
-            checked = batch.withColumn("robots_authorized", F.lit(True)).cache()
+            checked = to_fetch.withColumn("robots_authorized", F.lit(True)).cache()
         rejected = checked.filter(~F.col("robots_authorized"))
         authorized = checked.filter(F.col("robots_authorized"))
 
@@ -306,6 +354,13 @@ class CrawlEngine:
             F.lit(False).alias("robotstxt_rejected"),
             F.when(is_redirect, F.col("f.final_url")).alias("redirect_url"),
             F.when(is_success, new_hash).otherwise(F.col("b.content_hash")).alias("content_hash"),
+            # P12/F27 cache bookkeeping: server max-age refreshed on
+            # success; modified_date bumps only when content changed
+            # (se/document.py:456-457)
+            F.when(is_success, F.col("f.max_age")).otherwise(F.col("b.max_age")).alias("max_age"),
+            F.when(is_success & changed_content, now_col)
+            .otherwise(F.col("b.modified_date"))
+            .alias("modified_date"),
             F.lit(round_no).alias("lineage_round"),
             F.col("b.bucket").alias("lineage_part"),
         )
@@ -331,11 +386,51 @@ class CrawlEngine:
             F.lit(True).alias("robotstxt_rejected"),
             F.lit(None).cast("string").alias("redirect_url"),
             "content_hash",
+            "max_age",
+            "modified_date",
+            F.lit(round_no).alias("lineage_round"),
+            F.col("bucket").alias("lineage_part"),
+        )
+
+        # cache-fresh rows: no fetch happened; reschedule as unchanged
+        nxt_c, dt_c = schedule_next_cols(
+            F.lit(False),
+            self.policy.recrawl_freq,
+            self.policy.recrawl_dt_min,
+            self.policy.recrawl_dt_max,
+            crawl_last=now_col,
+            crawl_dt=F.col("crawl_dt"),
+        )
+        cache_rows = cache_hits.select(
+            "url",
+            "url_hash",
+            "bucket",
+            "url_domain",
+            "url_path",
+            "collection_id",
+            "id",
+            F.coalesce(F.col("crawl_first"), now_col).alias("crawl_first"),
+            now_col.alias("crawl_last"),
+            nxt_c.alias("crawl_next"),
+            dt_c.alias("crawl_dt"),
+            "crawl_recurse",
+            "manual_crawl",
+            F.lit(0).alias("retries"),
+            F.lit(None).cast("int").alias("worker_no"),
+            F.lit(None).cast("string").alias("error"),
+            F.lit(None).cast("string").alias("error_hash"),
+            F.lit(False).alias("robotstxt_rejected"),
+            "redirect_url",
+            "content_hash",
+            "max_age",
+            "modified_date",
             F.lit(round_no).alias("lineage_round"),
             F.col("bucket").alias("lineage_part"),
         )
         replacements = self._finalize_rows(
-            replacements.unionByName(self._finalize_rows(rejected_rows))
+            replacements.unionByName(self._finalize_rows(rejected_rows)).unionByName(
+                self._finalize_rows(cache_rows)
+            )
         ).cache()
 
         # --- link extraction & admission ---------------------------------
@@ -421,6 +516,8 @@ class CrawlEngine:
             "error_hash": "string",
             "redirect_url": "string",
             "content_hash": "string",
+            "max_age": "long",
+            "modified_date": "timestamp",
         }.items():
             inserts = inserts.withColumn(col, F.lit(None).cast(typ))
         inserts = (
@@ -439,7 +536,37 @@ class CrawlEngine:
             F.count(F.when(is_success, 1)).alias("success"),
         ).collect()[0]
         n_errors, n_redirects, n_success = counts["errors"], counts["redirects"], counts["success"]
-        n_rejected = n_batch - (n_errors + n_redirects + n_success)
+        n_rejected = n_batch - n_cache_hits - (n_errors + n_redirects + n_success)
+
+        # --- webhook triggers kept as metric events (P17) -----------------
+        # se/webhook.py:108-117 trigger conditions; se/document.py:436-447
+        n_webhook_events = 0
+        if self.policy.webhooks:
+            trig_conds = {
+                "discovery": is_success & F.col("b.crawl_first").isNull(),
+                "change": is_success & changed_content,
+                "always": is_success,
+                "manual": is_success & F.col("b.manual_crawl"),
+            }
+            ev_parts = [
+                joined.filter(trig_conds[t]).select(
+                    F.col("url"),
+                    F.lit(t).alias("trigger"),
+                    F.lit(round_no).alias("round_no"),
+                    now_col.alias("t"),
+                )
+                for t in self.policy.webhooks
+                if t in trig_conds
+            ]
+            if ev_parts:
+                evts = ev_parts[0]
+                for p in ev_parts[1:]:
+                    evts = evts.unionByName(p)
+                evts = evts.cache()
+                n_webhook_events = evts.count()
+                if n_webhook_events:
+                    self.webhook_events.append(spark, evts, round_no)
+                evts.unpersist()
 
         n_links = 0
         if n_success:
@@ -475,6 +602,30 @@ class CrawlEngine:
                 )
                 self.links.append(spark, link_rows, round_no)
 
+            # --- P3 extern-link repoint (se/document.py:789,
+            # se/test_crawl.py:410-458): links stored as extern whose
+            # target got crawled THIS round are re-pointed by appending
+            # a newer is_admitted row; links_view() resolves latest-wins.
+            # The join is (extern links) ⋈ broadcast(this round's docs —
+            # bounded by the batch), never links ⋈ links.
+            crawled_now = docs.select(F.col("url").alias("dst_url")).distinct()
+            all_links = self.links.read(spark)
+            if all_links is not None:
+                repoint = (
+                    all_links.filter(~F.col("is_admitted"))
+                    .join(F.broadcast(crawled_now), "dst_url", "left_semi")
+                    .select(
+                        "src_url",
+                        "dst_url",
+                        "link_no",
+                        F.lit(True).alias("is_admitted"),
+                        F.lit(round_no).alias("round_no"),
+                    )
+                    .dropDuplicates(["src_url", "dst_url", "link_no"])
+                )
+                if repoint.limit(1).count():
+                    self.links.append(spark, repoint, round_no)
+
         # --- commits: bloom BEFORE frontier ------------------------------
         # The frontier commit is the round's atomic commit point.  Bloom
         # goes first: a crash between the two leaves the bloom a SUPERSET
@@ -492,11 +643,11 @@ class CrawlEngine:
                 round_no,
                 changed_buckets=self._touched_buckets(inserts),
             )
-        buckets = self._touched_buckets(replacements, inserts if n_new else None)
-        untouched_frontier = self._changed_bucket_slice(frontier, buckets)
-        merged = merge_frontier(untouched_frontier, replacements, inserts if n_new else None)
-        self.frontier.commit(spark, merged, round_no, changed_buckets=buckets)
-
+        # metrics append BEFORE the frontier commit: the row is
+        # round-tagged, so a crash in between replays the round and the
+        # truncate-on-repair makes it exactly-once; appending after the
+        # frontier commit would lose round N's metrics forever (round N
+        # is never replayed once the frontier committed).
         duration = time.time() - t0
         metrics_row = {
             "round_no": round_no,
@@ -507,6 +658,8 @@ class CrawlEngine:
             "errors": n_errors,
             "redirects": n_redirects,
             "robots_rejected": n_rejected,
+            "cache_hits": n_cache_hits,
+            "webhook_events": n_webhook_events,
             "links_extracted": n_links,
             "new_urls": n_new,
             "duration_sec": duration,
@@ -517,15 +670,46 @@ class CrawlEngine:
             spark.createDataFrame(
                 [metrics_row],
                 "round_no int, t timestamp, batch long, fetched long, success long, "
-                "errors long, redirects long, robots_rejected long, links_extracted long, "
+                "errors long, redirects long, robots_rejected long, cache_hits long, "
+                "webhook_events long, links_extracted long, "
                 "new_urls long, duration_sec double, urls_per_sec double",
             ),
             round_no,
         )
 
+        buckets = self._touched_buckets(replacements, inserts if n_new else None)
+        untouched_frontier = self._changed_bucket_slice(frontier, buckets)
+        merged = merge_frontier(untouched_frontier, replacements, inserts if n_new else None)
+        self.frontier.commit(spark, merged, round_no, changed_buckets=buckets)
+
         for df in (frontier, batch, checked, joined, resolved, replacements, inserts):
             df.unpersist()
         return metrics_row
+
+    # ------------------------------------------------------------------
+    def links_view(self) -> Optional[DataFrame]:
+        """Current web graph: latest row per (src_url, dst_url, link_no)
+        — P3 repoint rows (appended with is_admitted=True when an extern
+        target later gets crawled) win over their original extern rows,
+        preferring admitted on a same-round tie."""
+        l = self.links.read(self.spark)
+        if l is None:
+            return None
+        w = Window.partitionBy("src_url", "dst_url", "link_no").orderBy(
+            F.col("round_no").desc(), F.col("is_admitted").desc()
+        )
+        return l.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+    def widen_scope(self, urls: list[str], t: datetime, manual: bool = True) -> None:
+        """F32 bulk add-to-queue with scope widening (se/add_to_queue.py:
+        59-89): append '^https?://{host}/.*' for each URL's host to the
+        collection's unlimited scope, then seed the URLs."""
+        hosts = sorted({u.split("/", 3)[2] for u in urls if u.startswith("http")})
+        pats = [f"^https?://{re.escape(h)}/.*" for h in hosts]
+        parts = ([self.policy.unlimited_regex] if self.policy.unlimited_regex else []) + pats
+        combined = "|".join(f"({p})" if "|" in p else p for p in parts)
+        self.policy = dataclasses.replace(self.policy, unlimited_regex=combined)
+        self.seed(urls, t, manual=manual)
 
     # ------------------------------------------------------------------
     def run_until_quiescent(

@@ -41,17 +41,43 @@ CORPUS_STRUCT = T.StructType(
 )
 
 
+_VALIDATED_SCHEMA = T.StructType(
+    CORPUS_STRUCT.fields
+    + [
+        T.StructField("decode_ok", T.BooleanType()),
+        T.StructField("phash_match", T.BooleanType()),
+        T.StructField("psnr_db", T.DoubleType()),
+    ]
+)
+
+
+def _validate_kernel(batches):
+    """ONE pass: payload columns + validation stats emitted together.
+    (A stats-derived self-join here would be a stream-stream join —
+    unbounded state + a second source scan; this kernel reuses the
+    decode-stats logic row-aligned instead.)"""
+    for pdf in batches:
+        stats = next(decode_stats_map_in_pandas(iter([pdf])))
+        out = pdf.copy()
+        out["decode_ok"] = stats["decode_ok"].to_numpy()
+        out["phash_match"] = stats["phash_match"].to_numpy()
+        out["psnr_db"] = stats["psnr_db"].to_numpy()
+        yield out
+
+
 def ingest_stream(spark: SparkSession, input_dir: str) -> DataFrame:
-    """readStream over a corpus drop directory → validated rows."""
+    """readStream over a corpus drop directory → validated rows (single
+    source scan; PSNR ≥ 40 is part of the ingest gate per the north
+    rule's decoded-pixel invariant — NaN/None psnr rows fail it)."""
     raw = (
         spark.readStream.schema(CORPUS_STRUCT)
         .option("maxFilesPerTrigger", 8)
         .parquet(input_dir)
     )
-    stats = raw.mapInPandas(decode_stats_map_in_pandas, DECODE_STATS_SCHEMA)
-    return (
-        raw.join(stats.select("image_id", "decode_ok", "phash_match", "psnr_db"), "image_id")
-        .withColumn("ingested_ok", F.col("decode_ok") & F.col("phash_match"))
+    validated = raw.mapInPandas(_validate_kernel, _VALIDATED_SCHEMA)
+    return validated.withColumn(
+        "ingested_ok",
+        F.col("decode_ok") & F.col("phash_match") & (F.coalesce(F.col("psnr_db"), F.lit(0.0)) >= 40.0),
     )
 
 
@@ -68,6 +94,13 @@ def run_ingest_available_now(
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         deduped = batch_df.dropDuplicates(["image_id"])
+        # cross-batch dedup: anti-join against ids already in the sink
+        # (within-batch dropDuplicates alone is not "streaming-deduped")
+        try:
+            existing = batch_df.sparkSession.read.parquet(output_dir).select("image_id")
+            deduped = deduped.join(existing, "image_id", "left_anti")
+        except Exception:
+            pass  # first batch: sink does not exist yet
         n = deduped.count()
         ok = deduped.filter(F.col("ingested_ok")).count()
         deduped.filter(F.col("ingested_ok")).write.mode("append").parquet(output_dir)

@@ -83,24 +83,83 @@ def test_brute_force_topk(spark):
     assert got[1]["vec_id"] == 10  # planted near-dup is rank 2
 
 
-def test_lsh_topk_recall(spark):
-    """LSH top-1 must find the planted near-duplicate (same bucket with
-    high probability at 6 planes for ~0.01-perturbed vectors)."""
+def test_lsh_topk_recall_vs_bruteforce(spark):
+    """LSH top-k measured against exact brute force (not just a planted
+    0.9999-cosine pair): k rows per query ALWAYS (starved queries fall
+    back to an exact scan) and recall ≥ 0.9 at the entry's parameters."""
+    from sosse_spark.operators.similarity import brute_force_topk, lsh_topk
+
+    emb = _embeddings(spark, n=200, dim=16)
+    queries = emb.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = {(r["query_id"], r["vec_id"]) for r in brute_force_topk(emb, queries, k=5).collect()}
+    got = lsh_topk(emb, queries, dim=16, k=5, bands=48, rows_per_band=5).collect()
+    assert len(got) == 15  # k rows per query, no silent under-fill
+    approx = {(r["query_id"], r["vec_id"]) for r in got}
+    assert len(exact & approx) / len(exact) >= 0.9
+
+
+def test_lsh_topk_starved_query_fill(spark):
+    """A query whose buckets hold < k candidates still returns k rows
+    (brute-force fill), never silently fewer."""
     from sosse_spark.operators.similarity import lsh_topk
 
-    emb = _embeddings(spark)
-    queries = emb.filter(F.col("vec_id") == 10).select(F.col("vec_id").alias("query_id"), "embedding")
-    got = lsh_topk(emb, queries, dim=16, k=2, n_planes=6).orderBy("rank").collect()
-    ids = [r["vec_id"] for r in got]
-    assert 10 in ids and 0 in ids
+    emb = _embeddings(spark, n=20, dim=16)
+    queries = emb.filter(F.col("vec_id") == 0).select(F.col("vec_id").alias("query_id"), "embedding")
+    got = lsh_topk(emb, queries, dim=16, k=5, bands=2, rows_per_band=10).collect()
+    assert len(got) == 5
 
 
-def test_embedding_near_dup_pairs(spark):
+def test_embedding_near_dup_recall_vs_bruteforce(spark):
+    """Recall measured against numpy brute force at the OPERATING
+    threshold (0.5 ⇒ θ≈60°, barely above random — the regime where the
+    round-1 single AND-only signature had 0 recall)."""
     from sosse_spark.operators.similarity import embedding_near_dup_pairs
 
-    emb = _embeddings(spark)
-    pairs = {(r["id_a"], r["id_b"]) for r in embedding_near_dup_pairs(emb, threshold=0.99, n_planes=6, dim=16).collect()}
-    assert (0, 10) in pairs
+    n, dim = 120, 16
+    rng = np.random.RandomState(42)
+    base = rng.randn(n, dim)
+    base[10] = base[0] + rng.randn(dim) * 0.01  # planted near-identical pair
+    norms = np.linalg.norm(base, axis=1, keepdims=True)
+    cos = (base / norms) @ (base / norms).T
+    truth = {
+        (i, j)
+        for i in range(n)
+        for j in range(i + 1, n)
+        if round(cos[i, j], 6) >= 0.5
+    }
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(n)], "vec_id long, embedding array<double>"
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(
+            emb, threshold=0.5, rows_per_band=8, target_recall=0.995, dim=dim
+        ).collect()
+    }
+    assert (0, 10) in got
+    assert got <= truth  # exact-cosine verify ⇒ no false positives
+    assert len(got & truth) / max(len(truth), 1) >= 0.9
+
+
+def test_simhash_equals_bruteforce_at_large_hamming(spark, docs):
+    """Pigeonhole contract: with chunks derived from max_hamming, the
+    bucketed operator must EQUAL brute-force hamming pairs for ANY h —
+    including h far beyond the old fixed-4-chunk guarantee of 3."""
+    from sosse_spark.operators.dedup import simhash_near_dup_pairs, simhash_signatures
+
+    sigs = {r["_id"]: r["sig"] for r in simhash_signatures(docs, "text", "doc_id").collect()}
+    for h in (5, 16):
+        truth = {
+            (a, b): bin(sigs[a] ^ sigs[b]).count("1")
+            for a in sigs
+            for b in sigs
+            if a < b and bin(sigs[a] ^ sigs[b]).count("1") <= h
+        }
+        got = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in simhash_near_dup_pairs(docs, "text", "doc_id", max_hamming=h).collect()
+        }
+        assert got == truth
 
 
 def test_lang_id(spark, docs):
