@@ -505,7 +505,7 @@ def q_dedup_simhash(spark, sf_dir):
     # BY PIGEONHOLE — the operator must equal brute force exactly.
     from sosse_spark.operators.dedup import simhash_near_dup_pairs
 
-    out = simhash_near_dup_pairs(_docs(spark, sf_dir), "text", "doc_id", max_hamming=7)
+    out = simhash_near_dup_pairs(_docs(spark, sf_dir), "text", "doc_id", max_hamming=4)
     return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
 
@@ -650,7 +650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     # --- simhash brute-force oracle: recompute the 60-bit signature in
     # SQL (md5 token hash == Spark's conv(md5,16,10) path — verified
-    # identical), then all pairs at hamming <= 7 -------------------------
+    # identical), then all pairs at hamming <= 4 -------------------------
     simhash_votes = ", ".join(
         f"sum(CASE WHEN (th >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}" for i in range(60)
     )
@@ -668,7 +668,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT a._id AS id_a, b._id AS id_b,
                CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
         FROM sig a JOIN sig b ON a._id < b._id
-        WHERE bit_count(xor(a.sig, b.sig)) <= 7"""
+        WHERE bit_count(xor(a.sig, b.sig)) <= 4"""
 
     # doctype-variant content shared by p1/p14 oracles (mirrors
     # _doctyped_content)

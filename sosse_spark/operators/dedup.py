@@ -88,10 +88,31 @@ def minhash_lsh_pairs(
     sizes, not n².
     """
     rows_per_band = num_hashes // bands
-    sig = df.select(
+    # Staged projections, each referencing the previous stage's expensive
+    # column MORE THAN ONCE: Spark's CollapseProject inlines single-use
+    # non-cheap expressions into downstream lambda bodies, where the
+    # (interpreted) higher-order functions re-evaluate them PER ELEMENT —
+    # measured 75× blowup when split/shingles/signature nest into the
+    # band explode.  toks→sh→sig each evaluate exactly once per row here;
+    # the persist() pins the thin (_id, sh, sig) table so the candidate
+    # join and the verify join-backs share one corpus pass.
+    toks = df.select(
         F.col(id_col).alias("_id"),
-        F.array_distinct(shingles(text_col, k)).alias("sh"),
-    ).withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("toks"),
+    )
+    n_sh = F.greatest(F.size("toks") - F.lit(k - 1), F.lit(1))
+    sh_df = toks.select(
+        "_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), n_sh - 1),
+                lambda i: F.concat_ws(" ", F.slice("toks", i + 1, k)),
+            )
+        ).alias("sh"),
+    )
+    sig = sh_df.select(
+        "_id", "sh", minhash_signature(F.col("sh"), num_hashes).alias("sig")
+    ).persist()
 
     # THIN banding: only (_id, band_no, band_hash) rides the explode and
     # both sides of the candidate self-join — the shingle arrays never
@@ -258,12 +279,26 @@ def ngram_jaccard_pairs(
 
     Returns (id_a, id_b, jaccard ≥ threshold).
     """
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    grams = df.select(
+    # staged toks→grams projections (see minhash_lsh_pairs: CollapseProject
+    # would otherwise inline the split into the shingle lambda — O(tokens)
+    # re-eval per shingle element)
+    toks_df = df.select(
         F.col(id_col).alias("_id"),
-        F.array_distinct(shingles(text_col, n)).alias("g"),
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("toks"),
+    )
+    n_sh = F.greatest(F.size("toks") - F.lit(n - 1), F.lit(1))
+    grams = toks_df.select(
+        "_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), n_sh - 1),
+                lambda i: F.concat_ws(" ", F.slice("toks", i + 1, n)),
+            )
+        ).alias("g"),
         F.concat_ws(
-            "|", toks.getItem(0), (F.size(toks) / len_band).cast("int").cast("string")
+            "|",
+            F.col("toks").getItem(0),
+            (F.size("toks") / len_band).cast("int").cast("string"),
         ).alias("blk"),
     ).withColumn("gs", F.size("g"))
     a, b = grams.alias("a"), grams.alias("b")

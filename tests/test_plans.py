@@ -137,3 +137,76 @@ def test_whole_stage_codegen_in_scheduler(spark):
     # codegen'd spans print as "*(n) Operator" in the executed plan
     assert "WholeStageCodegen" in plan or "*(1)" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_minhash_band_exchange_is_thin(spark):
+    """The exchange feeding the band self-join must carry only scalar
+    columns (_id, band_no, band_hash) — the shingle arrays never ride
+    the candidate shuffle (at corpus scale they ARE the documents)."""
+    from sosse_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"text number {i} with words") for i in range(10)], "doc_id long, text string"
+    )
+    # disable broadcast (so the candidate join plans as the shuffled
+    # sort-merge it would be at corpus scale) and AQE (so executedPlan
+    # exposes ShuffleExchange nodes instead of query-stage wrappers)
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        out = minhash_lsh_pairs(docs, "text", "doc_id", k=2, num_hashes=8, bands=4)
+        root = out._jdf.queryExecution().executedPlan()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+
+    def walk(node):
+        yield node
+        ch = node.children()
+        for i in range(ch.size()):
+            yield from walk(ch.apply(i))
+
+    band_exchanges = 0
+    for node in walk(root):
+        if "ShuffleExchange" not in node.getClass().getSimpleName():
+            continue
+        if "band_hash" not in node.outputPartitioning().toString():
+            continue
+        band_exchanges += 1
+        cols = node.child().output()
+        names = [cols.apply(i).name() for i in range(cols.size())]
+        assert "sh" not in names, f"shingle array rides the band exchange: {names}"
+    # >= 1: Spark plans ONE exchange and reuses it for the other side of
+    # the self-join (ReusedExchange) — itself a scale win
+    assert band_exchanges >= 1
+
+
+def test_assign_ids_no_global_window(spark):
+    """Scale shape: id assignment must not funnel all rows through one
+    task (no empty-partition-spec Window / single-partition sort)."""
+    from sosse_spark.operators.frontier import assign_ids
+
+    rows = [(f"u{i}", (i * 7) % 100, i % 4) for i in range(200)]
+    df = spark.createDataFrame(rows, "url string, disc_order long, bucket int")
+    out = assign_ids(df, 3, n_parts=8)
+    plan = _plan(out)
+    # every window in the plan must be partitioned (by _pid) — an
+    # empty-partition-spec Window would pull all rows through one task
+    for line in plan.splitlines():
+        if "windowspecdefinition(" in line:
+            assert "_pid" in line
+    # determinism + exact global-rank semantics preserved
+    got = {r["url"]: r["id"] for r in out.collect()}
+    ranked = sorted(rows, key=lambda r: (r[1], r[0]))
+    for rank, r in enumerate(ranked, start=1):
+        assert got[r[0]] == (3 << 32) + rank
+
+
+def test_assign_ids_base_rank_offsets(spark):
+    from sosse_spark.operators.frontier import assign_ids
+
+    df = spark.createDataFrame([("a", 1), ("b", 2)], "url string, disc_order long")
+    got = sorted(r["id"] for r in assign_ids(df, 1, base_rank=5).collect())
+    assert got == [(1 << 32) + 6, (1 << 32) + 7]
