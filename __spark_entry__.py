@@ -437,7 +437,9 @@ def q_p12_cache_gate(spark, sf_dir):
             F.timestamp_add("HOUR", -(F.col("id") % 100).cast("int"), F.col("crawl_last")),
         ),
     )
-    return f.select("id", cache_fresh_col(_now_col()).alias("cache_fresh"))
+    return f.select(
+        "id", cache_fresh_col(_now_col(), payload_date="crawl_last").alias("cache_fresh")
+    )
 
 
 def q_p13_asset_gc(spark, sf_dir):

@@ -76,6 +76,10 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> dict[str, float]:
         "dedup_simhash",
         "sim_ann_bruteforce",
         "sim_ann_lsh",
+        "sim_embedding_neardup",
+        "q1_fts_rank",
+        "p12_cache_gate",
+        "p14_content_filename",
         "text_langid",
         "text_quality",
         "text_fingerprint",

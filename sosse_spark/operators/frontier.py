@@ -70,10 +70,13 @@ FRONTIER_SCHEMA = T.StructType(
         T.StructField("redirect_url", T.StringType(), True),
         T.StructField("content_hash", T.StringType(), True),
         # HTTP-cache fields (P12, se/html_cache.py:56-156): server
-        # max-age (seconds) and last content-change time (F27 tail,
-        # se/document.py:456-457) drive the pre-fetch freshness gate
+        # max-age (seconds), last content-change time (F27 tail,
+        # se/document.py:456-457) and the payload's actual download time
+        # (≙ HTMLAsset.download_date — cache hits must NOT refresh it or
+        # a fresh row would stay fresh forever) drive the pre-fetch gate
         T.StructField("max_age", T.LongType(), True),
         T.StructField("modified_date", T.TimestampType(), True),
+        T.StructField("payload_date", T.TimestampType(), True),
         T.StructField("lineage_round", T.IntegerType(), True),
         T.StructField("lineage_part", T.IntegerType(), True),
     ]
@@ -101,6 +104,7 @@ def frontier_row_defaults() -> dict:
         "content_hash": None,
         "max_age": None,
         "modified_date": None,
+        "payload_date": None,
         "lineage_round": None,
         "lineage_part": None,
     }

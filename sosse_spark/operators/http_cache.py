@@ -26,18 +26,22 @@ __all__ = ["cache_fresh_col"]
 
 def cache_fresh_col(
     now_col: Column,
-    crawl_last: str = "crawl_last",
+    payload_date: str = "payload_date",
     max_age: str = "max_age",
     modified_date: str = "modified_date",
     heuristic_frac: float = 0.1,
 ) -> Column:
-    """True ⇒ the cached payload is still fresh: skip the fetch."""
-    last_s = F.unix_timestamp(F.col(crawl_last))
-    age = F.unix_timestamp(now_col) - last_s
+    """True ⇒ the cached payload is still fresh: skip the fetch.
+
+    Ages against the payload's DOWNLOAD time (≙ HTMLAsset.download_date)
+    — a cache hit must not reset the clock, or a max-age'd row would
+    never be refetched."""
+    dl_s = F.unix_timestamp(F.col(payload_date))
+    age = F.unix_timestamp(now_col) - dl_s
     by_max_age = F.col(max_age).isNotNull() & (age < F.col(max_age))
     by_heuristic = (
         F.col(max_age).isNull()
         & F.col(modified_date).isNotNull()
-        & (age < heuristic_frac * (last_s - F.unix_timestamp(F.col(modified_date))))
+        & (age < heuristic_frac * (dl_s - F.unix_timestamp(F.col(modified_date))))
     )
-    return F.col(crawl_last).isNotNull() & (by_max_age | by_heuristic)
+    return F.col(payload_date).isNotNull() & (by_max_age | by_heuristic)

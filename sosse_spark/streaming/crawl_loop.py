@@ -170,6 +170,7 @@ class CrawlEngine:
             "content_hash": "string",
             "max_age": "long",
             "modified_date": "timestamp",
+            "payload_date": "timestamp",
             "lineage_round": "int",
             "lineage_part": "int",
         }.items():
@@ -361,6 +362,7 @@ class CrawlEngine:
             F.when(is_success & changed_content, now_col)
             .otherwise(F.col("b.modified_date"))
             .alias("modified_date"),
+            F.when(is_success, now_col).otherwise(F.col("b.payload_date")).alias("payload_date"),
             F.lit(round_no).alias("lineage_round"),
             F.col("b.bucket").alias("lineage_part"),
         )
@@ -388,6 +390,7 @@ class CrawlEngine:
             "content_hash",
             "max_age",
             "modified_date",
+            "payload_date",
             F.lit(round_no).alias("lineage_round"),
             F.col("bucket").alias("lineage_part"),
         )
@@ -424,6 +427,7 @@ class CrawlEngine:
             "content_hash",
             "max_age",
             "modified_date",
+            "payload_date",
             F.lit(round_no).alias("lineage_round"),
             F.col("bucket").alias("lineage_part"),
         )
@@ -518,6 +522,7 @@ class CrawlEngine:
             "content_hash": "string",
             "max_age": "long",
             "modified_date": "timestamp",
+            "payload_date": "timestamp",
         }.items():
             inserts = inserts.withColumn(col, F.lit(None).cast(typ))
         inserts = (

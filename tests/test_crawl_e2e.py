@@ -225,3 +225,146 @@ def test_crash_repair_drops_partial_round(spark, crawl):
     docs = eng2.documents.read(spark)
     assert docs.count() == n_before
     assert docs.filter(F.col("url") == "http://fake/crashed-round-row").count() == 0
+
+
+def test_http_cache_gate_skips_fetch_until_max_age(spark, tmp_path_factory):
+    """P12 (se/html_cache.py:56-99): a payload served with max-age must
+    NOT be refetched while fresh (metrics count it as cache_hits, fetch
+    count 0 for it), and MUST be refetched once the age exceeds max-age —
+    aged against the payload download time, not the last revalidation."""
+    root = str(tmp_path_factory.mktemp("cache"))
+    pol = CollectionPolicy(
+        collection_id=1,
+        unlimited_regex=r"^http://img[0-9]+\.example\.com/",
+        recursion_depth=0,
+        recrawl_freq="constant",
+        recrawl_dt_min=3600,
+        recrawl_dt_max=3600,
+    )
+    eng = CrawlEngine(spark, root, WEB, pol, n_buckets=4, batch_size=8, per_host_budget=8)
+    # url_of(12): 12%3==0 ⇒ server sends max-age=7200; url_of(16): none
+    eng.seed([url_of(12, WEB), url_of(16, WEB)], T0)
+    m1 = eng.run_round(T0)
+    assert m1["success"] == 2 and m1["cache_hits"] == 0
+
+    t1 = T0 + timedelta(seconds=3600)  # age 3600 < 7200: doc12 fresh
+    m2 = eng.run_round(t1)
+    assert m2["cache_hits"] == 1 and m2["success"] == 1
+
+    t2 = T0 + timedelta(seconds=7200)  # age 7200 >= 7200: stale again
+    m3 = eng.run_round(t2)
+    assert m3["cache_hits"] == 0 and m3["success"] == 2
+
+    f = {r["url"]: r for r in eng.frontier.read(spark).collect()}
+    r12 = f[url_of(12, WEB)]
+    assert r12["max_age"] == 7200
+    # payload_date reflects the t2 refetch, crawl_last every round
+    assert r12["payload_date"] == t2 and r12["crawl_last"] == t2
+
+
+def test_extern_link_repoint(spark, tmp_path_factory):
+    """P3 (se/document.py:789, se/test_crawl.py:410-458): a link stored
+    as extern (target outside the collection scope) is re-pointed once
+    its target is crawled later (here: via manual seed)."""
+    root = str(tmp_path_factory.mktemp("repoint"))
+    # find a page on host 0 that links out to a different host
+    src = dst = None
+    from sosse_spark.sources.webgraph import out_links
+
+    for i in range(WEB.n_docs):
+        if host_no(i, WEB) != 0 or i % 100 in (3, 7) or i % 50 == 1:
+            continue
+        for href in out_links(i, WEB):
+            tail = href.rsplit("/", 1)[-1]
+            try:
+                t = int(tail.split("?")[0])
+            except ValueError:
+                continue
+            if host_no(t, WEB) != 0 and t % 100 not in (3, 7) and t % 50 != 1:
+                src, dst = i, t
+                break
+        if src is not None:
+            break
+    assert src is not None, "fixture web must contain a cross-host link from host 0"
+
+    pol = CollectionPolicy(
+        collection_id=1,
+        unlimited_regex=r"^http://img0\.example\.com/",  # only host 0 in scope
+        recursion_depth=1,
+        recrawl_freq="none",
+    )
+    eng = CrawlEngine(spark, root, WEB, pol, n_buckets=4, batch_size=8, per_host_budget=8)
+    eng.seed([url_of(src, WEB)], T0)
+    eng.run_round(T0)
+    lv = {
+        (r["src_url"], r["dst_url"]): r["is_admitted"]
+        for r in eng.links_view().collect()
+    }
+    dst_url = url_of(dst, WEB)
+    assert lv.get((url_of(src, WEB), dst_url)) is False  # stored extern
+
+    # the extern target is later crawled via manual seed (always admitted)
+    eng.seed([dst_url], T0 + timedelta(minutes=1), manual=True)
+    eng.run_round(T0 + timedelta(minutes=1))
+    lv2 = {
+        (r["src_url"], r["dst_url"]): r["is_admitted"]
+        for r in eng.links_view().collect()
+    }
+    assert lv2.get((url_of(src, WEB), dst_url)) is True  # re-pointed
+
+
+def test_widen_scope_admits_new_host(spark, tmp_path_factory):
+    """F32 (se/add_to_queue.py:59-89): widen_scope() appends the URL
+    hosts to the collection scope, so links to those hosts admit."""
+    root = str(tmp_path_factory.mktemp("widen"))
+    pol = CollectionPolicy(
+        collection_id=1,
+        unlimited_regex=r"^http://img0\.example\.com/",
+        recursion_depth=2,
+        recrawl_freq="none",
+    )
+    eng = CrawlEngine(spark, root, WEB, pol, n_buckets=4, batch_size=16, per_host_budget=8)
+    other_host_url = next(
+        url_of(i, WEB)
+        for i in range(WEB.n_docs)
+        if host_no(i, WEB) == 1 and i % 100 not in (3, 7) and i % 50 != 1
+    )
+    eng.widen_scope([other_host_url], T0)
+    assert "img1\\.example\\.com" in eng.policy.unlimited_regex
+    eng.run_round(T0)
+    f = eng.frontier.read(spark)
+    assert f.filter(F.col("url") == other_host_url).count() == 1
+    crawled = f.filter(F.col("crawl_last").isNotNull()).count()
+    assert crawled >= 1
+
+
+def test_double_seed_unique_ids(spark, tmp_path_factory):
+    """Two seed() calls before the first round must not collide ids
+    (deterministic (round << 32 | rank) uniqueness is the tiebreak)."""
+    root = str(tmp_path_factory.mktemp("seed2"))
+    eng = _engine(spark, root)
+    eng.seed([url_of(2, WEB)], T0)
+    eng.seed([url_of(11, WEB), url_of(15, WEB)], T0)
+    rows = eng.frontier.read(spark).select("id").collect()
+    ids = [r["id"] for r in rows]
+    assert len(ids) == len(set(ids)) == 3
+
+
+def test_webhook_events_emitted(spark, tmp_path_factory):
+    """P17 kept as metric events (se/webhook.py:108-117): discovery
+    triggers fire for first-time crawls."""
+    root = str(tmp_path_factory.mktemp("hooks"))
+    pol = CollectionPolicy(
+        collection_id=1,
+        unlimited_regex=r"^http://img[0-9]+\.example\.com/",
+        recursion_depth=0,
+        recrawl_freq="none",
+        webhooks=("discovery", "change"),
+    )
+    eng = CrawlEngine(spark, root, WEB, pol, n_buckets=4, batch_size=8, per_host_budget=8)
+    eng.seed([url_of(2, WEB), url_of(16, WEB)], T0)
+    m = eng.run_round(T0)
+    assert m["webhook_events"] >= 2
+    ev = eng.webhook_events.read(spark)
+    trig = {r["trigger"] for r in ev.collect()}
+    assert {"discovery", "change"} <= trig

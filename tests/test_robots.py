@@ -77,3 +77,25 @@ def test_evaluate_equal_length_allow_loses(spark):
     )
     batch = spark.createDataFrame([("u", "h0", "/abcdef")], "url string, url_domain string, url_path string")
     assert evaluate_robots(batch, rules).collect()[0]["robots_authorized"] is False
+
+
+def test_bare_disallow_is_allow_all():
+    """A bare 'Disallow:' (empty value) is the standard allow-all idiom —
+    it must NOT become an empty regex that matches every path and denies
+    the whole host (reference skips empty patterns, se/domain.py:208-210)."""
+    from sosse_spark.operators.robots import parse_robots
+
+    rules = parse_robots("User-agent: *\nDisallow:\n")
+    assert rules == []
+    rules2 = parse_robots("User-agent: *\nDisallow:\nDisallow: /private\nAllow:\n")
+    assert rules2 == [("disallow", "/private")]
+
+
+def test_bare_disallow_eval_authorizes(spark):
+    from sosse_spark.operators.robots import evaluate_robots, robots_rules_rows
+
+    rows = robots_rules_rows("h0", "User-agent: *\nDisallow:\n")
+    rules = spark.createDataFrame(rows, "domain string, kind string, pattern string, pattern_len int")
+    batch = spark.createDataFrame([("u1", "h0", "/anything")], "url string, url_domain string, url_path string")
+    got = evaluate_robots(batch, rules).collect()[0]
+    assert got["robots_authorized"] is True
