@@ -396,6 +396,75 @@ def q_q10_tag_rollup(spark, sf_dir):
     )
 
 
+def q_q9_snippet(spark, sf_dir):
+    from sosse_spark.operators.search import snippet_headline
+
+    d = _docs(spark, sf_dir)
+    return snippet_headline(d, "data", text_col="text", window=40).select("doc_id", "snippet")
+
+
+def q_q12_atom_feed(spark, sf_dir):
+    from sosse_spark.operators.search import atom_feed_entries
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eid = F.col("event_id")
+    feed_src = ev.select(
+        F.concat(F.lit("http://h"), (F.col("user_id") % 20).cast("string"),
+                 F.lit(".example.com/p/"), eid.cast("string")).alias("url"),
+        F.concat(F.lit("Doc <"), eid.cast("string"), F.lit("> & more")).alias("title"),
+        F.col("ts").cast("timestamp").alias("updated"),
+    )
+    return atom_feed_entries(feed_src, limit=50)
+
+
+def q_q14_bang_redirect(spark, sf_dir):
+    from sosse_spark.operators.search import bang_redirect
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    qs = d.select(
+        F.when(did % 4 == 0, F.concat(F.lit("!w "), F.col("source"), F.lit(" p "), did.cast("string")))
+        .when(did % 4 == 1, F.concat(F.lit("!m "), did.cast("string")))
+        .when(did % 4 == 2, F.concat(F.lit("!zz "), F.col("source")))
+        .otherwise(F.concat(F.lit("plain "), F.col("source")))
+        .alias("q")
+    )
+    engines = spark.createDataFrame(
+        [
+            ("w", "https://wp.example.org/w?search=%s"),
+            ("m", "https://maps.example.org/?q=%s"),
+        ],
+        "shortcut string, url_template string",
+    )
+    return bang_redirect(qs, engines)
+
+
+def q_dedup_phash_hamming(spark, sf_dir):
+    # Image-payload near-dup over the input-table phash column
+    # (BASELINE.json input_hint phash:int64).  The driver tables carry no
+    # image bytes, so phash is synthesized deterministically: 50 base
+    # signatures (60-bit md5-derived, the same conv() path the simhash
+    # oracle verified identical across engines) with 0-2 bit
+    # perturbations — true pairs sit at hamming <= 2, cross-group pairs
+    # at ~30 bits.  Oracle = brute-force bit_count(xor).
+    from sosse_spark.operators.dedup import phash_hamming_pairs
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    base = (
+        F.conv(F.substring(F.md5((did % 50).cast("string")), 1, 15), 16, 10)
+        .cast("decimal(20,0)")
+        .cast("long")
+    )
+    pert = F.when(
+        did % 5 == 0,
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(doc_id % 60 AS INT))"),
+    ).otherwise(F.lit(0).cast("long"))
+    ph = d.select("doc_id", base.bitwiseXOR(pert).alias("phash"))
+    out = phash_hamming_pairs(ph, "phash", "doc_id", max_hamming=2, n_bits=60)
+    return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
 def q_q1_fts_rank(spark, sf_dir):
     from sosse_spark.operators.fts import fts_match_rank
 
@@ -630,6 +699,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_tag_rollup": q_q10_tag_rollup,
         "q11_csv_export_order": q_q11_csv_export_order,
         "q1_fts_rank": q_q1_fts_rank,
+        "q9_snippet": q_q9_snippet,
+        "q12_atom_feed": q_q12_atom_feed,
+        "q14_bang_redirect": q_q14_bang_redirect,
+        "dedup_phash_hamming": q_dedup_phash_hamming,
         "p1_mimetype_sniff": q_p1_mimetype_sniff,
         "p12_cache_gate": q_p12_cache_gate,
         "p13_asset_gc": q_p13_asset_gc,
@@ -902,6 +975,56 @@ def oracle_sql() -> dict[str, str]:
               WHERE list_has_all(toks, ['spark'])
                 AND contains(lower(text), 'the data'))
             WHERE rank > 0.01""",
+        "q9_snippet": """
+            SELECT doc_id,
+                   regexp_replace(
+                     substr(text, greatest(strpos(lower(text), 'data') - 40, 1), 84),
+                     '(?i)(data)', '<b>\\1</b>', 'g') AS snippet
+            FROM documents
+            WHERE strpos(lower(text), 'data') > 0""",
+        "q12_atom_feed": """
+            SELECT url,
+                   '<entry><title>' ||
+                   replace(replace(replace(title, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')
+                   || '</title><link href="' || url || '"/><id>' || url
+                   || '</id><updated>' || strftime(updated, '%Y-%m-%dT%H:%M:%SZ')
+                   || '</updated></entry>' AS entry
+            FROM (
+              SELECT 'http://h' || CAST(user_id % 20 AS VARCHAR) || '.example.com/p/'
+                       || CAST(event_id AS VARCHAR) AS url,
+                     'Doc <' || CAST(event_id AS VARCHAR) || '> & more' AS title,
+                     ts AS updated
+              FROM events)
+            ORDER BY updated DESC, url ASC LIMIT 50""",
+        "q14_bang_redirect": """
+            WITH qq AS (
+              SELECT CASE WHEN doc_id % 4 = 0 THEN '!w ' || source || ' p ' || CAST(doc_id AS VARCHAR)
+                          WHEN doc_id % 4 = 1 THEN '!m ' || CAST(doc_id AS VARCHAR)
+                          WHEN doc_id % 4 = 2 THEN '!zz ' || source
+                          ELSE 'plain ' || source END AS q
+              FROM documents),
+            p AS (
+              SELECT q, regexp_extract(q, '^!(\\w+)\\s+(.+)$', 1) AS shortcut,
+                        regexp_extract(q, '^!(\\w+)\\s+(.+)$', 2) AS terms
+              FROM qq),
+            e(shortcut, url_template) AS (VALUES
+              ('w', 'https://wp.example.org/w?search=%s'),
+              ('m', 'https://maps.example.org/?q=%s'))
+            SELECT q, replace(url_template, '%s', replace(terms, ' ', '+')) AS redirect_url
+            FROM p JOIN e USING (shortcut)
+            WHERE p.shortcut <> ''""",
+        "dedup_phash_hamming": """
+            WITH p AS (
+              SELECT doc_id,
+                     xor(CAST(concat('0x', substr(md5(CAST(doc_id % 50 AS VARCHAR)), 1, 15)) AS BIGINT),
+                         CASE WHEN doc_id % 5 = 0
+                              THEN (CAST(1 AS BIGINT) << CAST(doc_id % 60 AS INT))
+                              ELSE CAST(0 AS BIGINT) END) AS phash
+              FROM documents)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+            FROM p a JOIN p b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.phash, b.phash)) <= 2""",
         "p1_mimetype_sniff": f"SELECT doc_id, {sniff} AS mimetype FROM documents",
         "p12_cache_gate": _F_CTE
         + f"""SELECT id,

@@ -74,6 +74,7 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> dict[str, float]:
         "dedup_ngram_jaccard",
         "dedup_minhash_lsh",
         "dedup_simhash",
+        "dedup_phash_hamming",
         "sim_ann_bruteforce",
         "sim_ann_lsh",
         "sim_embedding_neardup",

@@ -1,0 +1,204 @@
+"""Q13: the REST search/CRUD surface as a thin driver API over tables
+(se/rest_api.py:529-634 routers; se/search.py:80-229 param parsing).
+
+The reference exposes `/api/{document,search,stats,lang_stats,
+mime_stats,queue,tag}` DRF routers that all funnel into ONE queryset
+builder, `get_documents` (se/search.py:95-229), driven by `ft/ff/fo/
+fv/fc{N}` filter dicts.  This module mirrors that contract as pure
+DataFrame composition: each endpoint returns a DataFrame (the driver
+serializes however it likes), every filter maps onto the Q2-Q5
+operators in operators/search.py, and nothing here adds a shuffle
+beyond what the underlying operator needs.
+
+Param contract (se/search.py:130-199):
+  ft = inc | exc                 (include / NOT)
+  ff = doc | content | title | url | mimetype |
+       lto_url | lto_txt | lby_url | lby_txt | tag
+  fo = contain | regexp | equal  (+ fc truthy → case-sensitive)
+  fv = value
+Incomplete filters (any of ft/ff/fo/fv missing) are SKIPPED, matching
+the reference's REQUIRED_KEYS loop (se/search.py:131-138).  No query
+and no filters → empty result (se/search.py:226-227).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sosse_spark.operators.search import (
+    filter_predicate,
+    lang_stats,
+    mime_stats,
+    multi_field_or,
+    paginate,
+    tag_rollup,
+)
+
+__all__ = ["RestApi", "FILTER_FIELDS"]
+
+# se/search_form.py:38-49
+FILTER_FIELDS = (
+    "doc", "content", "title", "url", "mimetype",
+    "lto_url", "lto_txt", "lby_url", "lby_txt", "tag",
+)
+
+_OPS = {"contain": "contain", "regexp": "regex", "equal": "exact"}
+_IOPS = {"contain": "icontain", "regexp": "iregex", "equal": "iexact"}
+
+
+class RestApi:
+    """Driver-side facade over the engine's tables.
+
+    ``docs`` needs (url, title, content, mimetype, lang, collection_id);
+    ``links`` (src_url, dst_url, extern_url, text); ``tags``
+    (tag_id, name, path); ``doc_tags`` (url, tag_id).  All optional
+    except ``docs`` — endpoints touching a missing table raise.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        docs: DataFrame,
+        links: DataFrame | None = None,
+        tags: DataFrame | None = None,
+        doc_tags: DataFrame | None = None,
+        metrics: DataFrame | None = None,
+    ):
+        self.spark = spark
+        self.docs = docs
+        self.links = links
+        self.tags = tags
+        self.doc_tags = doc_tags
+        self.metrics = metrics
+
+    # -- /api/search/ -----------------------------------------------------
+
+    def search(
+        self,
+        q: str = "",
+        params: list[dict] | None = None,
+        doc_lang: str | None = None,
+        collection_id: int | None = None,
+        order_by: list[str] | None = None,
+        page: int = 1,
+        page_size: int = 20,
+    ) -> DataFrame:
+        """POST /api/search/ → se/rest_api.py:435-451 → get_documents."""
+        out = self.docs
+        has_query = False
+
+        if q:
+            from sosse_spark.operators.fts import fts_match_rank
+
+            has_query = True
+            out = fts_match_rank(out, q, text_col="content").drop("rank")
+
+        for f in params or ():
+            if not all(f.get(k) for k in ("ft", "ff", "fo", "fv")):
+                continue  # se/search.py:131-138 — incomplete filters skipped
+            has_query = True
+            neg = f["ft"] == "exc"
+            op = (_OPS if f.get("fc") else _IOPS)[f["fo"]]
+            field, value = f["ff"], f["fv"]
+            if field not in FILTER_FIELDS:
+                raise ValueError(f"Invalid FILTER_FIELDS {field} / {list(FILTER_FIELDS)}")
+            if field == "doc":
+                pred = multi_field_or(
+                    [F.col("content"), F.col("title"), F.col("url")], op, value
+                )
+                out = out.filter(~pred if neg else pred)
+            elif field in ("lto_url", "lto_txt", "lby_url", "lby_txt"):
+                out = self._link_filter(out, field, op, value, neg)
+            elif field == "tag":
+                out = self._tag_filter(out, op, value, neg)
+            else:
+                pred = filter_predicate(F.col(field), op, value)
+                out = out.filter(~pred if neg else pred)
+
+        if doc_lang:
+            out = out.filter(F.col("lang") == doc_lang)
+        if collection_id is not None:
+            out = out.filter(F.col("collection_id") == collection_id)
+        if not has_query:
+            return out.limit(0)  # se/search.py:226-227
+
+        order = [F.col(c[1:]).desc() if c.startswith("-") else F.col(c).asc()
+                 for c in (order_by or ["url"])]
+        order.append(F.col("url").asc())  # deterministic tiebreak (TEST_MODE id sort)
+        return paginate(out.dropDuplicates(["url"]), order, page, page_size)
+
+    def _link_filter(self, out: DataFrame, field: str, op: str, value: str, neg: bool) -> DataFrame:
+        """lto_*/lby_* semi-joins (se/search.py:170-182): lto matches the
+        target doc's url OR the extern_url; *_txt matches link text.
+        Exclusion flips the semi-join to anti — same shuffle shape."""
+        if self.links is None:
+            raise ValueError("links table not configured")
+        side, rel = field.split("_")
+        key = "src_url" if side == "lto" else "dst_url"
+        if rel == "url":
+            other = "dst_url" if side == "lto" else "src_url"
+            pred = filter_predicate(F.col(other), op, value) | filter_predicate(
+                F.coalesce(F.col("extern_url"), F.lit("")), op, value
+            )
+        else:
+            pred = filter_predicate(F.col("text"), op, value)
+        matching = self.links.filter(pred).select(F.col(key).alias("url"))
+        return out.join(matching, "url", "left_anti" if neg else "left_semi")
+
+    def _tag_filter(self, out: DataFrame, op: str, value: str, neg: bool) -> DataFrame:
+        """tag filter expands to the whole subtree (se/search.py:183-189)."""
+        if self.tags is None or self.doc_tags is None:
+            raise ValueError("tags tables not configured")
+        matched = self.tags.filter(filter_predicate(F.col("name"), op, value)).select(
+            F.col("path").alias("m_path")
+        )
+        subtree = (
+            self.tags.join(
+                F.broadcast(matched), F.col("path").startswith(F.col("m_path")), "left_semi"
+            )
+            .select("tag_id")
+        )
+        tagged = (
+            self.doc_tags.join(F.broadcast(subtree), "tag_id", "left_semi")
+            .select("url")
+            .distinct()
+        )
+        return out.join(tagged, "url", "left_anti" if neg else "left_semi")
+
+    # -- /api/document/ ----------------------------------------------------
+
+    def document(self, url: str) -> DataFrame:
+        """GET /api/document/?url=… (se/rest_api.py 'document' router)."""
+        return self.docs.filter(F.col("url") == url)
+
+    # -- stats endpoints ----------------------------------------------------
+
+    def lang_stats(self) -> DataFrame:
+        """GET /api/lang_stats/ (se/rest_api.py:131-148)."""
+        return lang_stats(self.docs)
+
+    def mime_stats(self) -> DataFrame:
+        """GET /api/mime_stats/ (se/rest_api.py:165-195)."""
+        return mime_stats(self.docs, mime_col="mimetype")
+
+    def tag_stats(self) -> DataFrame:
+        """GET /api/tag/ rollup counts (se/tag.py:52-82)."""
+        if self.tags is None or self.doc_tags is None:
+            raise ValueError("tags tables not configured")
+        return tag_rollup(self.tags, self.doc_tags)
+
+    def stats(self) -> DataFrame:
+        """GET /api/stats/ time series — the metrics table, newest first
+        (se/rest_api.py:60-64; CrawlerStats se/models.py:189-228)."""
+        if self.metrics is None:
+            raise ValueError("metrics table not configured")
+        return self.metrics.orderBy(F.col("round_no").desc())
+
+    # -- /api/queue/ ---------------------------------------------------------
+
+    def queue(self, engine, urls: list[str], manual: bool = True) -> None:
+        """POST /api/queue/ → queue_urls (se/rest_api.py:606-634,
+        se/add_to_queue.py:59-89) — delegates to the crawl engine's seed
+        upsert (F31/F32)."""
+        engine.seed(urls, manual=manual)

@@ -32,6 +32,8 @@ __all__ = [
     "minhash_lsh_pairs",
     "simhash_signatures",
     "simhash_near_dup_pairs",
+    "hamming_near_dup_pairs",
+    "phash_hamming_pairs",
     "ngram_jaccard_pairs",
 ]
 
@@ -217,8 +219,22 @@ def simhash_near_dup_pairs(df: DataFrame, text_col: str, id_col: str, max_hammin
     bits), so the bucket filter gets coarser — large h is inherently
     expensive on 60-bit signatures; keep h ≤ ~10 at corpus scale.
     """
-    n_chunks = max_hamming + 1
     sig = simhash_signatures(df, text_col, id_col)
+    return hamming_near_dup_pairs(sig, max_hamming=max_hamming, n_bits=60)
+
+
+def hamming_near_dup_pairs(sig: DataFrame, max_hamming: int, n_bits: int = 64) -> DataFrame:
+    """All pairs at hamming ≤ max_hamming over an integer signature
+    column — the generic pigeonhole-banded bucket join behind SimHash
+    text dedup and phash image dedup.
+
+    Input: DataFrame with columns (_id, sig:long).  Output: (id_a, id_b,
+    hamming) with id_a < id_b.  Candidate recall is 1 by construction:
+    (max_hamming + 1) chunks, so any pair within max_hamming differing
+    bits agrees on at least one whole chunk; the bucket equi-join then
+    costs Σ|bucket|², never corpus².
+    """
+    n_chunks = max_hamming + 1
     chunked = sig.select(
         "_id",
         "sig",
@@ -231,7 +247,7 @@ def simhash_near_dup_pairs(df: DataFrame, text_col: str, id_col: str, max_hammin
                         .bitwiseAND(F.lit((1 << width) - 1))
                         .alias("chunk"),
                     )
-                    for c, (start, width) in enumerate(_chunk_bounds(60, n_chunks))
+                    for c, (start, width) in enumerate(_chunk_bounds(n_bits, n_chunks))
                 ]
             )
         ).alias("ch"),
@@ -256,6 +272,23 @@ def simhash_near_dup_pairs(df: DataFrame, text_col: str, id_col: str, max_hammin
     return cand.withColumn("hamming", hamming).filter(F.col("hamming") <= max_hamming).select(
         "id_a", "id_b", "hamming"
     )
+
+
+def phash_hamming_pairs(
+    df: DataFrame, phash_col: str, id_col: str, max_hamming: int = 4, n_bits: int = 64
+) -> DataFrame:
+    """Image near-dup pairs via perceptual-hash hamming distance.
+
+    The input-table contract carries a per-image `phash:int64`
+    (BASELINE.json input_hint; computed by functions/images.py
+    phash64 at ingest — the 8×8-DCT analog of the reference's
+    content-hash change detection, se/document.py:274-298).  Near-dup
+    images sit within a few bits of each other, so dedup is the generic
+    pigeonhole-banded hamming join — no pixel data ever shuffles, only
+    (_id, sig, chunk) rows.
+    """
+    sig = df.select(F.col(id_col).alias("_id"), F.col(phash_col).cast("long").alias("sig"))
+    return hamming_near_dup_pairs(sig, max_hamming=max_hamming, n_bits=n_bits)
 
 
 def ngram_jaccard_pairs(

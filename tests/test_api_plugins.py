@@ -1,0 +1,166 @@
+"""Q13 REST facade (sosse_spark/api.py) and P15/P16 mime plugins
+(operators/plugins.py) — semantics mirrored from se/rest_api.py +
+se/search.py:95-229 and se/mime_plugin.py."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from sosse_spark.api import RestApi
+from sosse_spark.operators.plugins import MimePlugin, apply_mime_plugins
+
+
+@pytest.fixture()
+def api(spark):
+    docs = spark.createDataFrame(
+        [
+            ("http://a/1", "Alpha spark page", "the data about spark here", "text/html", "en", 1),
+            ("http://a/2", "Beta", "nothing relevant", "text/plain", "fr", 1),
+            ("http://b/3", "Gamma spark", "more spark the data content", "text/html", "en", 2),
+            ("http://b/4", "Delta", "spark the data appears", "application/pdf", "en", 1),
+        ],
+        "url string, title string, content string, mimetype string, lang string, collection_id int",
+    )
+    links = spark.createDataFrame(
+        [
+            ("http://a/1", "http://b/3", None, "go to gamma"),
+            ("http://b/3", None, "http://ext/x", "external ref"),
+        ],
+        "src_url string, dst_url string, extern_url string, text string",
+    )
+    tags = spark.createDataFrame(
+        [("t1", "roots", "a"), ("t2", "sub", "a/b")], "tag_id string, name string, path string"
+    )
+    doc_tags = spark.createDataFrame(
+        [("http://a/1", "t2"), ("http://b/4", "t1")], "url string, tag_id string"
+    )
+    return RestApi(spark, docs, links=links, tags=tags, doc_tags=doc_tags)
+
+
+def test_search_fts_and_filters(api):
+    got = api.search(
+        q="spark",
+        params=[
+            {"ft": "inc", "ff": "mimetype", "fo": "equal", "fv": "text/html"},
+            {"ft": "exc", "ff": "url", "fo": "contain", "fv": "b/"},
+            {"ft": "inc", "ff": "title", "fo": "contain"},  # incomplete → skipped
+        ],
+    )
+    assert [r.url for r in got.collect()] == ["http://a/1"]
+
+
+def test_search_no_query_is_empty(api):
+    assert api.search(q="", params=[]).count() == 0
+
+
+def test_search_doc_field_ors_content_title_url(api):
+    got = api.search(params=[{"ft": "inc", "ff": "doc", "fo": "contain", "fv": "gamma"}])
+    assert sorted(r.url for r in got.collect()) == ["http://b/3"]  # title match
+    by_url = api.search(params=[{"ft": "inc", "ff": "doc", "fo": "contain", "fv": "a/2"}])
+    assert sorted(r.url for r in by_url.collect()) == ["http://a/2"]  # url match
+
+
+def test_search_case_flag(api):
+    cs = api.search(params=[{"ft": "inc", "ff": "title", "fo": "contain", "fv": "alpha", "fc": "1"}])
+    assert cs.count() == 0  # case-sensitive: 'Alpha' != 'alpha'
+    ci = api.search(params=[{"ft": "inc", "ff": "title", "fo": "contain", "fv": "alpha"}])
+    assert ci.count() == 1
+
+
+def test_search_linkgraph_filters(api):
+    lto = api.search(params=[{"ft": "inc", "ff": "lto_url", "fo": "contain", "fv": "ext/"}])
+    assert [r.url for r in lto.collect()] == ["http://b/3"]  # extern_url OR dst url
+    lby = api.search(params=[{"ft": "inc", "ff": "lby_txt", "fo": "contain", "fv": "gamma"}])
+    assert [r.url for r in lby.collect()] == ["http://b/3"]
+    excl = api.search(
+        params=[
+            {"ft": "inc", "ff": "doc", "fo": "contain", "fv": "spark"},
+            {"ft": "exc", "ff": "lto_url", "fo": "contain", "fv": "ext/"},
+        ]
+    )
+    assert "http://b/3" not in {r.url for r in excl.collect()}
+
+
+def test_search_tag_subtree(api):
+    got = api.search(params=[{"ft": "inc", "ff": "tag", "fo": "equal", "fv": "roots"}])
+    # tag 'roots' (path a) expands to subtree {a, a/b} → both tagged docs
+    assert sorted(r.url for r in got.collect()) == ["http://a/1", "http://b/4"]
+
+
+def test_search_invalid_field_raises(api):
+    with pytest.raises(ValueError, match="FILTER_FIELDS"):
+        api.search(params=[{"ft": "inc", "ff": "nope", "fo": "equal", "fv": "x"}])
+
+
+def test_search_lang_and_pagination(api):
+    got = api.search(
+        params=[{"ft": "inc", "ff": "doc", "fo": "contain", "fv": "spark"}],
+        doc_lang="en",
+        order_by=["-url"],
+        page=1,
+        page_size=2,
+    )
+    assert [r.url for r in got.collect()] == ["http://b/4", "http://b/3"]
+
+
+def test_stats_endpoints(api):
+    langs = {r.lang: r.doc_count for r in api.lang_stats().collect()}
+    assert langs == {"en": 3, "fr": 1}
+    mimes = {r.mimetype: r.doc_count for r in api.mime_stats().collect()}
+    assert mimes["text/html"] == 2
+    rolled = {r.tag_id: r.rolled_count for r in api.tag_stats().collect()}
+    assert rolled == {"t1": 2, "t2": 1}
+    assert api.document("http://a/2").count() == 1
+
+
+# -- P15/P16 plugins ---------------------------------------------------------
+
+
+def _docs_df(spark):
+    return spark.createDataFrame(
+        [
+            (1, "text/html", "hello", "t"),
+            (2, "application/pdf", "pdf body", "t"),
+            (3, "text/plain", "plain", "t"),
+        ],
+        "doc_id long, mimetype string, content string, title string",
+    )
+
+
+def test_plugins_overwrite_matching_rows_only(spark):
+    plug = MimePlugin(
+        name="upper-html",
+        mimetype_re=r"^text/html",
+        transform=lambda pdf: pdf.assign(content=pdf["content"].str.upper()),
+        writes=("content",),
+    )
+    got = {r.doc_id: r.content for r in apply_mime_plugins(_docs_df(spark), [plug]).collect()}
+    assert got == {1: "HELLO", 2: "pdf body", 3: "plain"}
+
+
+def test_plugins_apply_in_order(spark):
+    p1 = MimePlugin(
+        "add-x", r"^text/", lambda pdf: pdf.assign(content=pdf["content"] + "-x"), ("content",)
+    )
+    p2 = MimePlugin(
+        "add-y", r"^text/plain", lambda pdf: pdf.assign(content=pdf["content"] + "-y"), ("content",)
+    )
+    got = {r.doc_id: r.content for r in apply_mime_plugins(_docs_df(spark), [p1, p2]).collect()}
+    assert got[3] == "plain-x-y"  # second plugin sees first's write
+    assert got[1] == "hello-x"
+
+
+def test_plugins_schema_is_preserved_and_writes_validated(spark):
+    df = _docs_df(spark)
+    plug = MimePlugin("t", ".", lambda pdf: pdf, ("content",))
+    assert apply_mime_plugins(df, [plug]).schema == df.schema
+    bad = MimePlugin("bad", ".", lambda pdf: pdf, ("nope",))
+    with pytest.raises(ValueError, match="unknown columns"):
+        apply_mime_plugins(df, [bad])
+
+
+def test_plugin_rowcount_change_is_an_error(spark):
+    plug = MimePlugin("drop", r"^text/", lambda pdf: pdf.iloc[:1], ("content",))
+    with pytest.raises(Exception):
+        # single partition so one batch holds BOTH text/* rows
+        apply_mime_plugins(_docs_df(spark).coalesce(1), [plug]).collect()

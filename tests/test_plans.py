@@ -183,6 +183,30 @@ def test_minhash_band_exchange_is_thin(spark):
     assert band_exchanges >= 1
 
 
+def test_phash_hamming_equi_join_and_recall(spark):
+    """Image phash near-dup: pigeonhole chunk join must be an equi-join
+    (no all-pairs), and recall must be 1 at the requested distance by
+    construction — adversarial pairs with differing bits spread across
+    chunks included."""
+    from sosse_spark.operators.dedup import phash_hamming_pairs
+
+    base = 0x0F0F0F0F0F0F0F0
+    rows = [
+        (0, base),
+        (1, base),  # hamming 0
+        (2, base ^ (1 << 3)),  # hamming 1
+        (3, base ^ (1 << 3) ^ (1 << 25) ^ (1 << 50)),  # 3 bits across 3 chunks
+        (4, base ^ 0x5555555),  # far away
+    ]
+    df = spark.createDataFrame(rows, "img_id long, phash long")
+    out = phash_hamming_pairs(df, "phash", "img_id", max_hamming=3, n_bits=60)
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    got = {(r.id_a, r.id_b): r.hamming for r in out.collect()}
+    assert got == {(0, 1): 0, (0, 2): 1, (1, 2): 1, (0, 3): 3, (1, 3): 3, (2, 3): 2}
+
+
 def test_assign_ids_no_global_window(spark):
     """Scale shape: id assignment must not funnel all rows through one
     task (no empty-partition-spec Window / single-partition sort)."""
