@@ -77,6 +77,9 @@ FRONTIER_SCHEMA = T.StructType(
         T.StructField("max_age", T.LongType(), True),
         T.StructField("modified_date", T.TimestampType(), True),
         T.StructField("payload_date", T.TimestampType(), True),
+        # user tags persist through recrawl (se/test_crawl.py:803-820:
+        # Document.tags M2M survives re-index; crawl never writes it)
+        T.StructField("tags", T.ArrayType(T.StringType()), True),
         T.StructField("lineage_round", T.IntegerType(), True),
         T.StructField("lineage_part", T.IntegerType(), True),
     ]
@@ -105,6 +108,7 @@ def frontier_row_defaults() -> dict:
         "max_age": None,
         "modified_date": None,
         "payload_date": None,
+        "tags": None,
         "lineage_round": None,
         "lineage_part": None,
     }

@@ -171,6 +171,7 @@ class CrawlEngine:
             "max_age": "long",
             "modified_date": "timestamp",
             "payload_date": "timestamp",
+            "tags": "array<string>",
             "lineage_round": "int",
             "lineage_part": "int",
         }.items():
@@ -363,6 +364,8 @@ class CrawlEngine:
             .otherwise(F.col("b.modified_date"))
             .alias("modified_date"),
             F.when(is_success, now_col).otherwise(F.col("b.payload_date")).alias("payload_date"),
+            # tags persist through recrawl untouched (se/test_crawl.py:803-820)
+            F.col("b.tags").alias("tags"),
             F.lit(round_no).alias("lineage_round"),
             F.col("b.bucket").alias("lineage_part"),
         )
@@ -391,6 +394,7 @@ class CrawlEngine:
             "max_age",
             "modified_date",
             "payload_date",
+            "tags",
             F.lit(round_no).alias("lineage_round"),
             F.col("bucket").alias("lineage_part"),
         )
@@ -428,6 +432,7 @@ class CrawlEngine:
             "max_age",
             "modified_date",
             "payload_date",
+            "tags",
             F.lit(round_no).alias("lineage_round"),
             F.col("bucket").alias("lineage_part"),
         )
@@ -523,6 +528,7 @@ class CrawlEngine:
             "max_age": "long",
             "modified_date": "timestamp",
             "payload_date": "timestamp",
+            "tags": "array<string>",
         }.items():
             inserts = inserts.withColumn(col, F.lit(None).cast(typ))
         inserts = (
@@ -704,6 +710,38 @@ class CrawlEngine:
             F.col("round_no").desc(), F.col("is_admitted").desc()
         )
         return l.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+    def tag_urls(self, urls: list[str], tags: list[str]) -> None:
+        """Attach tags to frontier rows by URL (≙ Document.tags M2M set,
+        se/tag.py; persistence through recrawl per se/test_crawl.py:
+        803-820 — run_round carries the column untouched).  MERGE shape:
+        only the touched rows' buckets rewrite."""
+        from sosse_spark.functions.urlnorm import sanitize_url
+
+        self._repair()
+        frontier = self.frontier.read(self.spark)
+        if frontier is None:
+            return
+        targets = [sanitize_url(u) for u in urls]
+        hit = frontier.filter(F.col("url").isin(targets))
+        updated = self._finalize_rows(
+            hit.withColumn(
+                "tags",
+                F.array_sort(
+                    F.array_union(
+                        F.coalesce(F.col("tags"), F.array().cast("array<string>")),
+                        F.array(*[F.lit(t) for t in tags]),
+                    )
+                ),
+            )
+        ).cache()
+        buckets = self._touched_buckets(updated)
+        if not buckets:
+            updated.unpersist()
+            return
+        merged = merge_frontier(self._changed_bucket_slice(frontier, buckets), updated, None)
+        self.frontier.commit(self.spark, merged, self.round_no(), changed_buckets=buckets)
+        updated.unpersist()
 
     def widen_scope(self, urls: list[str], t: datetime, manual: bool = True) -> None:
         """F32 bulk add-to-queue with scope widening (se/add_to_queue.py:

@@ -198,6 +198,32 @@ def test_recrawl_second_pass_doubles_dt(spark, tmp_path_factory):
     assert all(dt == 7200 for _, dt in doubled)
 
 
+def test_tags_persist_through_recrawl(spark, tmp_path_factory):
+    """se/test_crawl.py:803-820: tags attached to a document survive a
+    recrawl (crawl never writes the tags field)."""
+    root = str(tmp_path_factory.mktemp("crawl_tags"))
+    eng = _engine(spark, root)
+    u = url_of(2, WEB)
+    eng.seed([u], T0)
+    eng.run_until_quiescent(T0, timedelta(minutes=1), max_rounds=5)
+    eng.tag_urls([u], ["news", "archive"])
+    tagged = {r["url"]: r["tags"] for r in eng.frontier.read(spark).collect()}
+    assert tagged[u] == ["archive", "news"]
+
+    before = {r["url"]: r for r in eng.frontier.read(spark).collect()}
+    t2 = T0 + timedelta(hours=2)
+    eng.run_until_quiescent(t2, timedelta(minutes=1), max_rounds=5)
+    after = {r["url"]: r for r in eng.frontier.read(spark).collect()}
+    assert after[u]["crawl_last"] > before[u]["crawl_last"], "row was recrawled"
+    assert after[u]["tags"] == ["archive", "news"], "tags survive the recrawl"
+    # idempotent re-tag unions, not duplicates
+    eng.tag_urls([u], ["news", "fresh"])
+    final = {r["url"]: r["tags"] for r in eng.frontier.read(spark).collect()}
+    assert final[u] == ["archive", "fresh", "news"]
+    # untagged rows stay null
+    assert all(v is None for k, v in final.items() if k != u)
+
+
 def test_crash_repair_drops_partial_round(spark, crawl):
     """Simulate a crash AFTER a docs append but BEFORE the frontier
     commit: the replaying engine must truncate the partial round's
