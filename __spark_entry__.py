@@ -610,6 +610,26 @@ def q_sim_ann_lsh(spark, sf_dir):
     return out.select("query_id", "vec_id", "rank", F.round("cos_sim", 4).alias("cos4"))
 
 
+def q_sim_ann_ivf(spark, sf_dir):
+    # Oracle = the exact top-k SQL: at 16 trained cells with n_probe=12
+    # the probed cells cover the true top-5 on this data (recall swept
+    # to 1.0 at sf0.001/0.01/0.1; probe=8 measured 0.87-0.93 — that
+    # sub-covering regime is pinned in tests/test_dataops.py::
+    # test_ivf_topk_recall_and_fill instead), and starved queries
+    # brute-force fill — so the rescored output must equal brute force.
+    from sosse_spark.operators.similarity import ivf_topk, ivf_train
+
+    emb = _emb(spark, sf_dir).withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = ivf_train(emb, n_centroids=16, iters=5, max_train=20_000)
+    out = ivf_topk(emb, queries, cents, k=5, n_probe=12)
+    return out.select("query_id", "vec_id", "rank", F.round("cos_sim", 4).alias("cos4"))
+
+
 def q_sim_embedding_neardup(spark, sf_dir):
     # Oracle = brute-force cosine pairs: OR-amplified banding is sized
     # from (threshold, target_recall) and verified recall-1 on this data
@@ -713,6 +733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "sim_ann_bruteforce": q_sim_ann_bruteforce,
         "sim_ann_lsh": q_sim_ann_lsh,
+        "sim_ann_ivf": q_sim_ann_ivf,
         "sim_embedding_neardup": q_sim_embedding_neardup,
         "text_langid": q_text_langid,
         "text_quality": q_text_quality,
@@ -1090,6 +1111,18 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
                   / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.12""",
         "sim_ann_lsh": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
+            scored AS (
+              SELECT q.query_id, e.vec_id,
+                     round(list_dot_product(e.v, q.qv)
+                           / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos_sim
+              FROM e CROSS JOIN q)
+            SELECT query_id, vec_id, rank, round(cos_sim, 4) AS cos4 FROM (
+              SELECT query_id, vec_id, cos_sim,
+                     ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
+              FROM scored) WHERE rank <= 5""",
+        "sim_ann_ivf": """
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
             q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
             scored AS (

@@ -29,6 +29,9 @@ __all__ = [
     "banded_signatures",
     "lsh_topk",
     "embedding_near_dup_pairs",
+    "ivf_train",
+    "ivf_assign",
+    "ivf_topk",
 ]
 
 
@@ -194,6 +197,140 @@ def lsh_topk(
     fallback = corpus.select(F.col(id_col)).crossJoin(
         F.broadcast(starved.select(query_id_col))
     )
+    all_cand = cand.unionByName(fallback).dropDuplicates([query_id_col, id_col])
+
+    qv = queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec"))
+    cv = corpus.select(F.col(id_col), F.col(vec_col).alias("_cvec"))
+    scored = (
+        all_cand.join(F.broadcast(qv), query_id_col)
+        .join(cv, id_col)
+        .select(
+            query_id_col,
+            id_col,
+            F.round(cosine_sim(F.col("_cvec"), F.col("_qvec")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_train(
+    corpus: DataFrame,
+    n_centroids: int,
+    iters: int = 8,
+    max_train: int = 100_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> list[list[float]]:
+    """Deterministic IVF centroid training: Lloyd k-means on a bounded,
+    hash-ordered sample (the FAISS-style recipe — training on a ≤100k
+    sample is standard; the index build and search stay distributed).
+
+    Sample selection is `ORDER BY xxhash64(id) LIMIT max_train` — a
+    deterministic pseudo-random subset independent of row order.  The
+    collect is bounded by max_train, never by corpus size.  Vectors are
+    L2-normalized before clustering so argmin-L2 ≡ argmax-cosine.
+    """
+    import numpy as np
+
+    rows = (
+        corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .orderBy(F.xxhash64(F.col("_id").cast("string")), F.col("_id"))
+        .limit(max_train)
+        .collect()
+    )
+    x = np.array([r["_v"] for r in rows], dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cents = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)].copy()
+    for _ in range(iters):
+        # (n, c) cosine scores; argmax assignment; mean re-center
+        assign = (x @ cents.T).argmax(axis=1)
+        for c in range(len(cents)):
+            members = x[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cents[c] = m / max(np.linalg.norm(m), 1e-12)
+    return cents.tolist()
+
+
+def _cell_udf(centroids: list[list[float]], n_probe: int):
+    """pandas UDF: vectors → array of the n_probe nearest centroid ids
+    (ONE BLAS matrix multiply per Arrow batch — never a ×C row blowup)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    c = np.array(centroids, dtype=np.float64).T  # (dim, C)
+
+    def _cells(vecs):
+        v = np.stack(vecs.to_numpy()).astype(np.float64)  # (n, dim)
+        v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+        scores = v @ c  # (n, C)
+        top = np.argsort(-scores, axis=1)[:, :n_probe]
+        return pd.Series(list(top.astype(np.int32)))
+
+    return pandas_udf(_cells, T.ArrayType(T.IntegerType()), PandasUDFType.SCALAR)
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Index build: → (id, cell).  One vectorized pass; at corpus scale
+    this table is what gets partitioned/bucketed BY cell so a probe
+    touches only its cells' partitions."""
+    cell = _cell_udf(centroids, 1)
+    return corpus.select(
+        F.col(id_col), cell(F.col(vec_col)).getItem(0).alias("cell")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 5,
+    n_probe: int = 4,
+    fill_min_candidates: Optional[int] = None,
+    assignment: Optional[DataFrame] = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF approximate top-k: probe the query's n_probe nearest cells,
+    exact-rescore only their members.  Starved queries (< max(k,
+    fill_min) candidates in the probed cells) fall back to an exact
+    scan, so every query returns k rows (same contract as lsh_topk).
+
+    Scale shape: candidate generation is an equi-join corpus_cells ⋈
+    broadcast(query probe cells) on `cell` — cost is Σ|probed cell|,
+    never corpus × queries.  Pass a precomputed `assignment` (the
+    persisted index) to skip the assignment pass.
+    """
+    fill_min = fill_min_candidates if fill_min_candidates is not None else 2 * k
+    cells = assignment if assignment is not None else ivf_assign(corpus, centroids, id_col, vec_col)
+    probe = _cell_udf(centroids, n_probe)
+    q_cells = queries.select(
+        F.col(query_id_col).alias("_qid"),
+        F.explode(probe(F.col(vec_col))).alias("cell"),
+    )
+    cand = (
+        cells.join(F.broadcast(q_cells), "cell")
+        .select(F.col("_qid").alias(query_id_col), F.col(id_col))
+        .dropDuplicates([query_id_col, id_col])
+    )
+    cand_counts = cand.groupBy(query_id_col).count()
+    starved = queries.join(
+        F.broadcast(cand_counts.filter(F.col("count") >= max(fill_min, k))),
+        query_id_col,
+        "left_anti",
+    ).select(query_id_col)
+    fallback = corpus.select(F.col(id_col)).crossJoin(F.broadcast(starved))
     all_cand = cand.unionByName(fallback).dropDuplicates([query_id_col, id_col])
 
     qv = queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec"))

@@ -109,6 +109,42 @@ def test_lsh_topk_starved_query_fill(spark):
     assert len(got) == 5
 
 
+def test_ivf_topk_recall_and_fill(spark):
+    """IVF index path: recall ≥ 0.9 vs exact brute force at n_probe <
+    n_centroids, k rows ALWAYS (starved queries fall back), and the
+    probe-all configuration is EXACT (candidates ≡ corpus)."""
+    from sosse_spark.operators.similarity import brute_force_topk, ivf_topk, ivf_train
+
+    emb = _embeddings(spark, n=200, dim=16)
+    queries = emb.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("query_id"), "embedding")
+    cents = ivf_train(emb, n_centroids=8, iters=5)
+    assert cents == ivf_train(emb, n_centroids=8, iters=5), "training is deterministic"
+    exact = {(r["query_id"], r["vec_id"]) for r in brute_force_topk(emb, queries, k=5).collect()}
+
+    got = ivf_topk(emb, queries, cents, k=5, n_probe=4).collect()
+    assert len(got) == 15  # k rows per query, no silent under-fill
+    approx = {(r["query_id"], r["vec_id"]) for r in got}
+    assert len(exact & approx) / len(exact) >= 0.9
+
+    all_probe = {
+        (r["query_id"], r["vec_id"]) for r in ivf_topk(emb, queries, cents, k=5, n_probe=8).collect()
+    }
+    assert all_probe == exact  # probing every cell ≡ exhaustive
+
+
+def test_ivf_assign_partitions_corpus(spark):
+    """Every vector lands in exactly one cell; cells are non-degenerate
+    on clustered data (index actually partitions the corpus)."""
+    from sosse_spark.operators.similarity import ivf_assign, ivf_train
+
+    emb = _embeddings(spark, n=200, dim=16)
+    cents = ivf_train(emb, n_centroids=8, iters=5)
+    cells = ivf_assign(emb, cents)
+    assert cells.count() == 200
+    n_cells = cells.select("cell").distinct().count()
+    assert n_cells >= 4, f"degenerate clustering: {n_cells} cells"
+
+
 def test_embedding_near_dup_recall_vs_bruteforce(spark):
     """Recall measured against numpy brute force at the OPERATING
     threshold (0.5 ⇒ θ≈60°, barely above random — the regime where the
