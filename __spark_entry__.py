@@ -533,6 +533,68 @@ def q_p14_content_filename(spark, sf_dir):
     return d.select("doc_id", content_filename(content.cast("binary"), mime).alias("filename"))
 
 
+def _snapshot_assets(spark, sf_dir):
+    """Synthetic fetched-asset rows for the P11 routing entries: one row
+    per distinct asset url (the reference's asset_urls set), content a
+    deterministic function of the url so DuckDB can recompute it.
+    Payload duplication across urls (aid vs aid+40 share content) makes
+    the content-hash fold observable."""
+    d = _docs(spark, sf_dir)
+    assets = d.select((F.col("doc_id") % 80).alias("aid")).distinct()
+    aid = F.col("aid")
+    return assets.select(
+        "aid",
+        F.concat(F.lit("http://cdn.example.com/a/"), aid.cast("string")).alias("asset_url"),
+        F.concat(
+            F.lit("asset-"), F.expr("repeat('x', CAST((aid % 40) * 37 % 400 AS INT))")
+        ).cast("binary").alias("content"),
+        F.when(aid % 4 == 0, F.lit("text/html"))
+        .when(aid % 4 == 1, F.lit("image/png"))
+        .when(aid % 4 == 2, F.lit("application/xml"))
+        .otherwise(F.lit("text/plain"))
+        .alias("mimetype"),
+        F.when(aid % 7 == 0, F.lit("ConnectionError")).alias("error"),
+    )
+
+
+def q_p11_snapshot_route(spark, sf_dir):
+    from sosse_spark.operators.snapshot import route_assets
+
+    routed = route_assets(
+        _snapshot_assets(spark, sf_dir),
+        max_size=300,
+        exclude_url_re="a/1[0-9]$",
+        exclude_mime_re="^application/xml$",
+    )
+    return routed.select("asset_url", "stored", "filename", "ref")
+
+
+def q_p11_snapshot_refcount(spark, sf_dir):
+    from sosse_spark.operators.snapshot import route_assets, snapshot_refcounts
+
+    d = _docs(spark, sf_dir)
+    refs = d.select(
+        F.concat(F.lit("d"), F.col("doc_id").cast("string")).alias("doc_url"),
+        F.concat(F.lit("http://cdn.example.com/a/"), (F.col("doc_id") % 80).cast("string")).alias("asset_url"),
+    ).unionByName(
+        d.select(
+            F.concat(F.lit("d"), F.col("doc_id").cast("string")).alias("doc_url"),
+            F.concat(
+                F.lit("http://cdn.example.com/a/"), ((F.col("doc_id") * 3) % 80).cast("string")
+            ).alias("asset_url"),
+        )
+    )
+    routed = route_assets(
+        _snapshot_assets(spark, sf_dir),
+        max_size=300,
+        exclude_url_re="a/1[0-9]$",
+        exclude_mime_re="^application/xml$",
+    )
+    return snapshot_refcounts(refs, routed).select(
+        "filename", F.col("ref_count").cast("long").alias("ref_count")
+    )
+
+
 def q_q11_csv_export_order(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
         "ts", F.col("ts").cast("timestamp")
@@ -727,6 +789,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p12_cache_gate": q_p12_cache_gate,
         "p13_asset_gc": q_p13_asset_gc,
         "p14_content_filename": q_p14_content_filename,
+        "p11_snapshot_route": q_p11_snapshot_route,
+        "p11_snapshot_refcount": q_p11_snapshot_refcount,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -789,6 +853,55 @@ def oracle_sql() -> dict[str, str]:
                   WHEN 'application/xml' THEN '.xml'
                   WHEN 'text/plain' THEN '.txt'
                   ELSE '.bin' END"""
+
+    # P11 snapshot-route oracle: recompute the synthetic asset rows and
+    # the full routing CASE algebra (mirrors operators/snapshot.py
+    # route_assets and _snapshot_assets above)
+    _P11_CTE = """
+        WITH a AS (SELECT DISTINCT doc_id % 80 AS aid FROM documents),
+        b AS (
+          SELECT aid,
+            'http://cdn.example.com/a/' || CAST(aid AS VARCHAR) AS asset_url,
+            'asset-' || repeat('x', CAST((aid % 40) * 37 % 400 AS INT)) AS content,
+            CASE WHEN aid % 4 = 0 THEN 'text/html'
+                 WHEN aid % 4 = 1 THEN 'image/png'
+                 WHEN aid % 4 = 2 THEN 'application/xml'
+                 ELSE 'text/plain' END AS mimetype,
+            CASE WHEN aid % 7 = 0 THEN 'ConnectionError' END AS error
+          FROM a),
+        r AS (
+          SELECT asset_url, mimetype,
+            (error IS NOT NULL OR length(content) > 300) AS is_err,
+            regexp_matches(asset_url, 'a/1[0-9]$') AS excl_url,
+            regexp_matches(mimetype, '^application/xml$') AS excl_mime,
+            mimetype = 'text/html' AS is_html,
+            CASE WHEN (error IS NOT NULL OR length(content) > 300)
+                 THEN 'An error occured while downloading ' || asset_url || ':'
+                      || chr(10) || coalesce(error, 'PageTooBig')
+                 ELSE content END AS eff_content,
+            CASE WHEN (error IS NOT NULL OR length(content) > 300)
+                 THEN 'text/plain' ELSE mimetype END AS eff_mime
+          FROM b),
+        f AS (
+          SELECT asset_url, is_err, excl_url, excl_mime, is_html,
+            substr(substr(md5(eff_content), 1, 10) ||
+              CASE eff_mime WHEN 'image/png' THEN '.png'
+                   WHEN 'application/xml' THEN '.xml'
+                   WHEN 'text/plain' THEN '.txt'
+                   WHEN 'text/html' THEN '.html'
+                   ELSE '.bin' END, 1, 64) AS fname
+          FROM r),
+        routed AS (
+          SELECT asset_url,
+            (NOT excl_url AND (is_err OR (NOT is_html AND NOT excl_mime))) AS stored,
+            CASE WHEN (NOT excl_url AND (is_err OR (NOT is_html AND NOT excl_mime)))
+                 THEN fname END AS filename,
+            CASE WHEN excl_url THEN '/html/excluded/url'
+                 WHEN is_err THEN '/snap/' || fname
+                 WHEN is_html THEN '/html/' || asset_url
+                 WHEN excl_mime THEN '/html/excluded/mime'
+                 ELSE '/snap/' || fname END AS ref
+          FROM f)"""
 
     lang_counts = {
         "en": ["the", "and", "of", "to", "is", "in", "that", "with"],
@@ -1046,6 +1159,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
             FROM p a JOIN p b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.phash, b.phash)) <= 2""",
+        "p11_snapshot_route": _P11_CTE + """
+            SELECT asset_url, stored, filename, ref FROM routed""",
+        "p11_snapshot_refcount": _P11_CTE + """
+            , refs AS (
+              SELECT 'd' || CAST(doc_id AS VARCHAR) AS doc_url,
+                     'http://cdn.example.com/a/' || CAST(doc_id % 80 AS VARCHAR) AS asset_url
+              FROM documents
+              UNION ALL
+              SELECT 'd' || CAST(doc_id AS VARCHAR),
+                     'http://cdn.example.com/a/' || CAST((doc_id * 3) % 80 AS VARCHAR)
+              FROM documents)
+            SELECT filename, CAST(count(*) AS BIGINT) AS ref_count
+            FROM refs JOIN routed USING (asset_url)
+            WHERE routed.stored
+            GROUP BY filename""",
         "p1_mimetype_sniff": f"SELECT doc_id, {sniff} AS mimetype FROM documents",
         "p12_cache_gate": _F_CTE
         + f"""SELECT id,
