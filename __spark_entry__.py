@@ -306,6 +306,26 @@ def q_f2_url_canonicalize(spark, sf_dir):
     )
 
 
+def q_f30_stats_rollup(spark, sf_dir):
+    from sosse_spark.operators.stats import crawler_stats_rollup
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    t = F.col("ts").cast("timestamp")
+    # doc_count monotonic in t (floor(epoch)) so the daily max_by "last
+    # value" pick is tie-proof across engines; floor() before the long
+    # casts because Spark truncates double->long while DuckDB rounds
+    minutely = ev.select(
+        t.alias("t"),
+        F.floor(F.unix_micros(t) / F.lit(1000000)).cast("long").alias("doc_count"),
+        (F.col("event_id") % 1000).cast("long").alias("queued_url"),
+        F.floor(F.col("value") * 10).cast("long").alias("indexing_speed"),
+    )
+    out = crawler_stats_rollup(minutely, _now_col())
+    return out.select(
+        "freq", F.unix_micros("t").alias("t_us"), "doc_count", "queued_url", "indexing_speed"
+    )
+
+
 def q_f30_queue_metrics(spark, sf_dir):
     f = _frontier_from_events(spark, sf_dir)
     now = _now_col()
@@ -772,6 +792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f26_change_hash": q_f26_change_hash,
         "f2_url_canonicalize": q_f2_url_canonicalize,
         "f30_queue_metrics": q_f30_queue_metrics,
+        "f30_stats_rollup": q_f30_stats_rollup,
         "q2_filter_predicates": q_q2_filter_predicates,
         "q3_multifield_or": q_q3_multifield_or,
         "q4_linkgraph_semijoin": q_q4_linkgraph_semijoin,
@@ -1058,6 +1079,23 @@ def oracle_sql() -> dict[str, str]:
                count(*) FILTER ((crawl_last IS NULL OR crawl_next <= TIMESTAMP '{NOW}')
                                 AND retries <= {CRASH_RETRY} AND worker_no IS NULL) AS pending
              FROM f""",
+        "f30_stats_rollup": f"""
+            WITH m AS (
+              SELECT ts AS t,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS doc_count,
+                     CAST(event_id % 1000 AS BIGINT) AS queued_url,
+                     CAST(floor(value * 10) AS BIGINT) AS indexing_speed
+              FROM events)
+            SELECT 'M' AS freq, epoch_us(t) AS t_us, doc_count, queued_url, indexing_speed
+            FROM m WHERE t >= TIMESTAMP '{NOW}' - INTERVAL 24 HOUR
+            UNION ALL
+            SELECT 'D', epoch_us(d), doc_count, queued_url, indexing_speed FROM (
+              SELECT date_trunc('day', t) AS d,
+                     max_by(doc_count, t) AS doc_count,
+                     max(queued_url) AS queued_url,
+                     sum(indexing_speed) AS indexing_speed
+              FROM m GROUP BY date_trunc('day', t))
+            WHERE d >= TIMESTAMP '{NOW}' - INTERVAL 365 DAY""",
         "q2_filter_predicates": """
             SELECT doc_id FROM documents
             WHERE contains(lower(text), lower('SPARK'))
