@@ -1116,6 +1116,9 @@ def oracle_sql() -> dict[str, str]:
         "q10_mime_stats": """
             SELECT coalesce(source, '<none>') AS mimetype, count(*) AS doc_count
             FROM documents GROUP BY 1 ORDER BY doc_count DESC, mimetype ASC""",
+        # segment-aware ancestor semantics (the '/'-path spelling of
+        # treebeard's fixed-width levels): each tag contributes to every
+        # '/'-boundary prefix of its own path
         "q10_tag_rollup": """
             WITH tags(tag_id, path) AS (
               VALUES ('src0','a'),('src1','a/b'),('src2','a/b/c'),('src3','d'),('src4','d/e')),
@@ -1123,7 +1126,12 @@ def oracle_sql() -> dict[str, str]:
             t AS (SELECT tags.tag_id, path, coalesce(direct_count, 0) AS direct_count
                   FROM tags LEFT JOIN dt ON tags.tag_id = dt.tag_id)
             SELECT a.tag_id, a.path, a.direct_count,
-                   CAST((SELECT sum(d.direct_count) FROM t d WHERE starts_with(d.path, a.path)) AS BIGINT) AS rolled_count
+                   CAST((SELECT sum(d.direct_count) FROM t d
+                         WHERE list_contains(
+                           list_transform(
+                             generate_series(1, len(string_split(d.path, '/'))),
+                             i -> array_to_string(list_slice(string_split(d.path, '/'), 1, i), '/')),
+                           a.path)) AS BIGINT) AS rolled_count
             FROM t a""",
         "q11_csv_export_order": """
             SELECT ROW_NUMBER() OVER (ORDER BY ts DESC, event_id ASC) AS rank,

@@ -155,7 +155,10 @@ class RestApi:
         )
         subtree = (
             self.tags.join(
-                F.broadcast(matched), F.col("path").startswith(F.col("m_path")), "left_semi"
+                F.broadcast(matched),
+                (F.col("path") == F.col("m_path"))
+                | F.col("path").startswith(F.concat(F.col("m_path"), F.lit("/"))),
+                "left_semi",
             )
             .select("tag_id")
         )

@@ -90,9 +90,12 @@ def linked_by(docs: DataFrame, links: DataFrame, pred: Column) -> DataFrame:
 
 def tag_subtree_filter(docs: DataFrame, doc_tags: DataFrame, tags: DataFrame, tag_path: str) -> DataFrame:
     """Q5: tag match expands to the whole subtree — materialized-path
-    semantics: every tag whose path starts with the target's path
-    (se/tag.py treebeard MP_Node)."""
-    subtree = tags.filter(F.col("path").startswith(tag_path)).select("tag_id")
+    semantics: the tag itself plus every tag under it at a '/' segment
+    boundary (se/tag.py treebeard MP_Node; segment-aware so 'a' never
+    claims 'ab')."""
+    subtree = tags.filter(
+        (F.col("path") == tag_path) | F.col("path").startswith(tag_path + "/")
+    ).select("tag_id")
     tagged = doc_tags.join(F.broadcast(subtree), "tag_id", "left_semi").select("url").distinct()
     return docs.join(tagged, "url", "left_semi")
 
@@ -127,22 +130,38 @@ def mime_stats(docs: DataFrame, mime_col: str = "fmt") -> DataFrame:
     )
 
 
+def _ancestor_paths(path: Column) -> Column:
+    """'a/b/c' → ['a', 'a/b', 'a/b/c'] — every ancestor prefix at '/'
+    segment boundaries (the '/'-separated spelling of treebeard's
+    fixed-width MP_Node levels; segment-aware, so 'a' never claims
+    'ab')."""
+    segs = F.split(path, "/")
+    return F.transform(
+        F.sequence(F.lit(1), F.size(segs)),
+        lambda i: F.array_join(F.slice(segs, 1, i), "/"),
+    )
+
+
 def tag_rollup(tags: DataFrame, doc_tags: DataFrame) -> DataFrame:
     """Q10 tag-tree rollup (se/tag.py:52-82): per-tag direct doc counts,
-    then bottom-up accumulation into ancestors via the materialized-path
-    prefix join — each tag's rolled count = Σ direct counts of its
-    subtree."""
+    then bottom-up accumulation into ancestors.
+
+    Scale shape: each tag explodes into its ancestor-prefix list and the
+    rollup is one EQUI-join groupBy on the ancestor path — linear in
+    Σ tree depth, never the CartesianProduct a raw startswith prefix
+    join plans."""
     direct = doc_tags.groupBy("tag_id").agg(F.count("*").alias("direct_count"))
     t = tags.join(direct, "tag_id", "left").fillna({"direct_count": 0})
-    anc = t.select(F.col("tag_id").alias("anc_id"), F.col("path").alias("anc_path"))
-    desc = t.select(F.col("path").alias("desc_path"), F.col("direct_count").alias("dc"))
     rolled = (
-        anc.join(desc, desc["desc_path"].startswith(anc["anc_path"]))
-        .groupBy("anc_id")
+        t.select(
+            F.explode(_ancestor_paths(F.col("path"))).alias("anc_path"),
+            F.col("direct_count").alias("dc"),
+        )
+        .groupBy("anc_path")
         .agg(F.sum("dc").alias("rolled_count"))
     )
     return (
-        t.join(rolled, t["tag_id"] == rolled["anc_id"], "left")
+        t.join(rolled, t["path"] == rolled["anc_path"], "left")
         .select("tag_id", "path", "direct_count", F.coalesce("rolled_count", F.lit(0)).alias("rolled_count"))
         .orderBy("path")
     )

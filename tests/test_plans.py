@@ -183,6 +183,25 @@ def test_minhash_band_exchange_is_thin(spark):
     assert band_exchanges >= 1
 
 
+def test_tag_rollup_is_equi_join(spark):
+    """The tree rollup must be the ancestor-explode equi-join, never the
+    CartesianProduct a raw startswith prefix join plans — and the
+    '/'-segment semantics must not let 'a' claim 'ab'."""
+    from sosse_spark.operators.search import tag_rollup
+
+    tags = spark.createDataFrame(
+        [("t1", "a"), ("t2", "a/b"), ("t3", "ab")], "tag_id string, path string"
+    )
+    doc_tags = spark.createDataFrame(
+        [("u1", "t2"), ("u2", "t3")], "url string, tag_id string"
+    )
+    out = tag_rollup(tags, doc_tags)
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
+    got = {r.tag_id: r.rolled_count for r in out.collect()}
+    assert got == {"t1": 1, "t2": 1, "t3": 1}  # 'ab' does NOT roll into 'a'
+
+
 def test_phash_hamming_equi_join_and_recall(spark):
     """Image phash near-dup: pigeonhole chunk join must be an equi-join
     (no all-pairs), and recall must be 1 at the requested distance by
