@@ -125,6 +125,20 @@ class CrawlEngine:
         """Project to the exact frontier schema/column order."""
         return df.select(*[F.col(f.name).cast(f.dataType) for f in FRONTIER_SCHEMA.fields])
 
+    @staticmethod
+    def _with_schema_defaults(df: Optional[DataFrame]) -> Optional[DataFrame]:
+        """Schema evolution on resume: a frontier snapshot written by an
+        older engine may lack newer nullable columns (e.g. `tags`) —
+        fill them with NULLs so the round algebra and MERGE see the
+        current schema."""
+        if df is None:
+            return None
+        have = set(df.columns)
+        for f in FRONTIER_SCHEMA.fields:
+            if f.name not in have:
+                df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+        return df
+
     def seed(self, urls: list[str], t: datetime, manual: bool = False) -> None:
         """Insert seed URLs (parity: Document.manual_queue,
         se/document.py:586-601 — seeds admitted with full depth)."""
@@ -141,7 +155,7 @@ class CrawlEngine:
             .withColumn("collection_id", F.lit(self.policy.collection_id))
             .withColumn("crawl_recurse", F.lit(self.policy.recursion_depth))
         )
-        existing = self.frontier.read(self.spark)
+        existing = self._with_schema_defaults(self.frontier.read(self.spark))
         prev_bloom = self.bloom.read(self.spark)
         new = urlseen_dedup(df, existing, prev_bloom, self.bloom_bits)
         # two seed() calls before the first round must not reuse ranks:
@@ -221,7 +235,7 @@ class CrawlEngine:
         spark = self.spark
         now_col = F.lit(t).cast("timestamp")
 
-        frontier = self.frontier.read(spark)
+        frontier = self._with_schema_defaults(self.frontier.read(spark))
         if frontier is None:
             return None
         frontier = frontier.cache()
@@ -719,7 +733,7 @@ class CrawlEngine:
         from sosse_spark.functions.urlnorm import sanitize_url
 
         self._repair()
-        frontier = self.frontier.read(self.spark)
+        frontier = self._with_schema_defaults(self.frontier.read(self.spark))
         if frontier is None:
             return
         targets = [sanitize_url(u) for u in urls]

@@ -175,3 +175,27 @@ def test_cross_collection_longest_match_wins(spark):
     )
     got = {r["url"]: r["collection_id"] for r in route_cross_collection(rejected, policies, src).collect()}
     assert got == {"http://a.com/deep/x": 2, "http://a.com/shallow": 1}
+
+
+def test_frontier_schema_evolution_on_resume(spark):
+    """A snapshot written before a nullable column existed (e.g. `tags`)
+    must read back with NULL defaults — resume never requires a table
+    rewrite (CrawlEngine._with_schema_defaults)."""
+    from pyspark.sql import functions as F
+
+    from sosse_spark.operators.frontier import FRONTIER_SCHEMA
+    from sosse_spark.streaming.crawl_loop import CrawlEngine
+
+    assert CrawlEngine._with_schema_defaults(None) is None
+    old_cols = [f for f in FRONTIER_SCHEMA.fields if f.name not in ("tags", "payload_date")]
+    row = {f.name: None for f in old_cols}
+    row.update(url="u", url_hash=1, bucket=0, collection_id=1, id=1,
+               manual_crawl=False, retries=0, robotstxt_rejected=False)
+    import pyspark.sql.types as T
+
+    df = spark.createDataFrame([tuple(row[f.name] for f in old_cols)], T.StructType(old_cols))
+    out = CrawlEngine._with_schema_defaults(df)
+    assert set(out.columns) >= {f.name for f in FRONTIER_SCHEMA.fields}
+    got = out.select("url", "tags", "payload_date").collect()[0]
+    assert got["url"] == "u" and got["tags"] is None and got["payload_date"] is None
+    assert dict(out.dtypes)["tags"] == "array<string>"
