@@ -1093,7 +1093,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT date_trunc('day', t) AS d,
                      max_by(doc_count, t) AS doc_count,
                      max(queued_url) AS queued_url,
-                     sum(indexing_speed) AS indexing_speed
+                     CAST(sum(indexing_speed) AS BIGINT) AS indexing_speed
               FROM m GROUP BY date_trunc('day', t))
             WHERE d >= TIMESTAMP '{NOW}' - INTERVAL 365 DAY""",
         "q2_filter_predicates": """
