@@ -314,7 +314,8 @@ def ngram_jaccard_pairs(
     """
     # staged toks→grams projections (see minhash_lsh_pairs: CollapseProject
     # would otherwise inline the split into the shingle lambda — O(tokens)
-    # re-eval per shingle element)
+    # re-eval per shingle element); persisted so the thin block join and
+    # the two gram join-backs share one corpus pass
     toks_df = df.select(
         F.col(id_col).alias("_id"),
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("toks"),
@@ -333,8 +334,13 @@ def ngram_jaccard_pairs(
             F.col("toks").getItem(0),
             (F.size("toks") / len_band).cast("int").cast("string"),
         ).alias("blk"),
-    ).withColumn("gs", F.size("g"))
-    a, b = grams.alias("a"), grams.alias("b")
+    ).withColumn("gs", F.size("g")).persist()
+
+    # THIN block join: only the scalars (_id, blk, gs) ride both sides of
+    # the candidate shuffle — the gram arrays (≈ the documents) never do.
+    # Same treatment as the MinHash band join (dedup.py:122-158).
+    thin = grams.select("_id", "blk", "gs")
+    a, b = thin.alias("a"), thin.alias("b")
     cand = a.join(
         b,
         (F.col("a.blk") == F.col("b.blk"))
@@ -344,14 +350,23 @@ def ngram_jaccard_pairs(
             F.least(F.col("a.gs"), F.col("b.gs"))
             >= F.greatest(F.col("a.gs"), F.col("b.gs")) * threshold
         ),
-    )
-    pairs = cand.select(
-        F.col("a._id").alias("id_a"),
-        F.col("b._id").alias("id_b"),
-        (
-            F.size(F.array_intersect("a.g", "b.g"))
-            / F.size(F.array_union("a.g", "b.g"))
-        ).alias("jaccard"),
+    ).select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+
+    # gram arrays join back ONCE per side, post-prefilter, for the exact
+    # intersect/union — each candidate id is an equi-join probe, so only
+    # grams of surviving candidates ever shuffle
+    g = grams.select("_id", "g")
+    pairs = (
+        cand.join(g.select(F.col("_id").alias("id_a"), F.col("g").alias("g_a")), "id_a")
+        .join(g.select(F.col("_id").alias("id_b"), F.col("g").alias("g_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("g_a", "g_b"))
+                / F.size(F.array_union("g_a", "g_b"))
+            ).alias("jaccard"),
+        )
     )
     return pairs.filter(F.col("jaccard") >= threshold).select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")

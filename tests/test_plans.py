@@ -183,6 +183,45 @@ def test_minhash_band_exchange_is_thin(spark):
     assert band_exchanges >= 1
 
 
+def test_ngram_block_exchange_is_thin(spark):
+    """The exchange feeding the ngram block self-join must carry only
+    scalar columns (_id, blk, gs) — the gram arrays join back per
+    verified candidate, never riding the candidate shuffle."""
+    from sosse_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {i}") for i in range(10)], "doc_id long, text string"
+    )
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        out = ngram_jaccard_pairs(docs, "text", "doc_id", n=2, threshold=0.2)
+        root = out._jdf.queryExecution().executedPlan()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+
+    def walk(node):
+        yield node
+        ch = node.children()
+        for i in range(ch.size()):
+            yield from walk(ch.apply(i))
+
+    block_exchanges = 0
+    for node in walk(root):
+        if "ShuffleExchange" not in node.getClass().getSimpleName():
+            continue
+        if "blk" not in node.outputPartitioning().toString():
+            continue
+        block_exchanges += 1
+        cols = node.child().output()
+        names = [cols.apply(i).name() for i in range(cols.size())]
+        assert "g" not in names, f"gram array rides the block exchange: {names}"
+    assert block_exchanges >= 1
+
+
 def test_tag_rollup_is_equi_join(spark):
     """The tree rollup must be the ancestor-explode equi-join, never the
     CartesianProduct a raw startswith prefix join plans — and the
