@@ -68,13 +68,22 @@ def _validate_kernel(batches):
 def ingest_stream(spark: SparkSession, input_dir: str) -> DataFrame:
     """readStream over a corpus drop directory → validated rows (single
     source scan; PSNR ≥ 40 is part of the ingest gate per the north
-    rule's decoded-pixel invariant — NaN/None psnr rows fail it)."""
+    rule's decoded-pixel invariant — NaN/None psnr rows fail it).
+
+    Cross-batch dedup is Spark's stateful streaming dropDuplicates:
+    seen image_ids live in the state store (checkpointed, restart-safe),
+    so each micro-batch pays one state lookup per row — the sink is
+    NEVER rescanned, unlike a per-batch anti-join against the output
+    directory, whose cost grows with everything ever ingested.  Dedup
+    runs BEFORE validation so duplicate payloads are not re-decoded.
+    """
     raw = (
         spark.readStream.schema(CORPUS_STRUCT)
         .option("maxFilesPerTrigger", 8)
         .parquet(input_dir)
     )
-    validated = raw.mapInPandas(_validate_kernel, _VALIDATED_SCHEMA)
+    deduped = raw.dropDuplicates(["image_id"])
+    validated = deduped.mapInPandas(_validate_kernel, _VALIDATED_SCHEMA)
     return validated.withColumn(
         "ingested_ok",
         F.col("decode_ok") & F.col("phash_match") & (F.coalesce(F.col("psnr_db"), F.lit(0.0)) >= 40.0),
@@ -93,17 +102,21 @@ def run_ingest_available_now(
     validated = ingest_stream(spark, input_dir)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        deduped = batch_df.dropDuplicates(["image_id"])
-        # cross-batch dedup: anti-join against ids already in the sink
-        # (within-batch dropDuplicates alone is not "streaming-deduped")
-        try:
-            existing = batch_df.sparkSession.read.parquet(output_dir).select("image_id")
-            deduped = deduped.join(existing, "image_id", "left_anti")
-        except Exception:
-            pass  # first batch: sink does not exist yet
-        n = deduped.count()
-        ok = deduped.filter(F.col("ingested_ok")).count()
-        deduped.filter(F.col("ingested_ok")).write.mode("append").parquet(output_dir)
+        # cross-batch dedup already happened upstream in the stateful
+        # streaming dropDuplicates — batch_df carries only first-ever
+        # occurrences.  Crash replay: foreachBatch side effects are
+        # at-least-once, so the write must be idempotent — one OVERWRITE
+        # directory per micro-batch id means a batch retried after a
+        # crash mid-write rewrites its own dir and the sink stays
+        # exactly-once, with no sink rescan/anti-join on any path.
+        batch_df.persist()
+        n = batch_df.count()
+        ok_rows = batch_df.filter(F.col("ingested_ok"))
+        ok_rows.write.mode("overwrite").parquet(
+            os.path.join(output_dir, f"ingest_batch={batch_id}")
+        )
+        ok = ok_rows.count()
+        batch_df.unpersist()
         if metrics_path:
             with open(metrics_path, "a") as fh:
                 fh.write(

@@ -5,17 +5,24 @@ The BSP engine dedups per round against the frontier snapshot
 (operators/frontier.py); when discovered URLs arrive as a STREAM, the
 idiomatic shape is per-bucket state in the state store: group by the
 url-hash bucket, keep the bucket's seen-set as state, emit only
-first-occurrences.  Exactness matters (the URL-seen invariant forbids
-dropping a URL on a filter positive alone — CLAUDE.md), so the state is
-the exact int64 hash set packed as one binary blob; a numpy isin probe
-per Arrow batch keeps the kernel vectorized.
+first-occurrences.
+
+Identity is EXACT (url, collection_id) — the same identity the batch
+engine's anti-join uses (frontier.py urlseen_dedup), so the same URL
+in a second collection admits per-collection.  The state holds two
+blobs per bucket: an int64 pair-hash array (the fast-path prefilter —
+one vectorized isin per Arrow batch) and the zlib-packed exact key
+set.  A hash positive falls through to the exact key check (the same
+invariant the batch bloom obeys: a filter positive alone must never
+drop a distinct URL), so an int64 collision cannot lose a URL.
 
 Scale shape: state is partitioned by bucket exactly like the batch
 engine's bloom blobs — each task owns its buckets' state, nothing is
 broadcast, and the state store checkpoint makes the dedup resumable
-across restarts (tested).  At 10^10 URLs the per-bucket blob is the
-same ~GB-scale object the snapshot bloom manages; the batch engine
-remains the bulk path, this operator serves continuous drip ingest.
+across restarts (tested).  Per batch each touched bucket rewrites its
+state blob, the same O(bucket state) cost profile as the snapshot
+bloom; the batch engine remains the bulk path, this operator serves
+continuous drip ingest.
 """
 
 from __future__ import annotations
@@ -30,7 +37,12 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 __all__ = ["streaming_urlseen", "URLSEEN_STATE_SCHEMA"]
 
-URLSEEN_STATE_SCHEMA = T.StructType([T.StructField("seen_hashes", T.BinaryType())])
+URLSEEN_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("seen_hashes", T.BinaryType()),
+        T.StructField("seen_keys", T.BinaryType()),
+    ]
+)
 
 _OUT_SCHEMA = T.StructType(
     [
@@ -45,42 +57,63 @@ _OUT_SCHEMA = T.StructType(
 def _dedupe_kernel(
     key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
+    import zlib
+
     import numpy as np
 
     if state.exists:
-        (blob,) = state.get
-        seen = np.frombuffer(blob, dtype=np.int64)
+        hash_blob, key_blob = state.get
+        seen_hashes = np.frombuffer(hash_blob, dtype=np.int64)
+        exact = (
+            set(zlib.decompress(key_blob).decode("utf-8").split("\n")) if key_blob else set()
+        )
     else:
-        seen = np.empty(0, dtype=np.int64)
+        seen_hashes = np.empty(0, dtype=np.int64)
+        exact = set()
 
-    new_hashes = [seen]
+    hash_parts = [seen_hashes]
+    n_exact_before = len(exact)
     for pdf in pdfs:
-        h = pdf["url_hash"].to_numpy(dtype=np.int64)
-        # unseen vs state AND first occurrence within the batch
-        first_in_batch = ~pd.Series(h).duplicated().to_numpy()
-        fresh = ~np.isin(h, seen) & first_in_batch
-        # also drop repeats across pdfs of this same group/batch
-        if len(new_hashes) > 1:
-            fresh &= ~np.isin(h, np.concatenate(new_hashes[1:]))
+        keys = (pdf["collection_id"].astype(str) + "|" + pdf["url"].astype(str)).to_numpy()
+        h = pdf["pair_hash"].to_numpy(dtype=np.int64)
+        first_in_batch = ~pd.Series(keys).duplicated().to_numpy()
+        maybe_seen = np.isin(h, np.concatenate(hash_parts))
+        fresh = first_in_batch & ~maybe_seen
+        # hash positives fall through to the EXACT key check — a pair-
+        # hash collision must not drop a distinct (url, collection_id)
+        collide_idx = np.where(first_in_batch & maybe_seen)[0]
+        if collide_idx.size:
+            exact_fresh = np.array([keys[i] not in exact for i in collide_idx])
+            fresh[collide_idx[exact_fresh]] = True
         if fresh.any():
-            new_hashes.append(h[fresh])
+            hash_parts.append(h[fresh])
+            exact.update(keys[fresh].tolist())
             yield pdf.loc[fresh, ["bucket", "url", "url_hash", "collection_id"]]
 
-    merged = np.concatenate(new_hashes)
-    state.update((merged.tobytes(),))
+    if len(hash_parts) > 1 or len(exact) != n_exact_before:
+        state.update(
+            (
+                np.concatenate(hash_parts).tobytes(),
+                zlib.compress("\n".join(sorted(exact)).encode("utf-8")),
+            )
+        )
 
 
-def streaming_urlseen(urls: DataFrame) -> DataFrame:
+def streaming_urlseen(urls: DataFrame, n_buckets: int = 16) -> DataFrame:
     """urls: streaming DataFrame with (url, collection_id) — returns the
-    first-ever occurrence of each url_hash across ALL micro-batches
-    (state-store backed, restart-safe).
+    first-ever occurrence of each exact (url, collection_id) pair
+    across ALL micro-batches (state-store backed, restart-safe).
 
-    Input may be raw (url, collection_id); bucket/url_hash are derived
-    here exactly as the batch engine derives them so the two paths
-    agree on identity.
+    bucket/url_hash are derived here exactly as the batch engine
+    derives them — pmod(xxhash64(url), n_buckets) — so the emitted
+    bucket column lines up with the frontier's bucket-granular commit
+    when the caller passes the engine's n_buckets (default 16, the
+    CrawlEngine default).
     """
-    keyed = urls.withColumn("url_hash", F.xxhash64("url")).withColumn(
-        "bucket", F.pmod(F.col("url_hash"), F.lit(64)).cast("int")
+    keyed = (
+        urls.withColumn("url_hash", F.xxhash64("url"))
+        .withColumn("bucket", F.pmod(F.col("url_hash"), F.lit(n_buckets)).cast("int"))
+        .withColumn("pair_hash", F.xxhash64("url", "collection_id"))
     )
     return keyed.groupBy("bucket").applyInPandasWithState(
         _dedupe_kernel,

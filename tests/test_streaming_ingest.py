@@ -33,3 +33,14 @@ def test_ingest_available_now_exactly_once(spark, tmp_root):
     # third run with nothing new: no duplicates appended
     run_ingest_available_now(spark, input_dir, output_dir, ckpt, metrics)
     assert spark.read.parquet(output_dir).count() == 35
+
+    # fourth drop REPLAYS already-ingested image_ids in new files: the
+    # stateful streaming dropDuplicates (state-store backed, restart-
+    # safe) must drop them without ever rescanning the sink
+    corpus_df(spark, 10, partitions=1).write.mode("append").parquet(input_dir)
+    run_ingest_available_now(spark, input_dir, output_dir, ckpt, metrics)
+    out4 = spark.read.parquet(output_dir)
+    assert out4.count() == 35
+    assert out4.select("image_id").distinct().count() == 35
+    # the dedup state lives in the streaming state store, not the sink
+    assert os.path.isdir(os.path.join(ckpt, "state"))
