@@ -1166,7 +1166,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT url,
                    '<entry><title>' ||
                    replace(replace(replace(title, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')
-                   || '</title><link href="' || url || '"/><id>' || url
+                   || '</title><link href="' ||
+                   replace(replace(replace(replace(url, '&', '&amp;'), '<', '&lt;'), '>', '&gt;'), '"', '&quot;')
+                   || '"/><id>' ||
+                   replace(replace(replace(replace(url, '&', '&amp;'), '<', '&lt;'), '>', '&gt;'), '"', '&quot;')
                    || '</id><updated>' || strftime(updated, '%Y-%m-%dT%H:%M:%SZ')
                    || '</updated></entry>' AS entry
             FROM (

@@ -200,8 +200,9 @@ class RestApi:
 
     # -- /api/queue/ ---------------------------------------------------------
 
-    def queue(self, engine, urls: list[str], manual: bool = True) -> None:
+    def queue(self, engine, urls: list[str], t, manual: bool = True) -> None:
         """POST /api/queue/ → queue_urls (se/rest_api.py:606-634,
         se/add_to_queue.py:59-89) — delegates to the crawl engine's seed
-        upsert (F31/F32)."""
-        engine.seed(urls, manual=manual)
+        upsert (F31/F32).  ``t`` is the engine's injected logical clock
+        (crawl_loop.py seed) — the API stays wall-clock-free too."""
+        engine.seed(urls, t, manual=manual)

@@ -177,9 +177,14 @@ def snippet_headline(
 
     The reference remaps sentinel markers from normalized back to
     original text; here the snippet is cut from the original text
-    directly.  `term` must be regex-safe (single word).  Pure column
-    algebra — locate/substring/regexp_replace, all codegen'd.
+    directly.  The term is regex-escaped before the highlight pattern
+    is built, so user terms with metacharacters ('c++', '1.5)') match
+    literally — agreeing with the literal locate() that finds the
+    window.  Pure column algebra — locate/substring/regexp_replace,
+    all codegen'd.
     """
+    import re as _re
+
     pos = F.locate(term.lower(), F.lower(F.col(text_col)))
     start = F.greatest(pos - window, F.lit(1))
     snip = F.substring(F.col(text_col), start, window * 2 + len(term))
@@ -187,7 +192,7 @@ def snippet_headline(
         docs.withColumn("_pos", pos)
         .filter(F.col("_pos") > 0)
         .withColumn(
-            "snippet", F.regexp_replace(snip, f"(?i)({term})", "<b>$1</b>")
+            "snippet", F.regexp_replace(snip, f"(?i)({_re.escape(term)})", "<b>$1</b>")
         )
         .drop("_pos")
     )
@@ -202,18 +207,24 @@ def atom_feed_entries(
 ) -> DataFrame:
     """Q12: Atom feed export (se/atom.py:36-147) — the same ranked query
     rendered as one <entry> XML string per row, newest first.  XML
-    escaping covers & < > (ampersand first); timestamps in RFC-3339 Z
-    form as the reference's template emits."""
+    escaping covers & < > (ampersand first) on the title AND the url —
+    crawled URLs routinely carry '&' in query strings, which would
+    otherwise emit invalid XML — plus '"' on the url for the href
+    attribute; timestamps in RFC-3339 Z form as the reference's
+    template emits."""
     esc = F.col(title_col)
     for a, b in (("&", "&amp;"), ("<", "&lt;"), (">", "&gt;")):
         esc = F.replace(esc, F.lit(a), F.lit(b))
+    url_esc = F.col(url_col)
+    for a, b in (("&", "&amp;"), ("<", "&lt;"), (">", "&gt;"), ('"', "&quot;")):
+        url_esc = F.replace(url_esc, F.lit(a), F.lit(b))
     entry = F.concat(
         F.lit("<entry><title>"),
         esc,
         F.lit('</title><link href="'),
-        F.col(url_col),
+        url_esc,
         F.lit('"/><id>'),
-        F.col(url_col),
+        url_esc,
         F.lit("</id><updated>"),
         F.date_format(F.col(updated_col), "yyyy-MM-dd'T'HH:mm:ss'Z'"),
         F.lit("</updated></entry>"),

@@ -113,6 +113,52 @@ def test_stats_endpoints(api):
     assert api.document("http://a/2").count() == 1
 
 
+def test_queue_passes_logical_clock_through(api):
+    """POST /api/queue/ delegates to CrawlEngine.seed(urls, t, manual=…)
+    — the logical clock rides through so the API stays wall-clock-free."""
+    from datetime import datetime
+
+    calls = []
+
+    class StubEngine:
+        def seed(self, urls, t, manual=False):
+            calls.append((urls, t, manual))
+
+    t0 = datetime(2024, 1, 1)
+    api.queue(StubEngine(), ["http://a/new"], t0)
+    assert calls == [(["http://a/new"], t0, True)]
+
+
+def test_atom_feed_escapes_url_for_xml(spark):
+    """Q12: URLs with '&' (query strings) and '\"' must be XML-escaped in
+    both href attribute and <id> content — else the feed is invalid."""
+    from datetime import datetime
+
+    from sosse_spark.operators.search import atom_feed_entries
+
+    docs = spark.createDataFrame(
+        [("T & t", 'http://h/p?a=1&b="x"', datetime(2024, 1, 1))],
+        "title string, url string, updated timestamp",
+    )
+    entry = atom_feed_entries(docs).collect()[0]["entry"]
+    assert 'href="http://h/p?a=1&amp;b=&quot;x&quot;"' in entry
+    assert "<id>http://h/p?a=1&amp;b=&quot;x&quot;</id>" in entry
+    assert "<title>T &amp; t</title>" in entry
+
+
+def test_snippet_escapes_regex_metachars_in_term(spark):
+    """Q9: a search term with regex metacharacters highlights literally
+    (locate() and the highlight regex must agree)."""
+    from sosse_spark.operators.search import snippet_headline
+
+    docs = spark.createDataFrame(
+        [(1, "we love c++ here"), (2, "plain c here")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.snippet for r in snippet_headline(docs, "c++", window=10).collect()}
+    assert list(got) == [1]
+    assert "<b>c++</b>" in got[1]
+
+
 # -- P15/P16 plugins ---------------------------------------------------------
 
 
