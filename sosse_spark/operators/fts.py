@@ -6,18 +6,28 @@ se/test_search.py:110-155).  There is no GIN/tsvector in Spark; the
 SURVEY-sketched approximable form is token-overlap scoring with pure
 column algebra (array ops, codegen'd — no UDF):
 
-  * tokens   = non-empty [a-z0-9]+ runs of lower(text)
-  * websearch AND: a document matches iff EVERY unquoted query term is
-    present in its token set, and every "quoted phrase" is a substring
-    of lower(text)
-  * rank     = (occurrences of any query term) / (total tokens) — a
-    TF-style score, deterministic and oracle-expressible
+  * tokens   = non-empty [a-z0-9]+ runs of lower(text), each folded by
+    a 3-rule suffix stemmer (sses→ss, ies→i, trailing s drops) — the
+    cheap deterministic slice of the snowball stemmer the PG config
+    applies; query terms fold identically so 'query'/'queries' and
+    'term'/'terms' co-match
+  * websearch grammar (websearch_to_tsquery):
+      - unquoted words AND within a group
+      - "quoted phrases" must appear as substrings of lower(text)
+      - the word `or` splits groups: the document matches if ANY
+        group matches
+      - `-term` / -"phrase" negate within their group
+  * rank     = (occurrences of any positive query term, folded) /
+    (total tokens) — a TF-style score, deterministic and
+    oracle-expressible
   * rows with rank <= rank_floor are dropped (reference drops
     rank <= 0.01 unless the result would be empty)
 
 Scale shape: one projection + filter over the corpus — no shuffle, no
-join; the tokenization is a single split per row inside WholeStageCodegen.
-An inverted-index variant (explode → token table) is the right layout
+join; tokenize + fold is a split + per-element regexp chain inside one
+projection (staged so CollapseProject cannot inline the split into the
+fold lambda — the interpreted-HOF re-eval trap, CLAUDE.md).  An
+inverted-index variant (explode → token table) is the right layout
 when the same corpus serves many queries; this operator is the
 scan-per-query form.
 """
@@ -25,27 +35,97 @@ scan-per-query form.
 from __future__ import annotations
 
 import re
+from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["parse_websearch", "fts_tokens", "fts_match_rank"]
+__all__ = [
+    "WebsearchGroup",
+    "parse_websearch",
+    "fold_suffix",
+    "fts_tokens",
+    "fts_fold",
+    "fts_match_rank",
+]
 
 
-def parse_websearch(query: str) -> tuple[list[str], list[str]]:
-    """→ (terms, phrases): '"quoted phrases"' out, remaining words AND'd
-    (websearch_to_tsquery's default operator is AND)."""
-    phrases = [p.strip().lower() for p in re.findall(r'"([^"]+)"', query) if p.strip()]
-    rest = re.sub(r'"[^"]*"', " ", query)
-    terms = [t for t in re.split(r"[^a-zA-Z0-9]+", rest.lower()) if t]
-    return terms, phrases
+@dataclass
+class WebsearchGroup:
+    """One AND-conjunction between `or` operators."""
+
+    terms: list[str] = field(default_factory=list)
+    phrases: list[str] = field(default_factory=list)
+    neg_terms: list[str] = field(default_factory=list)
+    neg_phrases: list[str] = field(default_factory=list)
+
+
+def fold_suffix(term: str) -> str:
+    """Python replica of the column-side suffix fold (query terms must
+    fold exactly as document tokens do)."""
+    if term.endswith("sses"):
+        return term[:-2]
+    if term.endswith("ies"):
+        return term[:-2]
+    if len(term) >= 2 and term.endswith("s") and not term.endswith("ss"):
+        return term[:-1]
+    return term
+
+
+def parse_websearch(query: str) -> list[WebsearchGroup]:
+    """websearch_to_tsquery grammar → OR-list of AND-groups.
+
+    Tokens: optionally '-'-prefixed quoted phrases or bare words; a
+    bare (unquoted, unnegated) `or` splits groups.  Bare words split
+    further on non-alnum runs; phrases keep their inner spacing.
+    """
+    groups = [WebsearchGroup()]
+    for tok in re.findall(r'-?"[^"]*"|\S+', query):
+        neg = tok.startswith("-")
+        body = tok[1:] if neg else tok
+        if not neg and body.lower() == "or":
+            if (
+                groups[-1].terms
+                or groups[-1].phrases
+                or groups[-1].neg_terms
+                or groups[-1].neg_phrases
+            ):
+                groups.append(WebsearchGroup())
+            continue  # leading/duplicate `or` is a no-op, as in PG
+        g = groups[-1]
+        if body.startswith('"'):
+            p = body.strip('"').strip().lower()
+            if p:
+                (g.neg_phrases if neg else g.phrases).append(p)
+        else:
+            words = [w for w in re.split(r"[^a-zA-Z0-9]+", body.lower()) if w]
+            (g.neg_terms if neg else g.terms).extend(words)
+    return [
+        g
+        for g in groups
+        if g.terms or g.phrases or g.neg_terms or g.neg_phrases
+    ]
 
 
 def fts_tokens(text_col: Column) -> Column:
-    """Lowercased alnum token array (the tsvector-lexeme analog, minus
-    stemming)."""
+    """Lowercased alnum token array (the tsvector-lexeme analog, before
+    folding)."""
     return F.filter(
         F.split(F.lower(text_col), "[^a-z0-9]+"), lambda t: t != F.lit("")
+    )
+
+
+def fts_fold(tokens: Column) -> Column:
+    """Suffix-fold every token: sses$→ss, ies$→i, then a trailing s not
+    preceded by s drops (chained regexps — exclusive by construction:
+    sses→ss ends in double-s so rule 3 skips it)."""
+    return F.transform(
+        tokens,
+        lambda t: F.regexp_replace(
+            F.regexp_replace(F.regexp_replace(t, "sses$", "ss"), "ies$", "i"),
+            "([^s])s$",
+            "$1",
+        ),
     )
 
 
@@ -56,19 +136,48 @@ def fts_match_rank(
     rank_floor: float = 0.01,
 ) -> DataFrame:
     """Append `rank` and keep matching rows (Q1).  Output: input columns
-    + rank (double, rounded 6), rank > rank_floor, AND-match semantics.
+    + rank (double, rounded 6), rank > rank_floor; full websearch
+    grammar: AND within groups, `or` between groups, `-` negation,
+    suffix-folded term matching.
     """
-    terms, phrases = parse_websearch(query)
-    toks = fts_tokens(F.col(text_col))
-    cond = F.lit(True)
-    for t in terms:
-        cond = cond & F.array_contains(toks, t)
-    for p in phrases:
-        cond = cond & F.lower(F.col(text_col)).contains(p)
-    if terms:
-        term_arr = F.array(*[F.lit(t) for t in terms])
-        matched = F.size(F.filter(toks, lambda x: F.array_contains(term_arr, x)))
+    groups = parse_websearch(query)
+    # staged projection: toks/ftoks land as real columns referenced
+    # multiple times below, so CollapseProject cannot inline the split
+    # into the (interpreted) fold/filter lambdas
+    staged = docs.withColumn("_toks", fts_tokens(F.col(text_col))).withColumn(
+        "_ftoks", fts_fold(F.col("_toks"))
+    )
+    low = F.lower(F.col(text_col))
+
+    def group_cond(g: WebsearchGroup) -> Column:
+        cond = F.lit(True)
+        for t in g.terms:
+            cond = cond & F.array_contains("_ftoks", fold_suffix(t))
+        for p in g.phrases:
+            cond = cond & low.contains(p)
+        for t in g.neg_terms:
+            cond = cond & ~F.array_contains("_ftoks", fold_suffix(t))
+        for p in g.neg_phrases:
+            cond = cond & ~low.contains(p)
+        return cond
+
+    if groups:
+        cond = group_cond(groups[0])
+        for g in groups[1:]:
+            cond = cond | group_cond(g)
     else:
-        matched = F.size(toks)  # phrase-only query: every token "matches"
-    rank = F.round(matched / F.greatest(F.size(toks), F.lit(1)), 6)
-    return docs.filter(cond).withColumn("rank", rank).filter(F.col("rank") > rank_floor)
+        cond = F.lit(False)
+
+    pos_terms = sorted({fold_suffix(t) for g in groups for t in g.terms})
+    if pos_terms:
+        term_arr = F.array(*[F.lit(t) for t in pos_terms])
+        matched = F.size(F.filter("_ftoks", lambda x: F.array_contains(term_arr, x)))
+    else:
+        matched = F.size("_toks")  # phrase-only query: every token "matches"
+    rank = F.round(matched / F.greatest(F.size("_toks"), F.lit(1)), 6)
+    return (
+        staged.filter(cond)
+        .withColumn("rank", rank)
+        .filter(F.col("rank") > rank_floor)
+        .drop("_toks", "_ftoks")
+    )

@@ -1,0 +1,69 @@
+"""Q1 websearch grammar: AND groups, `or`, negation, suffix folding
+(websearch_to_tsquery semantics, se/search.py:104-119)."""
+
+from pyspark.sql import functions as F
+
+from sosse_spark.operators.fts import (
+    WebsearchGroup,
+    fold_suffix,
+    fts_fold,
+    fts_match_rank,
+    fts_tokens,
+    parse_websearch,
+)
+
+
+def test_parse_websearch_groups_and_negation():
+    gs = parse_websearch('big data or -"slow path" stream -dup')
+    assert len(gs) == 2
+    assert gs[0].terms == ["big", "data"] and not gs[0].neg_terms
+    assert gs[1].terms == ["stream"]
+    assert gs[1].neg_terms == ["dup"]
+    assert gs[1].neg_phrases == ["slow path"]
+
+
+def test_parse_websearch_or_edge_cases():
+    assert len(parse_websearch("or spark or or vector or")) == 2  # no empty groups
+    assert parse_websearch('"the data"')[0].phrases == ["the data"]
+    assert parse_websearch("") == []
+
+
+def test_fold_suffix_python_matches_column(spark):
+    words = ["sparks", "queries", "possesses", "glass", "is", "spark", "ss", "s"]
+    df = spark.createDataFrame([(words,)], "w array<string>")
+    col_folded = df.select(fts_fold(F.col("w")).alias("f")).collect()[0]["f"]
+    assert col_folded == [fold_suffix(w) for w in words]
+    assert fold_suffix("sparks") == "spark"
+    assert fold_suffix("glass") == "glass"
+
+
+def test_match_rank_or_negation_fold(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spark joins the data"),
+            (2, "vector search only"),
+            (3, "spark with dup rows"),
+            (4, "nothing relevant"),
+            (5, "many sparks flying"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id for r in fts_match_rank(docs, "spark or vector", text_col="text").collect()}
+    assert got == {1, 2, 3, 5}  # OR matches either; 'sparks' folds to spark
+    neg = {r.doc_id for r in fts_match_rank(docs, "sparks -dup", text_col="text").collect()}
+    assert neg == {1, 5}  # query-side fold + negation
+    phr = {r.doc_id for r in fts_match_rank(docs, '-vector "the data"', text_col="text").collect()}
+    assert phr == {1}
+    assert isinstance(parse_websearch("x")[0], WebsearchGroup)
+
+
+def test_tokens_stay_jvm(spark):
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    plan = (
+        fts_match_rank(docs, "a or b", text_col="text")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    _ = fts_tokens  # re-exported building block
