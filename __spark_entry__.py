@@ -493,6 +493,25 @@ def q_q1_fts_rank(spark, sf_dir):
     return out.select("doc_id", "rank")
 
 
+def q_q1_fts_or(spark, sf_dir):
+    """websearch `or`: ANY group matches (spark OR vector)."""
+    from sosse_spark.operators.fts import fts_match_rank
+
+    d = _docs(spark, sf_dir)
+    out = fts_match_rank(d, "spark or vector", text_col="text")
+    return out.select("doc_id", "rank")
+
+
+def q_q1_fts_negation(spark, sf_dir):
+    """websearch negation + suffix fold: 'sparks' folds to 'spark' on
+    the query side; -dup excludes."""
+    from sosse_spark.operators.fts import fts_match_rank
+
+    d = _docs(spark, sf_dir)
+    out = fts_match_rank(d, "sparks -dup", text_col="text")
+    return out.select("doc_id", "rank")
+
+
 def _doctyped_content(d):
     """Synthetic doctype variants over documents.text (html / rss / atom /
     plain) — shared by the P1 sniff and P14 filename entries."""
@@ -625,6 +644,40 @@ def q_q11_csv_export_order(spark, sf_dir):
     ).select("rank", "event_id", F.unix_micros("ts").alias("ts_us"))
 
 
+def q_q11_csv_metadata(spark, sf_dir):
+    """Q11 metadata flattening (se/csv.py:84-103): unstructured JSON
+    metadata flattens to per-key columns over the export slice."""
+    from sosse_spark.operators.search import csv_export_flatten
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    docs = d.select(
+        F.concat(F.lit("u"), did.cast("string")).alias("url"),
+        F.when(did % 5 != 0, F.timestamp_seconds(F.lit(1700000000) + did * 60)).alias(
+            "crawl_last"
+        ),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit('{"author": "'),
+                F.col("source"),
+                F.lit('", "pages": '),
+                (did % 7).cast("string"),
+                F.lit("}"),
+            ),
+        )
+        .when(did % 3 == 1, F.concat(F.lit('{"author": "'), F.col("source"), F.lit('"}')))
+        .alias("metadata"),
+    )
+    out = csv_export_flatten(docs, limit=200)
+    return out.select(
+        "url",
+        F.unix_micros(F.col("crawl_last")).alias("ts_us"),
+        F.col("metadata author").alias("m_author"),
+        F.col("metadata pages").alias("m_pages"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # training-data ops: dedup / similarity / text
 # ---------------------------------------------------------------------------
@@ -755,13 +808,29 @@ def q_text_fingerprint(spark, sf_dir):
     return _docs(spark, sf_dir).select("doc_id", fingerprint_expr("text", 8).alias("fingerprint"))
 
 
-def q_img_decode_stats(spark, sf_dir):  # rows-only (image bytes are in-repo)
+def q_img_decode_stats(spark, sf_dir):  # rows-only (PSNR pinned in tests/)
     from sosse_spark.functions.images import DECODE_STATS_SCHEMA, decode_stats_map_in_pandas
     from sosse_spark.sources.corpus import corpus_df
 
     return corpus_df(spark, 120, partitions=4).mapInPandas(
         decode_stats_map_in_pandas, DECODE_STATS_SCHEMA
     )
+
+
+def q_img_decode_check(spark, sf_dir):
+    """The ORACLE-checkable slice of the decode pipeline: DuckDB cannot
+    decode images, but the corpus generator is deterministic arithmetic
+    — so the expected (fmt, decode_ok, dims, phash_match) per image_id
+    is SQL-recomputable, and the real decode kernel must reproduce it
+    end-to-end (render → encode → decode → phash).  Only PSNR stays
+    pytest-pinned (tests/test_images.py)."""
+    from sosse_spark.functions.images import DECODE_STATS_SCHEMA, decode_stats_map_in_pandas
+    from sosse_spark.sources.corpus import corpus_df
+
+    stats = corpus_df(spark, 120, partitions=4).mapInPandas(
+        decode_stats_map_in_pandas, DECODE_STATS_SCHEMA
+    )
+    return stats.select("image_id", "fmt", "decode_ok", "width", "height", "phash_match")
 
 
 # ---------------------------------------------------------------------------
@@ -801,7 +870,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_mime_stats": q_q10_mime_stats,
         "q10_tag_rollup": q_q10_tag_rollup,
         "q11_csv_export_order": q_q11_csv_export_order,
+        "q11_csv_metadata": q_q11_csv_metadata,
         "q1_fts_rank": q_q1_fts_rank,
+        "q1_fts_or": q_q1_fts_or,
+        "q1_fts_negation": q_q1_fts_negation,
         "q9_snippet": q_q9_snippet,
         "q12_atom_feed": q_q12_atom_feed,
         "q14_bang_redirect": q_q14_bang_redirect,
@@ -825,6 +897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tokens": q_text_tokens,
         "text_fingerprint": q_text_fingerprint,
         "img_decode_stats": q_img_decode_stats,
+        "img_decode_check": q_img_decode_check,
     }
 
 
@@ -1137,6 +1210,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT ROW_NUMBER() OVER (ORDER BY ts DESC, event_id ASC) AS rank,
                    event_id, epoch_us(ts) AS ts_us
             FROM events ORDER BY ts DESC, event_id ASC LIMIT 100""",
+        "img_decode_check": """
+            SELECT 'img-' || lpad(CAST(i AS VARCHAR), 12, '0') AS image_id,
+                   ['png', 'bmp', 'lossy'][CAST(i % 3 AS INT) + 1] AS fmt,
+                   true AS decode_ok,
+                   CAST([16, 32, 64][CAST(i % 3 AS INT) + 1] AS INT) AS width,
+                   CAST([16, 24, 48][CAST((i // 3) % 3 AS INT) + 1] AS INT) AS height,
+                   true AS phash_match
+            FROM range(120) t(i)""",
+        "q11_csv_metadata": """
+            WITH d AS (
+              SELECT 'u' || CAST(doc_id AS VARCHAR) AS url,
+                     CASE WHEN doc_id % 5 <> 0 THEN to_timestamp(1700000000 + doc_id * 60) END AS crawl_last,
+                     CASE WHEN doc_id % 3 = 0 THEN '{"author": "' || source || '", "pages": ' || CAST(doc_id % 7 AS VARCHAR) || '}'
+                          WHEN doc_id % 3 = 1 THEN '{"author": "' || source || '"}' END AS metadata
+              FROM documents),
+            e AS (SELECT * FROM d WHERE crawl_last IS NOT NULL
+                  ORDER BY crawl_last DESC, url ASC LIMIT 200)
+            SELECT url, epoch_us(crawl_last) AS ts_us,
+                   coalesce(json_extract_string(metadata, '$.author'), '') AS m_author,
+                   coalesce(json_extract_string(metadata, '$.pages'), '') AS m_pages
+            FROM e""",
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id,
                    md5(regexp_replace(text, '[0-9]+', '0', 'g')) AS content_md5,
@@ -1146,14 +1240,54 @@ def oracle_sql() -> dict[str, str]:
             WITH t AS (
               SELECT doc_id, text,
                      list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
-              FROM documents)
+              FROM documents),
+            f AS (
+              SELECT doc_id, text, toks,
+                     list_transform(toks, x ->
+                       regexp_replace(regexp_replace(regexp_replace(x, 'sses$', 'ss'), 'ies$', 'i'), '([^s])s$', '\\1')) AS ftoks
+              FROM t)
             SELECT doc_id, rank FROM (
               SELECT doc_id,
-                     round(CAST(len(list_filter(toks, x -> list_contains(['spark'], x))) AS DOUBLE)
+                     round(CAST(len(list_filter(ftoks, x -> list_contains(['spark'], x))) AS DOUBLE)
                            / greatest(len(toks), 1), 6) AS rank
-              FROM t
-              WHERE list_has_all(toks, ['spark'])
+              FROM f
+              WHERE list_contains(ftoks, 'spark')
                 AND contains(lower(text), 'the data'))
+            WHERE rank > 0.01""",
+        "q1_fts_or": """
+            WITH t AS (
+              SELECT doc_id, text,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+              FROM documents),
+            f AS (
+              SELECT doc_id, text, toks,
+                     list_transform(toks, x ->
+                       regexp_replace(regexp_replace(regexp_replace(x, 'sses$', 'ss'), 'ies$', 'i'), '([^s])s$', '\\1')) AS ftoks
+              FROM t)
+            SELECT doc_id, rank FROM (
+              SELECT doc_id,
+                     round(CAST(len(list_filter(ftoks, x -> list_contains(['spark', 'vector'], x))) AS DOUBLE)
+                           / greatest(len(toks), 1), 6) AS rank
+              FROM f
+              WHERE list_contains(ftoks, 'spark') OR list_contains(ftoks, 'vector'))
+            WHERE rank > 0.01""",
+        "q1_fts_negation": """
+            WITH t AS (
+              SELECT doc_id, text,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+              FROM documents),
+            f AS (
+              SELECT doc_id, text, toks,
+                     list_transform(toks, x ->
+                       regexp_replace(regexp_replace(regexp_replace(x, 'sses$', 'ss'), 'ies$', 'i'), '([^s])s$', '\\1')) AS ftoks
+              FROM t)
+            SELECT doc_id, rank FROM (
+              SELECT doc_id,
+                     round(CAST(len(list_filter(ftoks, x -> list_contains(['spark'], x))) AS DOUBLE)
+                           / greatest(len(toks), 1), 6) AS rank
+              FROM f
+              WHERE list_contains(ftoks, 'spark')
+                AND NOT list_contains(ftoks, 'dup'))
             WHERE rank > 0.01""",
         "q9_snippet": """
             SELECT doc_id,

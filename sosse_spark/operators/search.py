@@ -264,3 +264,52 @@ def csv_export_order(docs: DataFrame, limit: int = 1000) -> DataFrame:
     return docs.filter(F.col("crawl_last").isNotNull()).orderBy(
         F.col("crawl_last").desc(), F.col("url").asc()
     ).limit(limit)
+
+
+def csv_export_flatten(
+    docs: DataFrame, metadata_col: str = "metadata", limit: int = 1000
+) -> DataFrame:
+    """Q11 metadata flattening (se/csv.py:84-103): when NO exported
+    row's JSON metadata holds a structured value (list/dict), the union
+    of metadata keys flattens into per-key columns named
+    'metadata <key>' (sorted, missing → ''), and the metadata column
+    drops; if ANY row is structured, metadata stays as-is.
+
+    Scale shape: the key-set/structured scan is ONE aggregation over
+    the already-limited export slice; the collect is bounded by the
+    number of distinct metadata keys (CSV headers must be known
+    driver-side to emit columns — same constraint the reference's
+    csv.DictWriter has).  Extraction is get_json_object column algebra,
+    no UDF.
+    """
+    out = csv_export_order(docs, limit).persist()
+    m = F.col(metadata_col)
+    # from_json(map<string,string>) stringifies nested values as minified
+    # JSON; a value is structured iff it re-parses as an object/array
+    # (exact up to the pathological scalar string that IS json text)
+    v = F.col("_v")
+    is_structured_val = (v.startswith("{") | v.startswith("[")) & (
+        F.from_json(v, "map<string,string>").isNotNull()
+        | F.from_json(v, "array<string>").isNotNull()
+    )
+    probe = (
+        out.select(F.explode_outer(F.from_json(m, "map<string,string>")).alias("_k", "_v"))
+        .agg(
+            F.collect_set("_k").alias("keys"),
+            F.max(F.coalesce(is_structured_val, F.lit(False))).alias("structured"),
+        )
+        .collect()[0]
+    )
+    keys, structured = sorted(probe["keys"] or []), bool(probe["structured"])
+    if structured or not keys:
+        out.unpersist()
+        return out
+    flat = out.select(
+        *[c for c in out.columns if c != metadata_col],
+        *[
+            F.coalesce(F.get_json_object(m, f"$['{k}']"), F.lit("")).alias(f"metadata {k}")
+            for k in keys
+        ],
+    )
+    out.unpersist()
+    return flat

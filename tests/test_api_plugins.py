@@ -159,6 +159,38 @@ def test_snippet_escapes_regex_metachars_in_term(spark):
     assert "<b>c++</b>" in got[1]
 
 
+def test_csv_metadata_flatten_and_structured_passthrough(spark):
+    """Q11 (se/csv.py:84-103): unstructured metadata flattens to sorted
+    'metadata <key>' columns (missing → ''); ANY structured value keeps
+    metadata untouched."""
+    from datetime import datetime
+
+    from sosse_spark.operators.search import csv_export_flatten
+
+    t = datetime(2024, 1, 1)
+    flat_docs = spark.createDataFrame(
+        [
+            ("u1", t, '{"author": "bob", "pages": 3}'),
+            ("u2", t, '{"author": "eve"}'),
+            ("u3", t, None),
+            ("u4", None, '{"ignored": "row"}'),  # null sort key → excluded
+        ],
+        "url string, crawl_last timestamp, metadata string",
+    )
+    out = csv_export_flatten(flat_docs)
+    assert out.columns == ["url", "crawl_last", "metadata author", "metadata pages"]
+    rows = {r["url"]: (r["metadata author"], r["metadata pages"]) for r in out.collect()}
+    assert rows == {"u1": ("bob", "3"), "u2": ("eve", ""), "u3": ("", "")}
+
+    structured = spark.createDataFrame(
+        [("u1", t, '{"a": "x"}'), ("u2", t, '{"a": {"nested": 1}}')],
+        "url string, crawl_last timestamp, metadata string",
+    )
+    out2 = csv_export_flatten(structured)
+    assert "metadata" in out2.columns  # untouched
+    assert out2.count() == 2
+
+
 # -- P15/P16 plugins ---------------------------------------------------------
 
 
