@@ -131,8 +131,13 @@ def main():
     # the ~10 s fixed per-leg driver overhead (JIT/AQE/job submission) that
     # capped measured efficiency at 0.79 with 20M rows — the overhead is
     # amortized inside the timed window, not argued away in prose
+    # local[8] ↔ local[32] (the driver-named levels): viable since the
+    # URL-seen bloom moved to pure-JVM word-table algebra — no stage in
+    # this job crosses the JVM↔Python Arrow boundary any more, so the
+    # local-mode python-worker contention that forced 2↔8 in round 2 is
+    # out of the picture entirely.
     n = int(sys.argv[1]) if len(sys.argv) > 1 else int(os.environ.get("SCALING_N", "40000000"))
-    n_lo = int(os.environ.get("SCALING_CPUS_LO", "2"))
+    n_lo = int(os.environ.get("SCALING_CPUS_LO", "8"))
     n_hi = int(os.environ.get("SCALING_CPUS_HI", str(n_lo * 4)))
     # the sandbox host burst-throttles sustained CPU: measured identical
     # legs vary 3-5x depending on run order.  Interleave lo/hi legs and
@@ -182,19 +187,16 @@ All legs: {legs_summary}
 (throughput_4N/throughput_N)/4 = {eff:.3f}**
 (target >= 0.8: {"PASS" if eff >= 0.8 else "MISS"})
 
-Environment note: this Firecracker sandbox advertises 32 vCPUs and raw
-CPU scales to 32 processes at ~0.79 efficiency, but Spark stages that
-cross the JVM<->Python Arrow boundary (pandas UDF / applyInPandas)
-degrade ABOVE ~8-16 concurrent workers here (measured: the identical
-bloom-build stage takes 3.0s at local[8]/8 shuffle partitions vs 14.8s
-at local[32]/32 — per-task slowdown ~10x with high run-to-run variance,
-while pure-JVM shuffles scale normally, 3.4s -> 1.0s).  That is a
-sandbox/virtualization artifact of local-mode Python-worker contention,
-not a property of the plan: every stage is keyed by url-hash bucket or
-host with no single-point merge (see bench.py synthetic_frontier +
-select_batch(exact_global_order=False)).  The N->4N comparison is
-therefore run at N=2 vs 4N=8 cores, inside the region where the
-sandbox itself scales.
+Environment note: this job is pure-JVM end to end — the URL-seen bloom
+is the sparse 64-bit-word table probed with shift/and/or column algebra
+(sosse_spark/operators/frontier.py), so no stage crosses the
+JVM<->Python Arrow boundary.  That is what makes the driver-named
+local[8]<->local[32] comparison meaningful here: this sandbox's
+python-worker stages degrade ~10x/task above ~8-16 concurrent workers
+(round-2 measurement, which forced a 2<->8 comparison then), while
+pure-JVM stages scale normally.  Every stage is keyed by url-hash
+bucket or host with no single-point merge (see bench.py
+synthetic_frontier + select_batch(exact_global_order=False)).
 
 ## Extrapolation to 10^10 URLs
 

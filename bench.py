@@ -123,12 +123,10 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> dict[str, float]:
         frontier.select("url", F.lit(1).alias("collection_id")), 64
     ).cache()
     seen.count()
-    # Python-boundary stages (applyInPandas blob build/probe) are sized to
-    # 8 shuffle partitions: measured here, >8-16 concurrent python workers
-    # ANTI-scale on this host (CLAUDE.md; A/B'd 0.8-0.9s at 8 vs 1-4s at
-    # 32) — partition sizing, the knob a real cluster would also tune
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    # bloom build/probe are pure-JVM word-table algebra (frontier.py) —
+    # no python-boundary stage left in this pipeline, so no shuffle-
+    # partition down-scoping needed (the round-2 8-partition workaround
+    # existed only for the Arrow-boundary blob kernels)
     t0 = time.time()
     bloom = bloom_build(seen, None, m_bits=1 << 23).cache()
     bloom.count()
@@ -157,7 +155,6 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     n_new = new.count()
     out["urlseen_dedup_100k"] = round(time.time() - t0, 3)
     print(f"  urlseen_dedup_100k: {out['urlseen_dedup_100k']}s ({n_new} new)", file=sys.stderr)
-    spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     frontier.unpersist()
     seen.unpersist()
     bloom.unpersist()

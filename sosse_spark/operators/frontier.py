@@ -8,15 +8,16 @@ Spark shape (north rule):
   * frontier rows are hash-bucketed by pmod(xxhash64(url), n_buckets) —
     the bucket column drives snapshot-partition pruning and co-partitions
     every URL-seen structure with the frontier itself.
-  * a PARTITIONED BLOOM FILTER (one bitmap blob per bucket, double-hashed
-    probes off the int64 xxhash64 url_hash) prefilters candidate links:
-    filter-negative rows are DEFINITIVELY new (no join needed);
-    filter-positive rows fall through to the exact anti-join — a Bloom
-    false positive can only cost a join probe, never drop a URL.
-  * membership testing is a cogrouped applyInPandas on the bucket key:
-    each task sees (links-of-bucket, bloom-blob-of-bucket) — no blob
-    broadcast, no blob duplication per row; this is the shape that holds
-    when the bloom is 12 GB at 10^10 URLs.
+  * a PARTITIONED BLOOM FILTER (a sparse 64-bit-word table per bucket,
+    double-hashed probes off the int64 xxhash64 url_hash) prefilters
+    candidate links: filter-negative rows are DEFINITIVELY new (no join
+    needed); filter-positive rows fall through to the exact anti-join —
+    a Bloom false positive can only cost a join probe, never drop a URL.
+  * build and probe are pure JVM column algebra (shift/and/or + equi-
+    joins on (bucket, word_no)) — whole-stage codegen end to end, no
+    Arrow boundary; the probe side is bounded by the round batch × k,
+    and at 10^10 URLs the word table is bucketed storage co-partitioned
+    with the frontier itself.
 
 `id` is the deterministic admission ordinal (round_no << 32 | rank) that
 replaces the reference's autoincrement PK as the priority tiebreak
@@ -26,11 +27,8 @@ ordering within BSP-round semantics.
 
 from __future__ import annotations
 
-import zlib
 from typing import Optional
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -85,7 +83,7 @@ FRONTIER_SCHEMA = T.StructType(
     ]
 )
 
-BLOOM_SCHEMA = "bucket int, blob binary, n bigint"
+BLOOM_SCHEMA = "bucket int, word_no bigint, word bigint"
 
 _BLOOM_K = 5  # probes per key
 
@@ -121,41 +119,47 @@ def with_bucket(df: DataFrame, n_buckets: int, url_col: str = "url") -> DataFram
 
 
 # ---------------------------------------------------------------------------
-# Bloom bitmap kernels (vectorized numpy over the int64 url_hash)
+# Bloom word table — pure JVM column algebra (no Arrow boundary)
 # ---------------------------------------------------------------------------
-
-def _blob_pack(blob: bytes | bytearray) -> bytes:
-    """Bloom bitmaps ship zlib-compressed: at the target ~4% fill the
-    512 KiB bitmap compresses ~100×, and blob transfer between JVM and
-    Python workers (Arrow IPC) was the measured anti-scaling component
-    of bloom build/probe at high core counts."""
-    return zlib.compress(bytes(blob), 1)
-
-
-def _blob_unpack(packed: bytes, m_bits: int) -> bytearray:
-    return bytearray(zlib.decompress(bytes(packed))) if packed else bytearray(m_bits // 8)
-
-
-def _probe(hashes: np.ndarray, m_bits: int) -> np.ndarray:
-    """(n, k) probe bit-indexes via double hashing h1 + j*h2."""
-    u = hashes.astype(np.uint64)
-    h1 = u & np.uint64(0xFFFFFFFF)
-    h2 = (u >> np.uint64(32)) | np.uint64(1)  # force odd so probes spread
-    j = np.arange(_BLOOM_K, dtype=np.uint64)[None, :]
-    return ((h1[:, None] + j * h2[:, None]) % np.uint64(m_bits)).astype(np.int64)
+#
+# The bloom is a SPARSE table of 64-bit words: (bucket, word_no, word),
+# holding only words with ≥1 set bit.  Build and probe are whole-stage-
+# codegen'd shift/and/or expressions plus equi-joins on (bucket,
+# word_no) — no stage crosses the JVM↔Python Arrow boundary, which was
+# the measured anti-scaling component on this host (pandas stages
+# degrade ~10×/task above ~8-16 local python workers while pure-JVM
+# stages scale normally; see BENCH/BASELINE.md).  At cluster scale the
+# same shape holds: the probe side is bounded by the round batch (×k
+# probes), the word table is bucketed storage co-partitioned with the
+# frontier, and the bit_or merge is a map-side-combining aggregation.
 
 
-def _bloom_set(blob: bytearray, hashes: np.ndarray, m_bits: int) -> None:
-    idx = _probe(hashes, m_bits).ravel()
-    arr = np.frombuffer(blob, dtype=np.uint8)
-    np.bitwise_or.at(arr, idx >> 3, (1 << (idx & 7)).astype(np.uint8))
-
-
-def _bloom_test(blob: bytes, hashes: np.ndarray, m_bits: int) -> np.ndarray:
-    idx = _probe(hashes, m_bits)
-    arr = np.frombuffer(blob, dtype=np.uint8)
-    bits = (arr[idx >> 3] >> (idx & 7).astype(np.uint8)) & 1
-    return bits.all(axis=1)
+def _probe_positions(df: DataFrame, m_bits: int) -> DataFrame:
+    """Explode df(bucket, url_hash) to k probe rows with (word_no, mask):
+    double hashing h1 + j·h2 over the int64 url_hash, all long algebra
+    (h1, h2 < 2^32 and k ≤ 5, so h1 + j·h2 < 2^35 — no overflow)."""
+    staged = df.select(
+        "bucket",
+        "url_hash",
+        F.col("url_hash").bitwiseAND(F.lit(0xFFFFFFFF)).alias("_h1"),
+        F.shiftrightunsigned("url_hash", 32).bitwiseOR(F.lit(1)).alias("_h2"),
+    )
+    exploded = staged.select(
+        "bucket",
+        "url_hash",
+        "_h1",
+        "_h2",
+        F.explode(F.array(*[F.lit(j) for j in range(_BLOOM_K)])).alias("_j"),
+    )
+    p = F.pmod(F.col("_h1") + F.col("_j").cast("long") * F.col("_h2"), F.lit(m_bits))
+    return exploded.select(
+        "bucket",
+        "url_hash",
+        F.shiftright(p, 6).alias("word_no"),
+        F.expr("shiftleft(1L, int(pmod(_h1 + cast(_j as long) * _h2, {m}) % 64))".format(m=m_bits)).alias(
+            "mask"
+        ),
+    )
 
 
 def bloom_build(
@@ -163,67 +167,55 @@ def bloom_build(
     prev_bloom: Optional[DataFrame],
     m_bits: int = 1 << 20,
 ) -> DataFrame:
-    """(Re)build per-bucket blobs from rows(bucket, url_hash), merging
-    into prev_bloom blobs when given (incremental per round)."""
-    spark = rows.sparkSession
+    """(Re)build per-bucket bloom words from rows(bucket, url_hash),
+    merging into prev_bloom when given (incremental per round).
+
+    Returns the full post-merge word set of the TOUCHED buckets only
+    (rows' buckets); SnapshotTable.commit leaves untouched buckets on
+    their old snapshot.  The merge is a bit_or aggregation — partial
+    (map-side) combine, one shuffle keyed (bucket, word_no)."""
     hashes = rows.select("bucket", "url_hash")
+    words = (
+        _probe_positions(hashes, m_bits)
+        .groupBy("bucket", "word_no")
+        .agg(F.bit_or("mask").alias("word"))
+    )
     if prev_bloom is not None:
-        prev = prev_bloom.select(
-            "bucket", F.col("blob").alias("_prev_blob"), F.col("n").alias("_prev_n")
+        touched = hashes.select("bucket").distinct()
+        prev_slice = prev_bloom.join(touched, "bucket", "left_semi")
+        words = (
+            words.unionByName(prev_slice.select("bucket", "word_no", "word"))
+            .groupBy("bucket", "word_no")
+            .agg(F.bit_or("word").alias("word"))
         )
-        hashes = hashes.join(prev, "bucket", "left")
-    else:
-        hashes = hashes.withColumn("_prev_blob", F.lit(None).cast("binary")).withColumn(
-            "_prev_n", F.lit(None).cast("long")
-        )
-
-    def build(pdf: pd.DataFrame) -> pd.DataFrame:
-        bucket = int(pdf["bucket"].iloc[0])
-        prev_blob = pdf["_prev_blob"].iloc[0]
-        blob = _blob_unpack(prev_blob, m_bits)
-        h = pdf["url_hash"].to_numpy(dtype=np.int64)
-        _bloom_set(blob, h, m_bits)
-        prev_n = pdf["_prev_n"].iloc[0]
-        n = int(prev_n) if prev_n is not None and not pd.isna(prev_n) else 0
-        return pd.DataFrame([{"bucket": bucket, "blob": _blob_pack(blob), "n": n + len(pdf)}])
-
-    _ = spark
-    # Only TOUCHED buckets come back (merged with their previous blob);
-    # SnapshotTable.commit leaves untouched buckets on their old snapshot.
-    return hashes.groupBy("bucket").applyInPandas(build, BLOOM_SCHEMA)
+    return words
 
 
 def bloom_prefilter(links: DataFrame, bloom: Optional[DataFrame], m_bits: int = 1 << 20) -> DataFrame:
     """Append `maybe_seen`: False ⇒ definitively unseen (bloom negative).
 
-    Cogrouped on bucket so each task pairs one bucket of links with that
-    bucket's single blob row — partition-local, broadcast-free.
+    Probe shape: the candidate side thins to distinct (bucket,
+    url_hash) × k probe rows, equi-joins the word table on (bucket,
+    word_no), and a bool_and over the k probes gives the verdict —
+    which joins back to the full link rows on (bucket, url_hash).
+    All codegen'd; the link payload columns never ride the probe join.
     """
     if bloom is None:
         return links.withColumn("maybe_seen", F.lit(False))
 
-    out_schema = T.StructType(
-        links.schema.fields + [T.StructField("maybe_seen", T.BooleanType(), False)]
+    probes = _probe_positions(links.select("bucket", "url_hash").distinct(), m_bits)
+    words = bloom.select("bucket", "word_no", "word")
+    verdict = (
+        probes.join(words, ["bucket", "word_no"], "left")
+        .withColumn(
+            "_hit",
+            F.coalesce(F.col("word").bitwiseAND(F.col("mask")) == F.col("mask"), F.lit(False)),
+        )
+        .groupBy("bucket", "url_hash")
+        .agg(F.bool_and("_hit").alias("maybe_seen"))
     )
-    link_cols = [f.name for f in links.schema.fields]
-
-    def test(lpdf: pd.DataFrame, bpdf: pd.DataFrame) -> pd.DataFrame:
-        if lpdf.empty:
-            return pd.DataFrame(columns=link_cols + ["maybe_seen"])
-        if bpdf.empty:
-            lpdf = lpdf.copy()
-            lpdf["maybe_seen"] = False
-            return lpdf
-        blob = bytes(_blob_unpack(bpdf["blob"].iloc[0], m_bits))
-        h = lpdf["url_hash"].to_numpy(dtype=np.int64)
-        lpdf = lpdf.copy()
-        lpdf["maybe_seen"] = _bloom_test(blob, h, m_bits)
-        return lpdf
-
-    return (
-        links.groupBy("bucket")
-        .cogroup(bloom.groupBy("bucket"))
-        .applyInPandas(test, out_schema)
+    return links.join(verdict, ["bucket", "url_hash"], "left").withColumn(
+        "maybe_seen", F.coalesce("maybe_seen", F.lit(False))
     )
 
 

@@ -101,8 +101,19 @@ class SnapshotTable(_TableBase):
         parts = []
         for snap_dir, buckets in sorted(by_dir.items()):
             base = os.path.join(self.dir, snap_dir)
-            paths = [os.path.join(base, f"bucket={b}") for b in sorted(buckets, key=int)]
-            parts.append(spark.read.option("basePath", base).parquet(*paths))
+            # a bucket whose post-merge contents were EMPTY has no
+            # bucket= subdir in its owning snapshot (parquet writes no
+            # partition dir for zero rows) — that bucket IS empty;
+            # pointing it back at an older dir would resurrect rows
+            paths = [
+                p
+                for b in sorted(buckets, key=int)
+                if os.path.isdir(p := os.path.join(base, f"bucket={b}"))
+            ]
+            if paths:
+                parts.append(spark.read.option("basePath", base).parquet(*paths))
+        if not parts:
+            return None
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p)
@@ -151,6 +162,23 @@ class SnapshotTable(_TableBase):
     @staticmethod
     def with_bucket(df: DataFrame, key_col: str, n_buckets: int) -> DataFrame:
         return df.withColumn("bucket", F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int"))
+
+    def rollback_to_round(self, round_no: int) -> None:
+        """Crash repair for snapshot tables committed BEFORE the round's
+        frontier commit point: rewind LATEST to the newest snapshot whose
+        round predates `round_no`, so a replayed round recomputes the
+        table from the same state it saw the first time.  Snapshot dirs
+        are immutable and retained, so this is a pointer flip; the replay
+        then overwrites the orphaned higher snapshots in place."""
+        snap = self.latest()
+        if snap is None:
+            return
+        while snap > 0 and self.manifest(snap)["round"] >= round_no:
+            snap -= 1
+        if snap == 0:
+            os.remove(self._latest_path())
+        else:
+            atomic_write(self._latest_path(), str(snap))
 
 
 class AppendTable(_TableBase):

@@ -91,6 +91,11 @@ class CrawlEngine:
         self.metrics = AppendTable(root, "metrics")
         self.webhook_events = AppendTable(root, "webhook_events")
         self.favicons = AppendTable(root, "favicons")
+        # P3 pending-extern side table: the extern link rows whose target
+        # has not been crawled yet, bucketed on dst_url.  The per-round
+        # repoint probe reads THIS table, O(pending externs) — never the
+        # whole links append-log, which grows with total crawl history.
+        self.pending_externs = SnapshotTable(root, "pending_externs", n_buckets)
         # cached host_rules DataFrame handle (NOT a driver-side domain
         # set: new-domain discovery is an anti-join against this table,
         # bounded by the round batch — a python set of every domain ever
@@ -111,10 +116,32 @@ class CrawlEngine:
         m = self.frontier.manifest()
         if m is not None and m.get("n_buckets") and m["n_buckets"] != self.n_buckets:
             self.n_buckets = m["n_buckets"]
+        self.pending_externs.n_buckets = self.n_buckets
         r = self.round_no()
         for table in (self.documents, self.links, self.metrics, self.webhook_events, self.favicons):
             table.truncate_from(r)
+        # pending_externs commits before the frontier commit point, so a
+        # replayed round must see the pre-round pending state
+        self.pending_externs.rollback_to_round(r)
         self._repaired = True
+
+    def _read_bloom(self, frontier: Optional[DataFrame]) -> Optional[DataFrame]:
+        """Read the URL-seen bloom snapshot.  A legacy blob-format
+        snapshot (pre word-table bloom) is rebuilt from the frontier
+        itself — the bloom is derivable state — and recommitted across
+        ALL manifest buckets so the table is uniformly word-format."""
+        prev = self.bloom.read(self.spark)
+        if prev is None or "blob" not in prev.columns:
+            return prev
+        if frontier is None:
+            return None
+        words = bloom_build(frontier.select("bucket", "url_hash"), None, self.bloom_bits)
+        m = self.bloom.manifest()
+        all_buckets = sorted(
+            {int(b) for b in m["buckets"]} | set(self._touched_buckets(frontier))
+        )
+        self.bloom.commit(self.spark, words, m["round"], changed_buckets=all_buckets)
+        return self.bloom.read(self.spark)
 
     # ------------------------------------------------------------------
     def round_no(self) -> int:
@@ -156,7 +183,7 @@ class CrawlEngine:
             .withColumn("crawl_recurse", F.lit(self.policy.recursion_depth))
         )
         existing = self._with_schema_defaults(self.frontier.read(self.spark))
-        prev_bloom = self.bloom.read(self.spark)
+        prev_bloom = self._read_bloom(existing)
         new = urlseen_dedup(df, existing, prev_bloom, self.bloom_bits)
         # two seed() calls before the first round must not reuse ranks:
         # continue from the max rank already assigned within this round
@@ -207,6 +234,7 @@ class CrawlEngine:
             changed_buckets=buckets,
         )
         self.frontier.commit(self.spark, merged, self.round_no(), changed_buckets=buckets)
+        new.unpersist()
 
     def _touched_buckets(self, *changed: Optional[DataFrame]) -> list[int]:
         """Distinct buckets across the changed sets — ONE collect job."""
@@ -525,7 +553,7 @@ class CrawlEngine:
             redirect_targets.select(*cand_cols)
         )
 
-        prev_bloom = self.bloom.read(spark)
+        prev_bloom = self._read_bloom(frontier)
         new_urls = urlseen_dedup(all_candidates, frontier, prev_bloom, self.bloom_bits)
         new_urls = assign_ids(new_urls, round_no)
         inserts = new_urls
@@ -566,13 +594,13 @@ class CrawlEngine:
         # --- webhook triggers kept as metric events (P17) -----------------
         # se/webhook.py:108-117 trigger conditions; se/document.py:436-447
         n_webhook_events = 0
+        trig_conds = {
+            "discovery": is_success & F.col("b.crawl_first").isNull(),
+            "change": is_success & changed_content,
+            "always": is_success,
+            "manual": is_success & F.col("b.manual_crawl"),
+        }
         if self.policy.webhooks:
-            trig_conds = {
-                "discovery": is_success & F.col("b.crawl_first").isNull(),
-                "change": is_success & changed_content,
-                "always": is_success,
-                "manual": is_success & F.col("b.manual_crawl"),
-            }
             ev_parts = [
                 joined.filter(trig_conds[t]).select(
                     F.col("url"),
@@ -593,6 +621,26 @@ class CrawlEngine:
                     self.webhook_events.append(spark, evts, round_no)
                 evts.unpersist()
 
+        # per-doc webhooks_result JSON (se/webhook.py:318-343,
+        # se/document.py:160): which triggers fired for THIS document
+        # and the (synthetic) delivery outcome — the fetcher has no real
+        # HTTP surface, so delivery is the deterministic success shape
+        # the reference records on 2xx.
+        wh_result = F.lit(None).cast("string")
+        if self.policy.webhooks:
+            parts = [
+                F.when(
+                    trig_conds[t],
+                    F.lit(
+                        f'"{t}": {{"status_code": 200, "status_string": "OK", "error": null}}'
+                    ),
+                )
+                for t in self.policy.webhooks
+                if t in trig_conds
+            ]
+            if parts:
+                wh_result = F.concat(F.lit("{"), F.concat_ws(", ", *parts), F.lit("}"))
+
         n_links = 0
         if n_success:
             docs = joined.filter(is_success).select(
@@ -607,12 +655,14 @@ class CrawlEngine:
                 F.col("f.phash").alias("phash"),
                 new_hash.alias("content_hash"),
                 changed_content.alias("changed"),
+                wh_result.alias("webhooks_result"),
                 F.lit(round_no).alias("round_no"),
                 now_col.alias("fetched_at"),
             )
             self.documents.append(spark, docs, round_no)
 
             n_links = resolved.count()
+            link_rows = None
             if n_links:
                 link_rows = resolved.join(
                     admitted.select(F.col("url"), F.lit(True).alias("is_admitted")).distinct(),
@@ -631,25 +681,53 @@ class CrawlEngine:
             # se/test_crawl.py:410-458): links stored as extern whose
             # target got crawled THIS round are re-pointed by appending
             # a newer is_admitted row; links_view() resolves latest-wins.
-            # The join is (extern links) ⋈ broadcast(this round's docs —
-            # bounded by the batch), never links ⋈ links.
+            # The probe reads the pending-extern SIDE TABLE — per-round
+            # cost is O(externs not yet crawled), never O(the whole links
+            # append-log, which grows with total crawl history) — and the
+            # join is pending ⋈ broadcast(this round's docs — bounded by
+            # the batch).  Repointed rows leave the pending set; the
+            # bucket-granular commit rewrites only touched dst buckets.
             crawled_now = docs.select(F.col("url").alias("dst_url")).distinct()
-            all_links = self.links.read(spark)
-            if all_links is not None:
-                repoint = (
-                    all_links.filter(~F.col("is_admitted"))
-                    .join(F.broadcast(crawled_now), "dst_url", "left_semi")
-                    .select(
-                        "src_url",
-                        "dst_url",
-                        "link_no",
-                        F.lit(True).alias("is_admitted"),
-                        F.lit(round_no).alias("round_no"),
-                    )
-                    .dropDuplicates(["src_url", "dst_url", "link_no"])
+            new_externs = None
+            if link_rows is not None:
+                new_externs = SnapshotTable.with_bucket(
+                    link_rows.filter(~F.col("is_admitted")).select(
+                        "src_url", "dst_url", "link_no"
+                    ),
+                    "dst_url",
+                    self.n_buckets,
                 )
-                if repoint.limit(1).count():
-                    self.links.append(spark, repoint, round_no)
+            pend_parts = [
+                p for p in (self.pending_externs.read(spark), new_externs) if p is not None
+            ]
+            if pend_parts:
+                pending = pend_parts[0]
+                for p in pend_parts[1:]:
+                    pending = pending.unionByName(p)
+                pending = pending.dropDuplicates(["src_url", "dst_url", "link_no"]).cache()
+                matched = pending.join(F.broadcast(crawled_now), "dst_url", "left_semi").cache()
+                if matched.limit(1).count():
+                    self.links.append(
+                        spark,
+                        matched.select(
+                            "src_url",
+                            "dst_url",
+                            "link_no",
+                            F.lit(True).alias("is_admitted"),
+                            F.lit(round_no).alias("round_no"),
+                        ),
+                        round_no,
+                    )
+                touched_pend = self._touched_buckets(new_externs, matched)
+                if touched_pend:
+                    remaining = pending.filter(F.col("bucket").isin(touched_pend)).join(
+                        F.broadcast(crawled_now), "dst_url", "left_anti"
+                    )
+                    self.pending_externs.commit(
+                        spark, remaining, round_no, changed_buckets=touched_pend
+                    )
+                pending.unpersist()
+                matched.unpersist()
 
         # --- commits: bloom BEFORE frontier ------------------------------
         # The frontier commit is the round's atomic commit point.  Bloom
@@ -767,6 +845,15 @@ class CrawlEngine:
         combined = "|".join(f"({p})" if "|" in p else p for p in parts)
         self.policy = dataclasses.replace(self.policy, unlimited_regex=combined)
         self.seed(urls, t, manual=manual)
+
+    def close(self) -> None:
+        """Release engine-lifetime caches (the host-rules broadcast-side
+        table).  Per-round caches unpersist inside seed()/run_round();
+        after close() the engine leaves nothing in the block-manager
+        (asserted in tests)."""
+        if self._rules_df is not None:
+            self._rules_df.unpersist()
+            self._rules_df = None
 
     # ------------------------------------------------------------------
     def run_until_quiescent(

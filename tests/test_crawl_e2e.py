@@ -338,6 +338,20 @@ def test_extern_link_repoint(spark, tmp_path_factory):
     }
     assert lv2.get((url_of(src, WEB), dst_url)) is True  # re-pointed
 
+    # the repoint probe reads the pending-extern SIDE table, not the
+    # links log: pending holds exactly the not-yet-crawled externs (the
+    # repointed row left the set), so per-round repoint cost is
+    # O(pending), not O(all links ever appended)
+    pend = eng.pending_externs.read(spark)
+    pend_keys = (
+        {(r["src_url"], r["dst_url"]) for r in pend.collect()} if pend is not None else set()
+    )
+    assert (url_of(src, WEB), dst_url) not in pend_keys
+    still_extern = {k for k, adm in lv2.items() if not adm}
+    assert pend_keys == still_extern
+    n_log = eng.links.read(spark).count()
+    assert len(pend_keys) < n_log  # the probe input is the thin slice
+
 
 def test_widen_scope_admits_new_host(spark, tmp_path_factory):
     """F32 (se/add_to_queue.py:59-89): widen_scope() appends the URL
@@ -362,6 +376,21 @@ def test_widen_scope_admits_new_host(spark, tmp_path_factory):
     assert f.filter(F.col("url") == other_host_url).count() == 1
     crawled = f.filter(F.col("crawl_last").isNotNull()).count()
     assert crawled >= 1
+
+
+def test_engine_leaves_no_cached_rdds(spark, tmp_path_factory):
+    """Cache hygiene: seed()/run_round() unpersist their per-round
+    caches and close() drops the engine-lifetime rules cache — at
+    driver scale a leaked cached frontier per round OOMs the block
+    manager."""
+    before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    root = str(tmp_path_factory.mktemp("cachesweep"))
+    eng = _engine(spark, root)
+    eng.seed([url_of(2, WEB)], T0)
+    eng.run_round(T0)
+    eng.close()
+    after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    assert after <= before
 
 
 def test_double_seed_unique_ids(spark, tmp_path_factory):
@@ -394,3 +423,16 @@ def test_webhook_events_emitted(spark, tmp_path_factory):
     ev = eng.webhook_events.read(spark)
     trig = {r["trigger"] for r in ev.collect()}
     assert {"discovery", "change"} <= trig
+
+    # per-doc webhooks_result JSON (se/webhook.py:318-343,
+    # se/document.py:160): first crawl fires discovery+change on every
+    # successful doc, recorded with the delivery outcome shape
+    import json
+
+    docs = eng.documents.read(spark).collect()
+    assert docs
+    for r in docs:
+        res = json.loads(r["webhooks_result"])
+        assert set(res) == {"discovery", "change"}
+        assert res["discovery"]["status_code"] == 200
+        assert res["discovery"]["error"] is None

@@ -91,6 +91,60 @@ def test_snapshot_table_commit_resume(spark, tmp_root):
     assert any(v == "snap-000002" for v in m["buckets"].values())
 
 
+def test_legacy_blob_bloom_migrates_on_read(spark, tmp_path_factory):
+    """Resume over a pre-word-table bloom snapshot (blob format): the
+    engine rebuilds the bloom from the frontier (derivable state),
+    recommits it word-format across all buckets, and dedup still holds
+    — an already-seen URL must not be admitted twice."""
+    from datetime import datetime
+
+    from sosse_spark.operators.admission import CollectionPolicy
+    from sosse_spark.sources.webgraph import WebConfig, url_of
+    from sosse_spark.streaming.crawl_loop import CrawlEngine
+
+    root = str(tmp_path_factory.mktemp("legacy_bloom"))
+    web = WebConfig(n_docs=10, n_hosts=2)
+    pol = CollectionPolicy(collection_id=1, unlimited_regex=".*", recursion_depth=1)
+    eng = CrawlEngine(spark, root, web, pol, n_buckets=4, batch_size=8)
+    t0 = datetime(2024, 1, 1)
+    eng.seed([url_of(2, web), url_of(4, web)], t0)
+
+    # overwrite the bloom table with a legacy blob-format snapshot
+    legacy = spark.createDataFrame(
+        [(b, bytes(8), 2) for b in range(4)], "bucket int, blob binary, n bigint"
+    )
+    eng.bloom.commit(spark, legacy, eng.bloom.manifest()["round"], changed_buckets=list(range(4)))
+
+    eng2 = CrawlEngine(spark, root, web, pol, n_buckets=4, batch_size=8)
+    eng2.seed([url_of(2, web), url_of(6, web)], t0)  # url 2 already seen
+    f = eng2.frontier.read(spark)
+    assert f.filter(F.col("url") == url_of(2, web)).count() == 1  # no dup
+    assert f.count() == 3
+    b = eng2.bloom.read(spark)
+    assert "word" in b.columns and "blob" not in b.columns  # migrated
+
+
+def test_snapshot_table_rollback_to_round(spark, tmp_root):
+    """Crash repair for pre-frontier-commit snapshot tables (the P3
+    pending-extern side table): rewind LATEST to the newest snapshot
+    whose round predates the replayed round, then recommit in place."""
+    t = SnapshotTable(tmp_root, "pend", n_buckets=N_BUCKETS)
+    t.commit(spark, _cands(spark, ["http://h/a"]), round_no=0)
+    t.commit(spark, _cands(spark, ["http://h/a", "http://h/b"]), round_no=1)
+    t.commit(spark, _cands(spark, ["http://h/c"]), round_no=2)
+    t.rollback_to_round(2)  # round 2 never reached its frontier commit
+    assert t.manifest()["round"] == 1
+    urls = {r["url"] for r in t.read(spark).collect()}
+    assert "http://h/c" not in urls
+    # replay recommits round 2, overwriting the orphaned snapshot
+    t.commit(spark, _cands(spark, ["http://h/c2"]), round_no=2)
+    assert t.manifest()["round"] == 2
+    assert "http://h/c2" in {r["url"] for r in t.read(spark).collect()}
+    # rollback past everything removes LATEST entirely
+    t.rollback_to_round(0)
+    assert t.read(spark) is None
+
+
 def test_append_table(spark, tmp_root):
     t = AppendTable(tmp_root, "metrics")
     assert t.read(spark) is None

@@ -118,6 +118,31 @@ def test_urlseen_antijoin_projects_thin_columns(spark):
     assert "fat" not in anti_section
 
 
+def test_bloom_build_and_probe_stay_jvm(spark):
+    """The URL-seen bloom build + prefilter + dedup must be pure JVM
+    column algebra — no Arrow boundary (pandas stages anti-scale above
+    ~8-16 local python workers on this host; a 1000-executor cluster
+    wants the probe in whole-stage codegen regardless)."""
+    from sosse_spark.operators.frontier import bloom_build, urlseen_dedup, with_bucket
+
+    cands = with_bucket(
+        spark.createDataFrame(
+            [(f"http://h/{i}", 1, 0, i, "h", "/p") for i in range(50)],
+            "url string, collection_id int, crawl_recurse int, disc_order long, "
+            "url_domain string, url_path string",
+        ),
+        4,
+    )
+    bloom = bloom_build(cands, None, m_bits=1 << 16)
+    out = urlseen_dedup(cands, cands.select("url", "collection_id"), bloom, m_bits=1 << 16)
+    for df in (bloom, out):
+        plan = _plan(df)
+        assert "ArrowEvalPython" not in plan
+        assert "FlatMapGroupsInPandas" not in plan
+        assert "FlatMapCoGroupsInPandas" not in plan
+        assert "BatchEvalPython" not in plan
+
+
 def test_whole_stage_codegen_in_scheduler(spark):
     """Eligibility + priority algebra must stay inside WholeStageCodegen
     (no Python/UDF breaks in the hot scheduling path)."""
