@@ -688,6 +688,24 @@ def q_dedup_exact(spark, sf_dir):
     return exact_dedup(_docs(spark, sf_dir), "text", "doc_id", no_numbers=True)
 
 
+def q_dedup_components(spark, sf_dir):
+    """Connected components over synthetic near-dup pairs (paths via
+    consecutive ids + sparse bridges) — the pairs→groups step of corpus
+    dedup; oracle is a DuckDB recursive transitive closure."""
+    from sosse_spark.operators.dedup import dedup_components
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    e1 = d.filter(did % 10 < 3).select(did.alias("id_a"), (did + 1).alias("id_b"))
+    e2 = d.filter(did % 97 == 0).select(did.alias("id_a"), (did + 5).alias("id_b"))
+    pairs = e1.unionByName(e2)
+    out = dedup_components(pairs)
+    return out.select(
+        F.col("_id").cast("long").alias("_id"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
     from sosse_spark.operators.dedup import ngram_jaccard_pairs
 
@@ -885,6 +903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p11_snapshot_route": q_p11_snapshot_route,
         "p11_snapshot_refcount": q_p11_snapshot_refcount,
         "dedup_exact": q_dedup_exact,
+        "dedup_components": q_dedup_components,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -1236,6 +1255,24 @@ def oracle_sql() -> dict[str, str]:
                    md5(regexp_replace(text, '[0-9]+', '0', 'g')) AS content_md5,
                    count(*) AS dup_count
             FROM documents GROUP BY 2""",
+        "dedup_components": """
+            WITH base AS (
+              SELECT doc_id AS id_a, doc_id + 1 AS id_b FROM documents WHERE doc_id % 10 < 3
+              UNION ALL
+              SELECT doc_id, doc_id + 5 FROM documents WHERE doc_id % 97 = 0),
+            edges AS (
+              SELECT id_a AS u, id_b AS v FROM base WHERE id_a <> id_b
+              UNION
+              SELECT id_b, id_a FROM base WHERE id_a <> id_b),
+            verts AS (SELECT DISTINCT u FROM edges)
+            , rec AS (
+              WITH RECURSIVE reach(a, b) AS (
+                SELECT u, u FROM verts
+                UNION
+                SELECT r.a, e.v FROM reach r JOIN edges e ON e.u = r.b)
+              SELECT a, b FROM reach)
+            SELECT CAST(a AS BIGINT) AS _id, CAST(min(b) AS BIGINT) AS component
+            FROM rec GROUP BY a""",
         "q1_fts_rank": """
             WITH t AS (
               SELECT doc_id, text,

@@ -35,6 +35,8 @@ __all__ = [
     "hamming_near_dup_pairs",
     "phash_hamming_pairs",
     "ngram_jaccard_pairs",
+    "dedup_components",
+    "dedup_canonical",
 ]
 
 
@@ -289,6 +291,95 @@ def phash_hamming_pairs(
     """
     sig = df.select(F.col(id_col).alias("_id"), F.col(phash_col).cast("long").alias("sig"))
     return hamming_near_dup_pairs(sig, max_hamming=max_hamming, n_bits=n_bits)
+
+
+def dedup_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs → (_id, component), the
+    step that turns pairwise dedup verdicts into dedup GROUPS (keep one
+    representative per component).
+
+    Algorithm: alternating large-star / small-star contractions
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14 — public): each vertex repeatedly links to the minimum id
+    in its closed neighborhood.  Converges in O(log n) rounds even on
+    long paths (plain min-label propagation needs O(diameter)), every
+    round is two hash-shuffled groupBys — no driver-side graph, no
+    collect beyond the 1-row convergence check.  Near-dup clusters are
+    near-cliques, so typical corpora converge in 2-3 rounds.
+
+    Output: (_id, component) for every id appearing in `pairs`, where
+    component = min id of the cluster.
+    """
+    # symmetric edge list, self-loops dropped
+    e = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    edges = (
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+    def _sym(df: DataFrame) -> DataFrame:
+        return df.unionByName(df.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+    # Each round: large-star (every neighbor v > u links to the min of
+    # u's closed neighborhood) then small-star (every neighbor v <= u,
+    # and u itself, link to that min).  Both are one groupBy-min + one
+    # join — hash-shuffled on vertex id, no driver-side graph.
+    cur = edges.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nbrs = _sym(cur)
+        mins = nbrs.groupBy("u").agg(F.min(F.least("u", "v")).alias("m"))
+        ls = (
+            nbrs.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        nbrs2 = _sym(ls)
+        joined2 = nbrs2.join(
+            nbrs2.groupBy("u").agg(F.min(F.least("u", "v")).alias("m")), "u"
+        ).filter(F.col("v") <= F.col("u"))
+        ss = (
+            joined2.select(F.col("u").alias("x"), F.col("m"))
+            .unionByName(joined2.select(F.col("v").alias("x"), F.col("m")))
+            .filter(F.col("x") != F.col("m"))
+            .select(F.col("x").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        nxt = ss.localCheckpoint(eager=True)  # cut the iterative lineage
+        # fixpoint: the edge set stopped changing (at convergence every
+        # edge is (node → its component root)).  Bounded driver cost:
+        # two 1-row existence probes.
+        changed = nxt.exceptAll(cur).limit(1).count() + cur.exceptAll(nxt).limit(1).count()
+        cur = nxt
+        if changed == 0:
+            break
+    comp = cur.select(F.col("u").alias("_id"), F.col("v").alias("component"))
+    roots = (
+        comp.select(F.col("component").alias("_id"))
+        .distinct()
+        .withColumn("component", F.col("_id"))
+    )
+    return comp.unionByName(roots).dropDuplicates(["_id"]).select("_id", "component")
+
+
+def dedup_canonical(
+    docs: DataFrame, pairs: DataFrame, id_col: str, max_iter: int = 20
+) -> DataFrame:
+    """Keep ONE representative row (min id) per near-dup component and
+    every row not in any pair — the end-to-end 'dedup the corpus'
+    composition (pairs from any of the *_pairs operators)."""
+    comp = dedup_components(pairs, max_iter=max_iter)
+    losers = comp.filter(F.col("_id") != F.col("component")).select(
+        F.col("_id").alias(id_col)
+    )
+    return docs.join(losers, id_col, "left_anti")
 
 
 def ngram_jaccard_pairs(

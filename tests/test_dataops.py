@@ -281,3 +281,47 @@ def test_audio_video_stubs(spark):
     frames = video_frame_sample(media, every_ms=500, allow_fake=True).collect()
     assert len(frames) >= 4
     assert [f["frame_no"] for f in frames] == list(range(len(frames)))
+
+
+def test_dedup_components_paths_stars_merges(spark):
+    """Connected components (alternating star contraction): long path,
+    disjoint cluster, and a bridge merge all resolve to min-id labels."""
+    from sosse_spark.operators.dedup import dedup_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6),          # path 1..6
+         (10, 11), (11, 12),                              # star-ish 10..12
+         (20, 21),                                        # pair
+         (6, 10)],                                        # bridge merges path+star
+        "id_a long, id_b long",
+    )
+    got = {r["_id"]: r["component"] for r in dedup_components(pairs).collect()}
+    assert {k: v for k, v in got.items() if k <= 12} == {i: 1 for i in [1, 2, 3, 4, 5, 6, 10, 11, 12]}
+    assert got[20] == 20 and got[21] == 20
+    assert set(got) == {1, 2, 3, 4, 5, 6, 10, 11, 12, 20, 21}
+
+
+def test_dedup_components_empty_and_self(spark):
+    from sosse_spark.operators.dedup import dedup_components
+
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert dedup_components(empty).count() == 0
+    selfy = spark.createDataFrame([(7, 7), (1, 2)], "id_a long, id_b long")
+    got = {r["_id"]: r["component"] for r in dedup_components(selfy).collect()}
+    assert got == {1: 1, 2: 1}  # self-loop dropped entirely
+
+
+def test_dedup_canonical_keeps_min_and_unpaired(spark):
+    """End-to-end corpus dedup: minhash pairs -> components -> keep the
+    min-id representative plus every unpaired row."""
+    from sosse_spark.operators.dedup import dedup_canonical, minhash_lsh_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base + " extra"), (3, base), (4, "something entirely different here")],
+        "doc_id long, text string",
+    )
+    pairs = minhash_lsh_pairs(docs, "text", "doc_id", k=3, num_hashes=16, bands=8,
+                              jaccard_threshold=0.5)
+    kept = sorted(r["doc_id"] for r in dedup_canonical(docs, pairs, "doc_id").collect())
+    assert kept == [1, 4]
