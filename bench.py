@@ -72,6 +72,7 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> dict[str, float]:
         "f30_queue_metrics",
         "dedup_exact",
         "dedup_ngram_jaccard",
+        "dedup_components",
         "dedup_minhash_lsh",
         "dedup_simhash",
         "dedup_phash_hamming",
@@ -79,6 +80,7 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> dict[str, float]:
         "sim_ann_lsh",
         "sim_embedding_neardup",
         "q1_fts_rank",
+        "q1_fts_or",
         "p12_cache_gate",
         "p14_content_filename",
         "text_langid",
