@@ -8,13 +8,14 @@ rows (ts ≙ crawl timestamps, user_id ≙ host bucket, event_type ≙ manual
 flag, event_id ≙ autoincrement id); `documents.text` stands in for the
 caption payload; `embeddings` drives the similarity-search ops.
 
-Entries without an oracle (sim_ann_lsh — approximate top-k, recall
-pinned vs brute force in tests/; img_decode_stats — image bytes are
-generated in-repo) are rows-only checked here and exactness-tested in
-tests/ instead.  The LSH/banding dedup entries (minhash, simhash,
-embedding near-dup) DO carry brute-force oracles: their banding is
-recall-1 on this data (simhash by pigeonhole construction), so the
-exact-verified outputs must equal brute force.
+The single entry without an oracle is img_decode_stats (DuckDB cannot
+decode images; its PSNR column is pytest-pinned) — its deterministic
+slice has a real oracle row as img_decode_check.  The approximate-ANN
+entries (sim_ann_lsh/ivf/pq) and the LSH/banding dedup entries
+(minhash, simhash, embedding near-dup) all carry exact brute-force
+oracles: parameters are sized so the approximate candidates cover the
+exact answer on this data (simhash/phash by pigeonhole construction),
+and the sub-covering regimes are recall-pinned in tests/ instead.
 """
 
 from __future__ import annotations
@@ -485,6 +486,15 @@ def q_dedup_phash_hamming(spark, sf_dir):
     return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
 
+def q_text_gopher(spark, sf_dir):
+    """Gopher-style quality rules (Rae et al. 2021 §A1.1) — per-rule
+    boolean flags + composite, pure column algebra."""
+    from sosse_spark.functions.text import gopher_quality_flags
+
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", *gopher_quality_flags(F.col("text")))
+
+
 def q_q1_fts_rank(spark, sf_dir):
     from sosse_spark.operators.fts import fts_match_rank
 
@@ -510,6 +520,17 @@ def q_q1_fts_negation(spark, sf_dir):
     d = _docs(spark, sf_dir)
     out = fts_match_rank(d, "sparks -dup", text_col="text")
     return out.select("doc_id", "rank")
+
+
+def q_q1_fts_index(spark, sf_dir):
+    """Inverted-index FTS path: build postings once, query them — must
+    reproduce the scan path exactly (oracle = same SQL as q1_fts_or)."""
+    from sosse_spark.operators.fts import fts_build_index, fts_query_index
+
+    d = _docs(spark, sf_dir)
+    idx = fts_build_index(d, "doc_id")
+    out = fts_query_index(idx, "spark or vector")
+    return out.select(F.col("_id").alias("doc_id"), "rank")
 
 
 def _doctyped_content(d):
@@ -783,6 +804,27 @@ def q_sim_ann_ivf(spark, sf_dir):
     return out.select("query_id", "vec_id", "rank", F.round("cos_sim", 4).alias("cos4"))
 
 
+def q_sim_ann_pq(spark, sf_dir):
+    # Oracle = the exact top-k SQL: PQ-ADC shortlists 8·k candidates
+    # per query, then EXACT re-rank of the shortlist.  The near-random
+    # synthetic embeddings pack true cos scores into a ~0.05 band, so
+    # quantization needs 16 sub-spaces × 64 codes for the shortlist to
+    # cover the true top-5 (swept recall 1.0 at sf0.001/0.01/0.1;
+    # 8×32 measured 0.53-0.93 — that coarse regime is recall-pinned in
+    # tests/test_dataops.py instead).
+    from sosse_spark.operators.similarity import pq_topk, pq_train
+
+    emb = _emb(spark, sf_dir).withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    books = pq_train(emb, m_sub=16, n_codes=64, iters=5, max_train=20_000)
+    out = pq_topk(emb, queries, books, k=5, shortlist_mult=8)
+    return out.select("query_id", "vec_id", "rank", F.round("cos_sim", 4).alias("cos4"))
+
+
 def q_sim_embedding_neardup(spark, sf_dir):
     # Oracle = brute-force cosine pairs: OR-amplified banding is sized
     # from (threshold, target_recall) and verified recall-1 on this data
@@ -892,6 +934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_fts_rank": q_q1_fts_rank,
         "q1_fts_or": q_q1_fts_or,
         "q1_fts_negation": q_q1_fts_negation,
+        "q1_fts_index": q_q1_fts_index,
         "q9_snippet": q_q9_snippet,
         "q12_atom_feed": q_q12_atom_feed,
         "q14_bang_redirect": q_q14_bang_redirect,
@@ -910,11 +953,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_bruteforce": q_sim_ann_bruteforce,
         "sim_ann_lsh": q_sim_ann_lsh,
         "sim_ann_ivf": q_sim_ann_ivf,
+        "sim_ann_pq": q_sim_ann_pq,
         "sim_embedding_neardup": q_sim_embedding_neardup,
         "text_langid": q_text_langid,
         "text_quality": q_text_quality,
         "text_tokens": q_text_tokens,
         "text_fingerprint": q_text_fingerprint,
+        "text_gopher": q_text_gopher,
         "img_decode_stats": q_img_decode_stats,
         "img_decode_check": q_img_decode_check,
     }
@@ -1229,6 +1274,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT ROW_NUMBER() OVER (ORDER BY ts DESC, event_id ASC) AS rank,
                    event_id, epoch_us(ts) AS ts_us
             FROM events ORDER BY ts DESC, event_id ASC LIMIT 100""",
+        "text_gopher": """
+            WITH w AS (
+              SELECT doc_id, text,
+                     list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS words,
+                     list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS lines
+              FROM documents),
+            m AS (
+              SELECT doc_id,
+                     len(words) AS n_words,
+                     length(array_to_string(words, '')) AS chars,
+                     greatest(len(lines), 1) AS n_lines,
+                     len(list_filter(lines, l -> regexp_matches(trim(l), '^[-*•]'))) AS bullet_lines,
+                     len(list_filter(lines, l -> ends_with(trim(l), '...'))) AS ellipsis_lines,
+                     len(list_filter(words, x -> regexp_matches(x, '\\pL'))) AS alpha_words,
+                     len(list_intersect(list_distinct(string_split_regex(lower(text), '[^a-z]+')),
+                         ['the','be','to','of','and','that','have','with'])) AS n_stop
+              FROM w),
+            f AS (
+              SELECT doc_id,
+                     n_words >= 50 AND n_words <= 100000 AS g_word_count,
+                     (CASE WHEN n_words > 0 THEN CAST(chars AS DOUBLE)/n_words ELSE 0.0 END) >= 3.0
+                       AND (CASE WHEN n_words > 0 THEN CAST(chars AS DOUBLE)/n_words ELSE 0.0 END) <= 10.0 AS g_mean_word_len,
+                     CAST(ellipsis_lines AS DOUBLE)/n_lines <= 0.3 AS g_ellipsis,
+                     CAST(bullet_lines AS DOUBLE)/n_lines <= 0.9 AS g_bullets,
+                     (CASE WHEN n_words > 0 THEN CAST(alpha_words AS DOUBLE)/n_words ELSE 0.0 END) >= 0.8 AS g_alpha_words,
+                     n_stop >= 2 AS g_stop_words
+              FROM m)
+            SELECT doc_id, g_word_count, g_mean_word_len, g_ellipsis, g_bullets,
+                   g_alpha_words, g_stop_words,
+                   g_word_count AND g_mean_word_len AND g_ellipsis AND g_bullets
+                     AND g_alpha_words AND g_stop_words AS gopher_pass
+            FROM f""",
         "img_decode_check": """
             SELECT 'img-' || lpad(CAST(i AS VARCHAR), 12, '0') AS image_id,
                    ['png', 'bmp', 'lossy'][CAST(i % 3 AS INT) + 1] AS fmt,
@@ -1292,6 +1369,23 @@ def oracle_sql() -> dict[str, str]:
                 AND contains(lower(text), 'the data'))
             WHERE rank > 0.01""",
         "q1_fts_or": """
+            WITH t AS (
+              SELECT doc_id, text,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+              FROM documents),
+            f AS (
+              SELECT doc_id, text, toks,
+                     list_transform(toks, x ->
+                       regexp_replace(regexp_replace(regexp_replace(x, 'sses$', 'ss'), 'ies$', 'i'), '([^s])s$', '\\1')) AS ftoks
+              FROM t)
+            SELECT doc_id, rank FROM (
+              SELECT doc_id,
+                     round(CAST(len(list_filter(ftoks, x -> list_contains(['spark', 'vector'], x))) AS DOUBLE)
+                           / greatest(len(toks), 1), 6) AS rank
+              FROM f
+              WHERE list_contains(ftoks, 'spark') OR list_contains(ftoks, 'vector'))
+            WHERE rank > 0.01""",
+        "q1_fts_index": """
             WITH t AS (
               SELECT doc_id, text,
                      list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
@@ -1471,6 +1565,18 @@ def oracle_sql() -> dict[str, str]:
                      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
               FROM scored) WHERE rank <= 5""",
         "sim_ann_ivf": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
+            scored AS (
+              SELECT q.query_id, e.vec_id,
+                     round(list_dot_product(e.v, q.qv)
+                           / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos_sim
+              FROM e CROSS JOIN q)
+            SELECT query_id, vec_id, rank, round(cos_sim, 4) AS cos4 FROM (
+              SELECT query_id, vec_id, cos_sim,
+                     ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
+              FROM scored) WHERE rank <= 5""",
+        "sim_ann_pq": """
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
             q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
             scored AS (

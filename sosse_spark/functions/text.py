@@ -29,6 +29,7 @@ __all__ = [
     "quality_score_expr",
     "token_count_expr",
     "bpe_ish_token_count_expr",
+    "gopher_quality_flags",
     "fingerprint_expr",
 ]
 
@@ -110,6 +111,47 @@ def bpe_ish_token_count_expr(text_col: Column) -> Column:
     GPT-2-style pre-tokenizer regex (letters runs, digit runs, other)."""
     toks = F.regexp_extract_all(text_col, F.lit(r"(\p{L}+|\p{N}+|[^\s\p{L}\p{N}]+)"), 1)
     return F.size(toks)
+
+
+def gopher_quality_flags(text_col: Column) -> list[Column]:
+    """Gopher-style document-quality rules (Rae et al. 2021, §A1.1 —
+    public) as pure column algebra; aliased boolean columns + a
+    composite `gopher_pass`.  Deterministic approximations:
+
+      * word count in [min_words, max_words]
+      * mean word length in [3, 10]
+      * ellipsis-line fraction <= 0.3, bullet-line fraction <= 0.9
+      * >= 80% of words contain an alphabetic character
+      * >= 2 distinct common stop words present
+
+    Each rule is one codegen'd expression over the text column — the
+    whole filter is a projection, no shuffle, no UDF.
+    """
+    words = F.filter(F.split(F.trim(text_col), r"\s+"), lambda w: w != F.lit(""))
+    n_words = F.size(words)
+    chars = F.length(F.concat_ws("", words)).cast("double")
+    mean_wlen = F.when(n_words > 0, chars / n_words).otherwise(F.lit(0.0))
+    lines = F.filter(F.split(text_col, "\n"), lambda l: F.trim(l) != F.lit(""))
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    bullet_lines = F.size(F.filter(lines, lambda l: F.trim(l).rlike("^[-*\u2022]")))
+    ellipsis_lines = F.size(F.filter(lines, lambda l: F.trim(l).endswith("...")))
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("\\p{L}")))
+    stop = ["the", "be", "to", "of", "and", "that", "have", "with"]
+    toks = F.split(F.lower(text_col), "[^a-z]+")
+    n_stop = F.size(F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(x) for x in stop])))
+    flags = [
+        ((n_words >= 50) & (n_words <= 100000)).alias("g_word_count"),
+        ((mean_wlen >= 3.0) & (mean_wlen <= 10.0)).alias("g_mean_word_len"),
+        ((ellipsis_lines / n_lines) <= 0.3).alias("g_ellipsis"),
+        ((bullet_lines / n_lines) <= 0.9).alias("g_bullets"),
+        (F.when(n_words > 0, alpha_words / n_words).otherwise(F.lit(0.0)) >= 0.8).alias("g_alpha_words"),
+        (n_stop >= 2).alias("g_stop_words"),
+    ]
+    composite = flags[0]
+    for f in flags[1:]:
+        composite = composite & f
+    # rebuild from the aliased columns is caller-side; return flags+pass
+    return flags + [composite.alias("gopher_pass")]
 
 
 def fingerprint_expr(text_field: str, window: int = 8) -> Column:

@@ -47,6 +47,8 @@ __all__ = [
     "fts_tokens",
     "fts_fold",
     "fts_match_rank",
+    "fts_build_index",
+    "fts_query_index",
 ]
 
 
@@ -181,3 +183,88 @@ def fts_match_rank(
         .filter(F.col("rank") > rank_floor)
         .drop("_toks", "_ftoks")
     )
+
+
+def fts_build_index(
+    docs: DataFrame, id_col: str, text_col: str = "text"
+) -> DataFrame:
+    """The inverted-index layout (the GIN-analog): one build pays the
+    tokenize+fold cost ONCE, then every query is a few thin equi-joins
+    instead of a corpus scan — the right shape when the same corpus
+    serves many queries.
+
+    Output: (token, _id, tf, doc_len) — folded token postings with
+    per-doc term frequency and the document's total token count (kept
+    denormalized on the posting so ranking needs no extra join).  The
+    explode→groupBy shape map-side combines; at corpus scale, persist
+    the index bucketed/sorted by token so query joins prune.
+    """
+    staged = docs.select(
+        F.col(id_col).alias("_id"), fts_tokens(F.col(text_col)).alias("_toks")
+    ).withColumn("_ftoks", fts_fold(F.col("_toks")))
+    exploded = staged.select(
+        "_id", F.size("_toks").alias("doc_len"), F.explode("_ftoks").alias("token")
+    )
+    return exploded.groupBy("token", "_id", "doc_len").agg(F.count("*").alias("tf"))
+
+
+def fts_query_index(
+    index: DataFrame,
+    query: str,
+    rank_floor: float = 0.01,
+) -> DataFrame:
+    """Run a websearch query against an fts_build_index table.  Output:
+    (_id, rank) with scan-variant rank semantics — (matched positive
+    token occurrences) / doc_len — so index and scan paths agree.
+
+    Shapes: each group's positive terms filter the postings with an
+    isin on a literal list (partition-prunable on a token-bucketed
+    index); AND is a count-distinct == n_terms aggregate; negation is
+    a thin anti-join on the negated tokens' postings.  Phrases need
+    original text and are not supported in the index layout (the scan
+    operator handles them) — ValueError rather than silent wrong
+    answers.
+    """
+    groups = parse_websearch(query)
+    if any(g.phrases or g.neg_phrases for g in groups):
+        raise ValueError("phrase queries need fts_match_rank (index has no positions)")
+    if not groups:
+        return index.select(F.col("_id"), F.lit(0.0).alias("rank")).limit(0)
+
+    matched_ids = None
+    for g in groups:
+        terms = sorted({fold_suffix(t) for t in g.terms})
+        neg = sorted({fold_suffix(t) for t in g.neg_terms})
+        if terms:
+            hit = (
+                index.filter(F.col("token").isin(terms))
+                .groupBy("_id")
+                .agg(F.count_distinct("token").alias("_nt"))
+                .filter(F.col("_nt") == len(terms))
+                .select("_id")
+            )
+        else:
+            # negation-only group: every indexed doc is a candidate
+            hit = index.select("_id").distinct()
+        if neg:
+            neg_posts = index.filter(F.col("token").isin(neg)).select("_id").distinct()
+            hit = hit.join(neg_posts, "_id", "left_anti")
+        matched_ids = hit if matched_ids is None else matched_ids.unionByName(hit)
+    matched_ids = matched_ids.distinct()
+
+    pos_terms = sorted({fold_suffix(t) for g in groups for t in g.terms})
+    if pos_terms:
+        scores = (
+            index.filter(F.col("token").isin(pos_terms))
+            .groupBy("_id", "doc_len")
+            .agg(F.sum("tf").alias("_m"))
+            .select(
+                "_id",
+                F.round(F.col("_m") / F.greatest(F.col("doc_len"), F.lit(1)), 6).alias("rank"),
+            )
+        )
+        out = matched_ids.join(scores, "_id")
+    else:
+        doc_lens = index.select("_id").distinct()
+        out = matched_ids.join(doc_lens, "_id").withColumn("rank", F.lit(1.0))
+    return out.filter(F.col("rank") > rank_floor)

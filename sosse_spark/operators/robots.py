@@ -12,7 +12,10 @@ Reference parity:
 Spark shape: parsed rules live in a small `host_rules` table
 (domain, kind, pattern, pattern_len) broadcast-joined onto the batch;
 the longest-match fold is a groupBy max aggregation — no Python in the
-match loop (`rlike` against the per-rule pattern column is codegen'd).
+match loop.  Literal-prefix rules (the overwhelming majority of real
+robots files) match via codegen'd startswith; only wildcard/anchored
+rules fall back to rlike (compiled per pair, bounded by batch size ×
+wildcard-rule count).
 """
 
 from __future__ import annotations
@@ -117,13 +120,28 @@ def evaluate_robots(
     rules = host_rules.filter(
         F.col("kind").isin("allow", "disallow") & (F.col("pattern_len") > 0)
     )
+    # Most robots rules are literal path prefixes.  A parsed pattern is
+    # literal iff it contains no '.*' (every unescaped '.' comes from
+    # the '*'-wildcard conversion) and no trailing '$' anchor — those
+    # rules match with a codegen'd startswith on the unescaped prefix,
+    # no per-pair regex compile.  Only wildcard/anchored rules keep the
+    # rlike fallback (non-foldable pattern ⇒ compiled per pair, bounded
+    # by batch × wildcard-rules).
+    rules = rules.withColumn(
+        "_lit", ~F.col("pattern").contains(".*") & ~F.col("pattern").endswith("$")
+    ).withColumn(
+        "_prefix", F.when(F.col("_lit"), F.regexp_replace("pattern", r"\\(.)", "$1"))
+    )
     if broadcast:
         rules = F.broadcast(rules)
     joined = batch.select("url", "url_domain", "url_path").join(
         rules, batch["url_domain"] == rules["domain"], "left"
     )
     matched = joined.withColumn(
-        "m", F.expr("url_path rlike concat('^', pattern)")
+        "m",
+        F.when(F.col("_lit"), F.col("url_path").startswith(F.col("_prefix"))).otherwise(
+            F.expr("url_path rlike concat('^', pattern)")
+        ),
     )
     verdict = matched.groupBy("url").agg(
         F.max(F.when((F.col("kind") == "disallow") & F.col("m"), F.col("pattern_len"))).alias("dis_len"),

@@ -163,6 +163,38 @@ class SnapshotTable(_TableBase):
     def with_bucket(df: DataFrame, key_col: str, n_buckets: int) -> DataFrame:
         return df.withColumn("bucket", F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int"))
 
+    def vacuum(self, keep_last: int = 2) -> list[str]:
+        """Delete snapshot dirs (and manifests) no longer reachable from
+        the last `keep_last` manifests — the disk-growth bound for a
+        long-running crawl, where every round adds a snapshot dir but
+        only the buckets it rewrote are live.
+
+        keep_last >= 2 preserves crash-repair headroom: rollback_to_round
+        only ever rewinds across the one uncommitted round, so the
+        previous manifest (and every dir it references) must survive.
+        Returns the deleted directory names."""
+        import shutil
+
+        latest = self.latest()
+        if latest is None:
+            return []
+        floor = max(latest - keep_last + 1, 1)
+        referenced: set[str] = set()
+        for snap in range(floor, latest + 1):
+            m = self.manifest(snap)
+            referenced.update(m["buckets"].values())
+        deleted = []
+        for name in sorted(os.listdir(self.dir)):
+            if name.startswith("snap-") and name not in referenced:
+                if int(name.split("-")[1]) >= floor:
+                    continue  # a dir of a kept manifest generation
+                shutil.rmtree(os.path.join(self.dir, name))
+                deleted.append(name)
+            elif name.startswith("manifest-"):
+                if int(name.split("-")[1].split(".")[0]) < floor:
+                    os.remove(os.path.join(self.dir, name))
+        return deleted
+
     def rollback_to_round(self, round_no: int) -> None:
         """Crash repair for snapshot tables committed BEFORE the round's
         frontier commit point: rewind LATEST to the newest snapshot whose
@@ -211,6 +243,25 @@ class AppendTable(_TableBase):
         dirs = (self._entries(prev) if prev else []) + [{"dir": snap_dir, "round": round_no}]
         self._commit_manifest(snap, {"round": round_no, "dirs": dirs})
         return snap
+
+    def vacuum(self) -> list[str]:
+        """Delete append dirs no longer referenced by the LATEST
+        manifest (orphans left by truncate_from crash repair) and
+        manifests older than LATEST.  Returns deleted dir names."""
+        import shutil
+
+        m = self.manifest()
+        if m is None:
+            return []
+        live = {e["dir"] for e in self._entries(m)}
+        deleted = []
+        for name in sorted(os.listdir(self.dir)):
+            if name.startswith("snap-") and name not in live:
+                shutil.rmtree(os.path.join(self.dir, name))
+                deleted.append(name)
+            elif name.startswith("manifest-") and int(name.split("-")[1].split(".")[0]) < m["snapshot"]:
+                os.remove(os.path.join(self.dir, name))
+        return deleted
 
     def truncate_from(self, round_no: int) -> None:
         """Drop append dirs written by rounds >= round_no (crash repair:

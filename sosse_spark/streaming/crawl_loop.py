@@ -846,6 +846,23 @@ class CrawlEngine:
         self.policy = dataclasses.replace(self.policy, unlimited_regex=combined)
         self.seed(urls, t, manual=manual)
 
+    def vacuum(self, keep_last: int = 2) -> dict[str, list[str]]:
+        """Maintenance: drop unreachable snapshot/append dirs across all
+        engine tables (disk growth on a long crawl is otherwise one dir
+        per table per round).  Call between rounds, never mid-round;
+        keep_last >= 2 preserves the crash-repair window."""
+        return {
+            "frontier": self.frontier.vacuum(keep_last),
+            "bloom": self.bloom.vacuum(keep_last),
+            "pending_externs": self.pending_externs.vacuum(keep_last),
+            "documents": self.documents.vacuum(),
+            "links": self.links.vacuum(),
+            "metrics": self.metrics.vacuum(),
+            "webhook_events": self.webhook_events.vacuum(),
+            "favicons": self.favicons.vacuum(),
+            "host_rules": self.host_rules.vacuum(),
+        }
+
     def close(self) -> None:
         """Release engine-lifetime caches (the host-rules broadcast-side
         table).  Per-round caches unpersist inside seed()/run_round();

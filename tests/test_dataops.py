@@ -325,3 +325,68 @@ def test_dedup_canonical_keeps_min_and_unpaired(spark):
                               jaccard_threshold=0.5)
     kept = sorted(r["doc_id"] for r in dedup_canonical(docs, pairs, "doc_id").collect())
     assert kept == [1, 4]
+
+
+def test_gopher_quality_flags_rules(spark):
+    """Gopher rules (Rae et al. 2021 §A1.1): each rule trips on its own
+    adversarial document and the composite ANDs them."""
+    from sosse_spark.functions.text import gopher_quality_flags
+
+    good = "the data " + " ".join(f"token{i} with that have" for i in range(20))
+    docs = spark.createDataFrame(
+        [
+            (1, good),                                              # passes all
+            (2, "short of the and"),                                # word count
+            (3, "the of " + "a b c d " * 30),                       # mean word len < 3
+            (4, "the of that " + "\n".join(["looks truncated..."] * 10)),  # ellipsis
+            (5, "the of that\n" + "\n".join(f"- item {i} ok fine" for i in range(30))),  # bullets
+            (6, "the of that " + " ".join(["123 456 789"] * 40)),   # alpha ratio
+            (7, " ".join(f"word{i} more text here" for i in range(30))),   # stop words
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in docs.select("doc_id", *gopher_quality_flags(F.col("text"))).collect()}
+    assert out[1]["gopher_pass"] is True
+    assert out[2]["g_word_count"] is False and out[2]["gopher_pass"] is False
+    assert out[3]["g_mean_word_len"] is False
+    assert out[4]["g_ellipsis"] is False
+    assert out[5]["g_bullets"] is False
+    assert out[6]["g_alpha_words"] is False
+    assert out[7]["g_stop_words"] is False
+
+
+def test_pq_topk_recall_rerank_and_codes(spark):
+    """PQ-ADC: codes table is m_sub ints per vector; the coarse
+    (m=4, 16-code) quantization with a tight 2k shortlist still reaches
+    recall ≥ 0.6 vs brute force on near-random vectors (tight margins
+    are PQ's worst case — the oracle entry's 16×64 config is recall 1);
+    a corpus-wide shortlist reproduces exact top-k; k rows per query
+    always; training is deterministic."""
+    from sosse_spark.operators.similarity import (
+        brute_force_topk,
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    emb = _embeddings(spark, n=200, dim=16)
+    queries = emb.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("query_id"), "embedding")
+    books = pq_train(emb, m_sub=4, n_codes=16, iters=5)
+    assert books == pq_train(emb, m_sub=4, n_codes=16, iters=5)
+
+    codes = pq_encode(emb, books)
+    row = codes.first()
+    assert len(row["codes"]) == 4 and all(0 <= c < 16 for c in row["codes"])
+    assert codes.count() == 200
+
+    exact = {(r["query_id"], r["vec_id"]) for r in brute_force_topk(emb, queries, k=5).collect()}
+    tight = pq_topk(emb, queries, books, k=5, shortlist_mult=2, codes=codes).collect()
+    assert len(tight) == 15
+    got = {(r["query_id"], r["vec_id"]) for r in tight}
+    assert len(exact & got) / len(exact) >= 0.6
+
+    generous = {
+        (r["query_id"], r["vec_id"])
+        for r in pq_topk(emb, queries, books, k=5, shortlist_mult=40, codes=codes).collect()
+    }
+    assert generous == exact  # shortlist ⊇ corpus ⇒ re-rank ≡ brute force

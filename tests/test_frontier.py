@@ -253,3 +253,37 @@ def test_frontier_schema_evolution_on_resume(spark):
     got = out.select("url", "tags", "payload_date").collect()[0]
     assert got["url"] == "u" and got["tags"] is None and got["payload_date"] is None
     assert dict(out.dtypes)["tags"] == "array<string>"
+
+
+def test_snapshot_vacuum_keeps_reachable_dirs(spark, tmp_root):
+    """vacuum(keep_last=2) removes dirs unreachable from the last two
+    manifests and their stale manifests; reads still work afterwards."""
+    import os
+
+    t = SnapshotTable(tmp_root, "vac", n_buckets=N_BUCKETS)
+    for r in range(5):
+        t.commit(spark, _cands(spark, [f"http://h/{r}-{i}" for i in range(4)]), round_no=r)
+    before = {n for n in os.listdir(t.dir) if n.startswith("snap-")}
+    rows_before = {r["url"] for r in t.read(spark).collect()}
+    deleted = t.vacuum(keep_last=2)
+    rows_after = {r["url"] for r in t.read(spark).collect()}
+    assert rows_after == rows_before  # every live bucket still readable
+    after = {n for n in os.listdir(t.dir) if n.startswith("snap-")}
+    assert after == before - set(deleted)
+    # whatever the last two manifests reference must have survived
+    live = set(t.manifest()["buckets"].values()) | set(t.manifest(t.latest() - 1)["buckets"].values())
+    assert live <= after
+
+
+def test_append_vacuum_removes_truncated_orphans(spark, tmp_root):
+    import os
+
+    t = AppendTable(tmp_root, "vaclog")
+    t.append(spark, spark.createDataFrame([(1,)], "a int"), 0)
+    t.append(spark, spark.createDataFrame([(2,)], "a int"), 1)
+    t.truncate_from(1)  # drops the round-1 dir from the manifest only
+    orphans = t.vacuum()
+    assert orphans  # the truncated dir is physically gone now
+    assert [r["a"] for r in t.read(spark).collect()] == [1]
+    names = set(os.listdir(t.dir))
+    assert not any(o in names for o in orphans)

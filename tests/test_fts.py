@@ -67,3 +67,38 @@ def test_tokens_stay_jvm(spark):
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     _ = fts_tokens  # re-exported building block
+
+
+def test_index_and_scan_paths_agree(spark):
+    """fts_build_index + fts_query_index must reproduce fts_match_rank's
+    (doc, rank) sets exactly for term-only websearch queries."""
+    from sosse_spark.operators.fts import fts_build_index, fts_match_rank, fts_query_index
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark joins the data quickly"),
+            (2, "vector search only here"),
+            (3, "spark with dup rows and dup keys"),
+            (4, "nothing relevant at all"),
+            (5, "many sparks flying sparks everywhere"),
+            (6, ""),
+        ],
+        "doc_id long, text string",
+    )
+    idx = fts_build_index(docs, "doc_id").cache()
+    for q in ["spark", "spark or vector", "sparks -dup", "dup keys", "-spark vector"]:
+        scan = {(r["doc_id"], r["rank"]) for r in fts_match_rank(docs, q).collect()}
+        via_idx = {(r["_id"], r["rank"]) for r in fts_query_index(idx, q).collect()}
+        assert via_idx == scan, f"query {q!r}: {via_idx} != {scan}"
+    idx.unpersist()
+
+
+def test_index_rejects_phrases(spark):
+    from sosse_spark.operators.fts import fts_build_index, fts_query_index
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    idx = fts_build_index(docs, "doc_id")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="phrase"):
+        fts_query_index(idx, '"a b"')

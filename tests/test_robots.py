@@ -99,3 +99,39 @@ def test_bare_disallow_eval_authorizes(spark):
     batch = spark.createDataFrame([("u1", "h0", "/anything")], "url string, url_domain string, url_path string")
     got = evaluate_robots(batch, rules).collect()[0]
     assert got["robots_authorized"] is True
+
+
+def test_literal_prefix_rules_match_without_regex_semantics(spark):
+    """Literal rules (no wildcard/anchor) take the startswith fast path;
+    regex metacharacters in the robots value must still match literally,
+    and wildcard/anchor rules keep full regex behavior alongside."""
+    from sosse_spark.operators.robots import evaluate_robots, robots_rules_rows
+
+    content = (
+        "User-agent: *\n"
+        "Disallow: /a+b\n"          # literal '+' — not one-or-more
+        "Disallow: /dot.dir\n"      # literal '.' — not any-char
+        "Disallow: /wild*cat\n"     # wildcard → regex path
+        "Disallow: /end$\n"         # anchored → regex path
+        "Allow: /a+b/ok\n"          # longer literal allow wins
+    )
+    rules = spark.createDataFrame(
+        robots_rules_rows("h0", content),
+        "domain string, kind string, pattern string, pattern_len int",
+    )
+    cases = {
+        "/a+b/x": False,        # literal prefix disallow
+        "/aab": True,           # would be denied if '+' were regex
+        "/a+b/ok/deep": True,   # longer allow beats disallow
+        "/dot.dir/f": False,
+        "/dotXdir/f": True,     # would be denied if '.' were any-char
+        "/wildANYTHINGcat": False,
+        "/wild": True,          # wildcard needs the 'cat' tail
+        "/end": False,
+        "/endless": True,       # '$' anchor respected
+    }
+    batch = spark.createDataFrame(
+        [(p, "h0", p) for p in cases], "url string, url_domain string, url_path string"
+    )
+    got = {r["url"]: r["robots_authorized"] for r in evaluate_robots(batch, rules).collect()}
+    assert got == cases
