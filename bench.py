@@ -129,8 +129,13 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     # no python-boundary stage left in this pipeline, so no shuffle-
     # partition down-scoping needed (the round-2 8-partition workaround
     # existed only for the Arrow-boundary blob kernels)
+    # word-table sizing: unlike the old blobs (fixed bitmap, zlib made
+    # oversizing free), the sparse word count GROWS with m_bits — size
+    # for ~10-15 bits/key: 1M keys / 64 buckets ≈ 16k keys/bucket → 2^20
+    # bits/bucket ≈ 7% fill, FPR ≈ 0.07^5 (FPs only cost an anti-join
+    # probe anyway)
     t0 = time.time()
-    bloom = bloom_build(seen, None, m_bits=1 << 23).cache()
+    bloom = bloom_build(seen, None, m_bits=1 << 20).cache()
     bloom.count()
     out["bloom_build_1m"] = round(time.time() - t0, 3)
     print(f"  bloom_build_1m: {out['bloom_build_1m']}s", file=sys.stderr)
@@ -153,7 +158,7 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> dict[str, float]:
         64,
     )
     t0 = time.time()
-    new = urlseen_dedup(cands, seen, bloom, m_bits=1 << 23)
+    new = urlseen_dedup(cands, seen, bloom, m_bits=1 << 20)
     n_new = new.count()
     out["urlseen_dedup_100k"] = round(time.time() - t0, 3)
     print(f"  urlseen_dedup_100k: {out['urlseen_dedup_100k']}s ({n_new} new)", file=sys.stderr)

@@ -203,7 +203,10 @@ def bloom_prefilter(links: DataFrame, bloom: Optional[DataFrame], m_bits: int = 
     if bloom is None:
         return links.withColumn("maybe_seen", F.lit(False))
 
-    probes = _probe_positions(links.select("bucket", "url_hash").distinct(), m_bits)
+    # no pre-distinct: duplicate (bucket, url_hash) probe rows collapse
+    # in the verdict groupBy below anyway — a distinct here would just
+    # add a shuffle in front of the aggregation that already dedups
+    probes = _probe_positions(links.select("bucket", "url_hash"), m_bits)
     words = bloom.select("bucket", "word_no", "word")
     verdict = (
         probes.join(words, ["bucket", "word_no"], "left")
