@@ -331,7 +331,7 @@ def dedup_components(
     # and u itself, link to that min).  Both are one groupBy-min + one
     # join — hash-shuffled on vertex id, no driver-side graph.
     cur = edges.localCheckpoint(eager=True)
-    for _ in range(max_iter):
+    for it in range(max_iter):
         nbrs = _sym(cur)
         mins = nbrs.groupBy("u").agg(F.min(F.least("u", "v")).alias("m"))
         ls = (
@@ -354,12 +354,23 @@ def dedup_components(
         )
         nxt = ss.localCheckpoint(eager=True)  # cut the iterative lineage
         # fixpoint: the edge set stopped changing (at convergence every
-        # edge is (node → its component root)).  Bounded driver cost:
-        # two 1-row existence probes.
-        changed = nxt.exceptAll(cur).limit(1).count() + cur.exceptAll(nxt).limit(1).count()
+        # edge is (node → its component root)).  Both sides are
+        # distinct sets, so symmetric difference ≡ rows appearing once
+        # in the bag union — ONE aggregation job per iteration (and
+        # skipped on the first, which never converges on real input).
+        if it > 0:
+            changed = (
+                nxt.unionByName(cur)
+                .groupBy("u", "v")
+                .count()
+                .filter(F.col("count") == 1)
+                .limit(1)
+                .count()
+            )
+            if changed == 0:
+                cur = nxt
+                break
         cur = nxt
-        if changed == 0:
-            break
     comp = cur.select(F.col("u").alias("_id"), F.col("v").alias("component"))
     roots = (
         comp.select(F.col("component").alias("_id"))
