@@ -114,9 +114,14 @@ def minhash_lsh_pairs(
             )
         ).alias("sh"),
     )
+    # localCheckpoint rather than persist(): same one-materialization
+    # reuse across the band join and the verify join-backs (and the
+    # same CollapseProject/HOF-re-eval defeat), but the blocks free
+    # when this DataFrame goes out of scope — persist() entries outlive
+    # the call and leak corpus-sized caches into the block manager
     sig = sh_df.select(
         "_id", "sh", minhash_signature(F.col("sh"), num_hashes).alias("sig")
-    ).persist()
+    ).localCheckpoint(eager=True)
 
     # THIN banding: only (_id, band_no, band_hash) rides the explode and
     # both sides of the candidate self-join — the shingle arrays never
@@ -331,6 +336,9 @@ def dedup_components(
     # and u itself, link to that min).  Both are one groupBy-min + one
     # join — hash-shuffled on vertex id, no driver-side graph.
     cur = edges.localCheckpoint(eager=True)
+    if not cur.head(1):  # no edges → no components
+        return cur.select(F.col("u").alias("_id"), F.col("v").alias("component"))
+    converged = False
     for it in range(max_iter):
         nbrs = _sym(cur)
         mins = nbrs.groupBy("u").agg(F.min(F.least("u", "v")).alias("m"))
@@ -369,8 +377,17 @@ def dedup_components(
             )
             if changed == 0:
                 cur = nxt
+                converged = True
                 break
         cur = nxt
+    if not converged:
+        # an unconverged edge set yields arbitrary (wrong) labels under
+        # the dropDuplicates below — refuse rather than silently corrupt
+        # a dedup decision (star contraction needs O(log n) rounds, so
+        # hitting this means max_iter was set far too low)
+        raise RuntimeError(
+            f"dedup_components did not converge within max_iter={max_iter} rounds"
+        )
     comp = cur.select(F.col("u").alias("_id"), F.col("v").alias("component"))
     roots = (
         comp.select(F.col("component").alias("_id"))
@@ -436,7 +453,7 @@ def ngram_jaccard_pairs(
             F.col("toks").getItem(0),
             (F.size("toks") / len_band).cast("int").cast("string"),
         ).alias("blk"),
-    ).withColumn("gs", F.size("g")).persist()
+    ).withColumn("gs", F.size("g")).localCheckpoint(eager=True)  # see minhash note
 
     # THIN block join: only the scalars (_id, blk, gs) ride both sides of
     # the candidate shuffle — the gram arrays (≈ the documents) never do.

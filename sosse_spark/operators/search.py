@@ -282,7 +282,7 @@ def csv_export_flatten(
     csv.DictWriter has).  Extraction is get_json_object column algebra,
     no UDF.
     """
-    out = csv_export_order(docs, limit).persist()
+    out = csv_export_order(docs, limit).localCheckpoint(eager=True)
     m = F.col(metadata_col)
     # from_json(map<string,string>) stringifies nested values as minified
     # JSON; a value is structured iff it re-parses as an object/array
@@ -302,14 +302,15 @@ def csv_export_flatten(
     )
     keys, structured = sorted(probe["keys"] or []), bool(probe["structured"])
     if structured or not keys:
-        out.unpersist()
         return out
-    flat = out.select(
+    # extraction via the SAME from_json map the probe used — a map
+    # lookup by literal key has no JSON-path syntax, so keys holding
+    # quotes/brackets extract correctly (a $['{k}'] path would break)
+    parsed = F.from_json(m, "map<string,string>")
+    return out.select(
         *[c for c in out.columns if c != metadata_col],
         *[
-            F.coalesce(F.get_json_object(m, f"$['{k}']"), F.lit("")).alias(f"metadata {k}")
+            F.coalesce(parsed.getItem(k), F.lit("")).alias(f"metadata {k}")
             for k in keys
         ],
     )
-    out.unpersist()
-    return flat

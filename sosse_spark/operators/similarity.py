@@ -430,6 +430,8 @@ def pq_train(
         .limit(max_train)
         .collect()
     )
+    if not rows:
+        raise ValueError("pq_train: corpus is empty — nothing to train on")
     x = np.array([r["_v"] for r in rows], dtype=np.float64)
     x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     dsub = x.shape[1] // m_sub
@@ -523,6 +525,17 @@ def pq_topk(
     books = [np.array(b, dtype=np.float64) for b in codebooks]
     dsub = books[0].shape[1]
     q_rows = queries.select(F.col(query_id_col).alias("_qid"), F.col(vec_col).alias("_qv")).collect()
+    if not q_rows:
+        return (
+            corpus.select(F.col(id_col))
+            .limit(0)
+            .select(
+                F.lit(None).cast("long").alias(query_id_col),
+                F.col(id_col),
+                F.lit(0.0).alias("cos_sim"),
+                F.lit(0).alias("rank"),
+            )
+        )
     q_ids = [r["_qid"] for r in q_rows]
     qv = np.array([r["_qv"] for r in q_rows], dtype=np.float64)
     qv /= np.maximum(np.linalg.norm(qv, axis=1, keepdims=True), 1e-12)

@@ -229,7 +229,11 @@ class AppendTable(_TableBase):
         m = self.manifest(snap)
         if m is None or not m["dirs"]:
             return None
-        return spark.read.parquet(
+        # mergeSchema: an append-log can span engine versions — dirs
+        # written before a column existed (e.g. documents.webhooks_result)
+        # must still read, with the missing column null-filled, instead
+        # of the schema depending on which file Spark samples first
+        return spark.read.option("mergeSchema", "true").parquet(
             *[os.path.join(self.dir, e["dir"]) for e in self._entries(m)]
         )
 

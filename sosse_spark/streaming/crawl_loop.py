@@ -123,6 +123,25 @@ class CrawlEngine:
         # pending_externs commits before the frontier commit point, so a
         # replayed round must see the pre-round pending state
         self.pending_externs.rollback_to_round(r)
+        # legacy resume (pre-side-table engines): backfill pending from
+        # the links log's latest-wins extern rows — one-time O(links)
+        # scan, after which the per-round probe is O(pending) again
+        if self.pending_externs.latest() is None and r > 0:
+            lv = self.links_view()
+            if lv is not None:
+                backfill = SnapshotTable.with_bucket(
+                    lv.filter(~F.col("is_admitted")).select(
+                        "src_url", "dst_url", "link_no"
+                    ),
+                    "dst_url",
+                    self.n_buckets,
+                )
+                self.pending_externs.commit(
+                    self.spark,
+                    backfill,
+                    r - 1,
+                    changed_buckets=list(range(self.n_buckets)),
+                )
         self._repaired = True
 
     def _read_bloom(self, frontier: Optional[DataFrame]) -> Optional[DataFrame]:

@@ -98,7 +98,23 @@ def run_ingest_available_now(
     metrics_path: Optional[str] = None,
 ) -> None:
     """Process everything currently in input_dir exactly once (resumable:
-    the file-source checkpoint remembers processed files across runs)."""
+    the file-source checkpoint remembers processed files across runs).
+
+    The sink layout is one ingest_batch=N directory per micro-batch.  A
+    sink written by the pre-state-store version (flat parquet files at
+    the root) cannot be mixed with that layout — Spark rejects the
+    conflicting partition structure on read — and its contents are not
+    in the new dedup state, so resuming over it would also re-ingest.
+    Refuse loudly instead of corrupting: migrate by re-running into a
+    fresh output_dir/checkpoint pair.
+    """
+    if os.path.isdir(output_dir) and any(
+        name.endswith(".parquet") for name in os.listdir(output_dir)
+    ):
+        raise ValueError(
+            f"{output_dir} holds a legacy flat-file ingest sink; re-ingest into a "
+            "fresh output_dir (+ fresh checkpoint) — mixing layouts corrupts reads"
+        )
     validated = ingest_stream(spark, input_dir)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:

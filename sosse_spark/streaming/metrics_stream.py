@@ -37,7 +37,11 @@ def windowed_crawl_metrics(
     w = events.withWatermark("t", watermark).groupBy(
         F.window("t", window_duration).alias("w")
     )
-    secs = F.lit(int(window_duration.split()[0]) * (60 if "minute" in window_duration else 1))
+    n, unit = window_duration.split()[0], window_duration.split()[1].rstrip("s")
+    per = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
+    if unit not in per:
+        raise ValueError(f"unsupported window unit {unit!r} (second/minute/hour/day)")
+    secs = F.lit(int(n) * per[unit])
     agg = w.agg(
         F.count("*").alias("fetched"),
         F.count(F.when(F.col("status") == "success", 1)).alias("success"),

@@ -37,6 +37,8 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 __all__ = ["streaming_urlseen", "URLSEEN_STATE_SCHEMA"]
 
+_LEGACY = "\x00legacy"  # marks buckets upgraded from hash-only state
+
 URLSEEN_STATE_SCHEMA = T.StructType(
     [
         T.StructField("seen_hashes", T.BinaryType()),
@@ -62,11 +64,22 @@ def _dedupe_kernel(
     import numpy as np
 
     if state.exists:
-        hash_blob, key_blob = state.get
-        seen_hashes = np.frombuffer(hash_blob, dtype=np.int64)
-        exact = (
-            set(zlib.decompress(key_blob).decode("utf-8").split("\n")) if key_blob else set()
+        tup = state.get
+        hash_blob = tup[0]
+        key_blob = tup[1] if len(tup) > 1 else None
+        seen_hashes = (
+            np.frombuffer(hash_blob, dtype=np.int64) if hash_blob else np.empty(0, dtype=np.int64)
         )
+        if key_blob:
+            exact = set(zlib.decompress(key_blob).decode("utf-8").split("\n"))
+        else:
+            # pre-exactness checkpoint (single hash blob): the exact
+            # keys for those hashes are unrecoverable, so this bucket
+            # keeps the old hash-level semantics permanently — a hash
+            # positive counts as seen (the _LEGACY marker persists in
+            # the key set).  Admitting on an empty exact set instead
+            # would re-admit every previously-seen URL.
+            exact = {_LEGACY}
     else:
         seen_hashes = np.empty(0, dtype=np.int64)
         exact = set()
@@ -80,9 +93,11 @@ def _dedupe_kernel(
         maybe_seen = np.isin(h, np.concatenate(hash_parts))
         fresh = first_in_batch & ~maybe_seen
         # hash positives fall through to the EXACT key check — a pair-
-        # hash collision must not drop a distinct (url, collection_id)
+        # hash collision must not drop a distinct (url, collection_id).
+        # (Legacy-upgraded buckets have no exact keys for their old
+        # hashes, so there the positive stays a positive.)
         collide_idx = np.where(first_in_batch & maybe_seen)[0]
-        if collide_idx.size:
+        if collide_idx.size and _LEGACY not in exact:
             exact_fresh = np.array([keys[i] not in exact for i in collide_idx])
             fresh[collide_idx[exact_fresh]] = True
         if fresh.any():
@@ -109,6 +124,14 @@ def streaming_urlseen(urls: DataFrame, n_buckets: int = 16) -> DataFrame:
     bucket column lines up with the frontier's bucket-granular commit
     when the caller passes the engine's n_buckets (default 16, the
     CrawlEngine default).
+
+    Checkpoint compatibility: n_buckets is part of the state key —
+    keep it constant for the life of a checkpoint (changing it re-keys
+    the groups).  Checkpoints from the pre-exactness version carried a
+    single-blob state schema; if the state store accepts the widened
+    schema, such buckets are upgraded in place and keep hash-level
+    semantics for their old keys (see _dedupe_kernel); if the store
+    rejects the schema change, start a fresh checkpoint directory.
     """
     keyed = (
         urls.withColumn("url_hash", F.xxhash64("url"))

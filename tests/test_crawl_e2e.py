@@ -378,6 +378,70 @@ def test_widen_scope_admits_new_host(spark, tmp_path_factory):
     assert crawled >= 1
 
 
+def test_pending_externs_backfills_from_legacy_links_log(spark, tmp_path_factory):
+    """Resume over a crawl root written before the pending-externs side
+    table existed: _repair backfills pending from the links log's
+    latest-wins extern rows, so repoint keeps working after upgrade."""
+    import shutil
+
+    root = str(tmp_path_factory.mktemp("pendlegacy"))
+    pol = CollectionPolicy(
+        collection_id=1,
+        unlimited_regex=r"^http://img0\.example\.com/",  # only host 0 in scope
+        recursion_depth=1,
+        recrawl_freq="none",
+    )
+    eng = CrawlEngine(spark, root, WEB, pol, n_buckets=4, batch_size=8, per_host_budget=8)
+    eng.seed([url_of(i, WEB) for i in range(0, 16, 4) if host_no(i, WEB) == 0], T0)
+    eng.run_round(T0)
+    lv = eng.links_view()
+    expected = (
+        {(r["src_url"], r["dst_url"]) for r in lv.filter(~F.col("is_admitted")).collect()}
+        if lv is not None
+        else set()
+    )
+    # wipe the side table — the pre-upgrade state
+    shutil.rmtree(eng.pending_externs.dir)
+
+    eng2 = CrawlEngine(spark, root, WEB, pol, n_buckets=4, batch_size=8, per_host_budget=8)
+    eng2._repair()
+    pend = eng2.pending_externs.read(spark)
+    got = (
+        {(r["src_url"], r["dst_url"]) for r in pend.collect()} if pend is not None else set()
+    )
+    assert got == expected
+
+
+def test_pending_externs_rolls_back_on_crash_replay(spark, tmp_path_factory):
+    """Crash between the pending-externs commit and the frontier commit:
+    the replayed round must see the PRE-round pending state (rollback in
+    _repair), or repoint rows extracted that round would be lost."""
+    root = str(tmp_path_factory.mktemp("pendcrash"))
+    eng = _engine(spark, root)
+    eng.seed([url_of(2, WEB)], T0)
+    eng.run_round(T0)
+    pend_before = eng.pending_externs.read(spark)
+    n_before = pend_before.count() if pend_before is not None else 0
+    snap_before = eng.pending_externs.latest()
+
+    # simulate the crash window: a pending commit tagged with the NEXT
+    # round (as if run_round died after it, before the frontier commit)
+    fake = spark.createDataFrame(
+        [("http://x/s", "http://y/d", 0, 1)],
+        "src_url string, dst_url string, link_no int, bucket int",
+    )
+    eng.pending_externs.commit(spark, fake, eng.round_no(), changed_buckets=[1])
+    assert eng.pending_externs.latest() == (snap_before or 0) + 1
+
+    eng2 = _engine(spark, root)
+    eng2._repair()
+    pend_after = eng2.pending_externs.read(spark)
+    n_after = pend_after.count() if pend_after is not None else 0
+    assert n_after == n_before  # fake round's commit rolled back
+    if pend_after is not None:
+        assert pend_after.filter(F.col("dst_url") == "http://y/d").count() == 0
+
+
 def test_engine_leaves_no_cached_rdds(spark, tmp_path_factory):
     """Cache hygiene: seed()/run_round() unpersist their per-round
     caches and close() drops the engine-lifetime rules cache — at
