@@ -306,11 +306,13 @@ def csv_export_flatten(
     # extraction via the SAME from_json map the probe used — a map
     # lookup by literal key has no JSON-path syntax, so keys holding
     # quotes/brackets extract correctly (a $['{k}'] path would break)
-    parsed = F.from_json(m, "map<string,string>")
-    return out.select(
+    # the parse lands as ONE staged column referenced k times, not k
+    # copies of the from_json subtree in k output columns
+    staged = out.withColumn("_parsed_md", F.from_json(m, "map<string,string>"))
+    return staged.select(
         *[c for c in out.columns if c != metadata_col],
         *[
-            F.coalesce(parsed.getItem(k), F.lit("")).alias(f"metadata {k}")
+            F.coalesce(F.col("_parsed_md").getItem(k), F.lit("")).alias(f"metadata {k}")
             for k in keys
         ],
     )
