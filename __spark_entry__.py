@@ -825,6 +825,26 @@ def q_sim_ann_pq(spark, sf_dir):
     return out.select("query_id", "vec_id", "rank", F.round("cos_sim", 4).alias("cos4"))
 
 
+def q_sim_ann_ivfpq(spark, sf_dir):
+    # Oracle = the exact top-k SQL: the IVF stage at n_probe=12/16
+    # covers the true top-5 (same sweep as sim_ann_ivf) and the 16×64
+    # PQ-ADC shortlist of those candidates keeps them (same sweep as
+    # sim_ann_pq) — so the exact re-rank must equal brute force; the
+    # sub-covering regime is recall-pinned in tests/test_dataops.py.
+    from sosse_spark.operators.similarity import ivf_train, ivfpq_topk, pq_train
+
+    emb = _emb(spark, sf_dir).withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cents = ivf_train(emb, n_centroids=16, iters=5, max_train=20_000)
+    books = pq_train(emb, m_sub=16, n_codes=64, iters=5, max_train=20_000)
+    out = ivfpq_topk(emb, queries, cents, books, k=5, n_probe=12, shortlist_mult=8)
+    return out.select("query_id", "vec_id", "rank", F.round("cos_sim", 4).alias("cos4"))
+
+
 def q_sim_embedding_neardup(spark, sf_dir):
     # Oracle = brute-force cosine pairs: OR-amplified banding is sized
     # from (threshold, target_recall) and verified recall-1 on this data
@@ -954,6 +974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_lsh": q_sim_ann_lsh,
         "sim_ann_ivf": q_sim_ann_ivf,
         "sim_ann_pq": q_sim_ann_pq,
+        "sim_ann_ivfpq": q_sim_ann_ivfpq,
         "sim_embedding_neardup": q_sim_embedding_neardup,
         "text_langid": q_text_langid,
         "text_quality": q_text_quality,
@@ -1577,6 +1598,18 @@ def oracle_sql() -> dict[str, str]:
                      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
               FROM scored) WHERE rank <= 5""",
         "sim_ann_pq": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
+            scored AS (
+              SELECT q.query_id, e.vec_id,
+                     round(list_dot_product(e.v, q.qv)
+                           / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos_sim
+              FROM e CROSS JOIN q)
+            SELECT query_id, vec_id, rank, round(cos_sim, 4) AS cos4 FROM (
+              SELECT query_id, vec_id, cos_sim,
+                     ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
+              FROM scored) WHERE rank <= 5""",
+        "sim_ann_ivfpq": """
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
             q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
             scored AS (

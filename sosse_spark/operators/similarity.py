@@ -35,6 +35,7 @@ __all__ = [
     "pq_train",
     "pq_encode",
     "pq_topk",
+    "ivfpq_topk",
 ]
 
 
@@ -582,6 +583,122 @@ def pq_topk(
         .filter(F.col("_r") <= shortlist_n)
         .select(F.col("_qid").alias(query_id_col), F.col("_id").alias(id_col))
     )
+    qvdf = queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec"))
+    cvdf = corpus.select(F.col(id_col), F.col(vec_col).alias("_cvec"))
+    exact = (
+        shortlist.join(F.broadcast(qvdf), query_id_col)
+        .join(cvdf, id_col)
+        .select(
+            query_id_col,
+            id_col,
+            F.round(cosine_sim(F.col("_cvec"), F.col("_qvec")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+    return exact.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list,
+    codebooks: list,
+    k: int = 5,
+    n_probe: int = 4,
+    shortlist_mult: int = 4,
+    fill_min_candidates: Optional[int] = None,
+    assignment: Optional[DataFrame] = None,
+    codes: Optional[DataFrame] = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF+PQ top-k (the FAISS IndexIVFPQ composition): IVF cells bound
+    WHICH vectors are candidates (Σ|probed cell|, never corpus×queries),
+    PQ-ADC bounds WHAT is read per candidate (m ints, not 4·dim floats),
+    a per-query shortlist of shortlist_mult·k survives to the exact
+    re-rank against true vectors.  Starved queries (probed cells hold
+    < max(k, fill_min) members) fall back to an exact scan, so every
+    query returns k rows — the same contract as lsh/ivf/pq_topk.
+
+    At 100 TB the resident index is (id, cell) + (id, codes); float
+    vectors stay in cold storage and are read for |Q|·shortlist rows a
+    query batch.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    fill_min = fill_min_candidates if fill_min_candidates is not None else 2 * k
+    q_rows = queries.select(F.col(query_id_col).alias("_qid"), F.col(vec_col).alias("_qv")).collect()
+    if not q_rows:
+        return (
+            corpus.select(F.col(id_col))
+            .limit(0)
+            .select(
+                F.lit(None).cast("long").alias(query_id_col),
+                F.col(id_col),
+                F.lit(0.0).alias("cos_sim"),
+                F.lit(0).alias("rank"),
+            )
+        )
+    books = [np.array(b, dtype=np.float64) for b in codebooks]
+    dsub = books[0].shape[1]
+    qv = np.array([r["_qv"] for r in q_rows], dtype=np.float64)
+    qv /= np.maximum(np.linalg.norm(qv, axis=1, keepdims=True), 1e-12)
+    tables = np.stack(
+        [qv[:, s * dsub : (s + 1) * dsub] @ cb.T for s, cb in enumerate(books)], axis=1
+    )  # (Q, m, n_codes)
+    qid_to_idx = {r["_qid"]: i for i, r in enumerate(q_rows)}
+
+    # --- IVF candidate generation (cells equi-join, starved fallback) --
+    cells = assignment if assignment is not None else ivf_assign(corpus, centroids, id_col, vec_col)
+    probe = _cell_udf(centroids, n_probe)
+    q_cells = queries.select(
+        F.col(query_id_col).alias("_qid"), F.explode(probe(F.col(vec_col))).alias("cell")
+    )
+    cand = (
+        cells.join(F.broadcast(q_cells), "cell")
+        .select(F.col("_qid").alias(query_id_col), F.col(id_col))
+        .dropDuplicates([query_id_col, id_col])
+    )
+    cand_counts = cand.groupBy(query_id_col).count()
+    starved = queries.join(
+        F.broadcast(cand_counts.filter(F.col("count") >= max(fill_min, k))),
+        query_id_col,
+        "left_anti",
+    ).select(query_id_col)
+    fallback = corpus.select(F.col(id_col)).crossJoin(F.broadcast(starved))
+    all_cand = cand.unionByName(fallback).dropDuplicates([query_id_col, id_col])
+
+    # --- PQ-ADC approx scoring of candidates only ----------------------
+    code_rows = (codes if codes is not None else pq_encode(corpus, codebooks, id_col, vec_col))
+    with_codes = all_cand.join(code_rows.select(F.col(id_col), "codes"), id_col)
+
+    def _adc(qids, code_s):
+        c = np.stack(code_s.to_numpy())  # (n, m)
+        qi = qids.map(qid_to_idx).to_numpy()
+        total = np.zeros(len(c))
+        for s in range(c.shape[1]):
+            total += tables[qi, s, c[:, s]]
+        return pd.Series(total)
+
+    from pyspark.sql.functions import PandasUDFType
+
+    adc = pandas_udf(_adc, T.DoubleType(), PandasUDFType.SCALAR)
+    scored_approx = with_codes.select(
+        query_id_col, id_col, adc(F.col(query_id_col), F.col("codes")).alias("approx")
+    )
+    shortlist_n = shortlist_mult * k
+    w_short = Window.partitionBy(query_id_col).orderBy(F.col("approx").desc(), F.col(id_col).asc())
+    shortlist = (
+        scored_approx.withColumn("_r", F.row_number().over(w_short))
+        .filter(F.col("_r") <= shortlist_n)
+        .select(query_id_col, id_col)
+    )
+
+    # --- exact re-rank of the shortlist --------------------------------
     qvdf = queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec"))
     cvdf = corpus.select(F.col(id_col), F.col(vec_col).alias("_cvec"))
     exact = (

@@ -390,3 +390,32 @@ def test_pq_topk_recall_rerank_and_codes(spark):
         for r in pq_topk(emb, queries, books, k=5, shortlist_mult=40, codes=codes).collect()
     }
     assert generous == exact  # shortlist ⊇ corpus ⇒ re-rank ≡ brute force
+
+
+def test_ivfpq_topk_recall_and_exhaustive(spark):
+    """IVF+PQ composition: tight (n_probe < cells, coarse PQ) reaches
+    recall ≥ 0.6 vs brute force; probing every cell with a corpus-wide
+    shortlist reproduces exact top-k; k rows always."""
+    from sosse_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_train,
+        ivfpq_topk,
+        pq_train,
+    )
+
+    emb = _embeddings(spark, n=200, dim=16)
+    queries = emb.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("query_id"), "embedding")
+    cents = ivf_train(emb, n_centroids=8, iters=5)
+    books = pq_train(emb, m_sub=4, n_codes=16, iters=5)
+    exact = {(r["query_id"], r["vec_id"]) for r in brute_force_topk(emb, queries, k=5).collect()}
+
+    tight = ivfpq_topk(emb, queries, cents, books, k=5, n_probe=4, shortlist_mult=2).collect()
+    assert len(tight) == 15
+    got = {(r["query_id"], r["vec_id"]) for r in tight}
+    assert len(exact & got) / len(exact) >= 0.6
+
+    full = {
+        (r["query_id"], r["vec_id"])
+        for r in ivfpq_topk(emb, queries, cents, books, k=5, n_probe=8, shortlist_mult=40).collect()
+    }
+    assert full == exact  # all cells + corpus-wide shortlist ≡ exhaustive

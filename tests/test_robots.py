@@ -135,3 +135,29 @@ def test_literal_prefix_rules_match_without_regex_semantics(spark):
     )
     got = {r["url"]: r["robots_authorized"] for r in evaluate_robots(batch, rules).collect()}
     assert got == cases
+
+
+def test_shuffle_join_path_matches_broadcast(spark):
+    """broadcast=False (the 10^8-domain rules-table configuration) must
+    plan a non-broadcast equi-join and produce identical verdicts."""
+    from sosse_spark.operators.robots import evaluate_robots, robots_rules_rows
+
+    rows = robots_rules_rows("h0", "User-agent: *\nDisallow: /private\nAllow: /private/ok\n")
+    rules = spark.createDataFrame(
+        rows, "domain string, kind string, pattern string, pattern_len int"
+    )
+    batch = spark.createDataFrame(
+        [(f"u{i}", "h0", p) for i, p in enumerate(["/private/x", "/private/ok/y", "/pub"])],
+        "url string, url_domain string, url_path string",
+    )
+    bc = {r["url"]: r["robots_authorized"] for r in evaluate_robots(batch, rules).collect()}
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = evaluate_robots(batch, rules, broadcast=False)
+        sj = {r["url"]: r["robots_authorized"] for r in out.collect()}
+        plan = out._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert sj == bc == {"u0": False, "u1": True, "u2": True}
+    assert "BroadcastHashJoin" not in plan.split("LeftOuter")[0] or "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
