@@ -442,6 +442,34 @@ def test_pending_externs_rolls_back_on_crash_replay(spark, tmp_path_factory):
         assert pend_after.filter(F.col("dst_url") == "http://y/d").count() == 0
 
 
+def test_engine_vacuum_reclaims_disk_and_resumes(spark, tmp_path_factory):
+    """CrawlEngine.vacuum drops snapshot dirs unreachable from the last
+    keep_last manifests; reads and resume still work afterwards."""
+    import os
+
+    def count_dirs(root):
+        return sum(len(dirs) for _, dirs, _ in os.walk(root))
+
+    root = str(tmp_path_factory.mktemp("vacuum"))
+    eng = _engine(spark, root)
+    eng.seed(SEEDS, T0)
+    eng.run_round(T0)
+    eng.run_round(T0 + timedelta(minutes=1))
+    eng.run_round(T0 + timedelta(minutes=2))
+    before = count_dirs(root)
+    f_before = {r["url"] for r in eng.frontier.read(spark).collect()}
+    deleted = eng.vacuum(keep_last=2)
+    assert any(deleted.values())  # something was reclaimed
+    assert count_dirs(root) < before
+    assert {r["url"] for r in eng.frontier.read(spark).collect()} == f_before
+    eng.close()
+
+    eng2 = _engine(spark, root)  # resume over the vacuumed root
+    m = eng2.run_round(T0 + timedelta(minutes=3))
+    assert m is None or m["round_no"] == 4
+    eng2.close()
+
+
 def test_engine_leaves_no_cached_rdds(spark, tmp_path_factory):
     """Cache hygiene: seed()/run_round() unpersist their per-round
     caches and close() drops the engine-lifetime rules cache — at
