@@ -33,6 +33,7 @@ __all__ = [
     "sniff_doctype_expr",
     "image_features",
     "image_resize",
+    "image_transcode",
     "audio_features",
     "video_frame_sample",
 ]
@@ -135,6 +136,35 @@ def image_resize(df: DataFrame, out_w: int, out_h: int, out_fmt: str = "png") ->
 
     return df.select("image_id", "bytes", "fmt").mapInPandas(
         run, "image_id string, bytes binary, w int, h int, fmt string"
+    )
+
+
+def image_transcode(df: DataFrame, out_fmt: str) -> DataFrame:
+    """Format transcode (the batchable re-encode half of P10's
+    screenshot pipeline, se/browser_selenium.py:446-523 PNG→JPEG —
+    the browser capture itself stays out per SURVEY §7.4): decode with
+    the stored format, re-encode as `out_fmt`, report both sizes so
+    callers can keep the smaller artifact."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for image_id, data, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+                px = decode_image(bytes(data), fmt)
+                out = encode_image(px, out_fmt)
+                rows.append(
+                    {
+                        "image_id": image_id,
+                        "bytes": out,
+                        "fmt": out_fmt,
+                        "in_bytes": len(bytes(data)),
+                        "out_bytes": len(out),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select("image_id", "bytes", "fmt").mapInPandas(
+        run, "image_id string, bytes binary, fmt string, in_bytes long, out_bytes long"
     )
 
 

@@ -419,3 +419,25 @@ def test_ivfpq_topk_recall_and_exhaustive(spark):
         for r in ivfpq_topk(emb, queries, cents, books, k=5, n_probe=8, shortlist_mult=40).collect()
     }
     assert full == exact  # all cells + corpus-wide shortlist ≡ exhaustive
+
+
+def test_image_transcode_roundtrip(spark):
+    """P10's batchable half: PNG→lossy re-encode decodes back within the
+    lossy codec's PSNR envelope; lossless→lossless is exact."""
+    from sosse_spark.functions.images import decode_image, psnr
+    from sosse_spark.operators.multimodal import image_transcode
+    from sosse_spark.sources.corpus import corpus_df
+
+    src = corpus_df(spark, 6, partitions=1).filter(F.col("fmt") == "png")
+    out = image_transcode(src, "lossy").collect()
+    assert out and all(r["fmt"] == "lossy" and r["out_bytes"] > 0 for r in out)
+    orig = {r["image_id"]: bytes(r["bytes"]) for r in src.collect()}
+    for r in out:
+        a = decode_image(orig[r["image_id"]], "png")
+        b = decode_image(bytes(r["bytes"]), "lossy")
+        assert psnr(a, b) >= 40.0
+    exact = image_transcode(src, "bmp").collect()
+    for r in exact:
+        a = decode_image(orig[r["image_id"]], "png")
+        b = decode_image(bytes(r["bytes"]), "bmp")
+        assert (a == b).all()
