@@ -13,7 +13,14 @@ def spark():
         .config("spark.sql.shuffle.partitions", "4")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", "4g")
+        .config("spark.driver.memory", "8g")
+        # the suite shares ONE JVM across ~270 tests; ContextCleaner only
+        # reclaims unreferenced cache/localCheckpoint/shuffle blocks when
+        # a JVM GC runs, and with a big mostly-idle heap that can be
+        # never — force a periodic GC so blocks actually free (the
+        # default 30min exceeded the suite length and the session died
+        # of accumulated blocks at ~250 tests)
+        .config("spark.cleaner.periodicGC.interval", "1min")
         .config("spark.sql.adaptive.enabled", "true")
         .getOrCreate()
     )
