@@ -31,6 +31,9 @@ def make_spark(cpus: int) -> SparkSession:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "16g")
+        # ContextCleaner frees cache/localCheckpoint/shuffle blocks only
+        # on JVM GC — keep the interval short for long-lived sessions
+        .config("spark.cleaner.periodicGC.interval", "1min")
         .config("spark.sql.adaptive.enabled", "true")
         .getOrCreate()
     )
