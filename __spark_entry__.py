@@ -913,6 +913,90 @@ def q_img_decode_check(spark, sf_dir):
     return stats.select("image_id", "fmt", "decode_ok", "width", "height", "phash_match")
 
 
+def q_cookie_match(spark, sf_dir):
+    """Cookie-jar URL matching (Cookie.get_from_url, se/cookie.py:58-104):
+    exact vs subdomain domains, secure-over-https, trailing-slash path
+    prefix rules, expiry — via the thin suffix-explode equi-join of
+    operators/cookies.py.  Jar synthesized from `nation`, URLs from
+    `documents` (deterministic arithmetic on both sides)."""
+    from sosse_spark.operators.cookies import match_cookies
+
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    k = F.col("n_nationkey")
+    jar = n.select(
+        F.concat(F.lit("site"), (k % 12).cast("string"), F.lit(".example.com")).alias("domain"),
+        F.lit(None).cast("string").alias("domain_cc"),
+        (k % 2 == 0).alias("inc_subdomain"),
+        F.concat(F.lit("c"), k.cast("string")).alias("name"),
+        F.concat(F.lit("v"), k.cast("string")).alias("value"),
+        F.when(k % 4 == 0, F.lit(""))
+        .when(k % 4 == 1, F.lit("/test"))
+        .when(k % 4 == 2, F.lit("/test/"))
+        .otherwise(F.lit("/deep/path"))
+        .alias("path"),
+        F.when(k % 5 == 4, F.lit("2020-01-01 00:00:00")).cast("timestamp").alias("expires"),
+        (k % 3 == 0).alias("secure"),
+        F.lit("Lax").alias("same_site"),
+        F.lit(False).alias("http_only"),
+    )
+    did = F.col("doc_id")
+    urls = _docs(spark, sf_dir).select(
+        F.concat(
+            F.when(did % 4 == 0, F.lit("https")).otherwise(F.lit("http")),
+            F.lit("://"),
+            F.when(did % 3 == 0, F.lit("www."))
+            .when(did % 3 == 1, F.lit("sub.a."))
+            .otherwise(F.lit("")),
+            F.lit("site"),
+            (did % 15).cast("string"),
+            F.lit(".example.com"),
+            F.when(did % 5 == 0, F.lit("/"))
+            .when(did % 5 == 1, F.lit("/test"))
+            .when(did % 5 == 2, F.lit("/test/"))
+            .when(did % 5 == 3, F.lit("/test/sub"))
+            .otherwise(F.lit("/aaa")),
+        ).alias("url")
+    )
+    return match_cookies(jar, urls, _now_col()).select("url", "name", "value").distinct()
+
+
+def q_cookie_set_validate(spark, sf_dir):
+    """Set-Cookie validation (Cookie.set, se/cookie.py:112-149): Domain=
+    attr ⇒ inc_subdomain + leading-dot strip; cross-site sets (different
+    registrable domain) and public-suffix targets rejected; two-level
+    suffixes (co.uk) recognized.  Raw rows synthesized from `documents`;
+    every validation branch is exercised by doc_id % 6."""
+    from sosse_spark.operators.cookies import normalize_set_cookies
+
+    did = F.col("doc_id")
+    m = did % 6
+    d = (did % 7).cast("string")
+    host = (
+        F.when(m == 4, F.lit("com"))
+        .when(m == 5, F.concat(F.lit("sub.a"), d, F.lit(".co.uk")))
+        .otherwise(F.concat(F.lit("www.s"), d, F.lit(".example.com")))
+    )
+    raw = _docs(spark, sf_dir).select(
+        F.concat(F.lit("http://"), host, F.lit("/")).alias("url"),
+        F.concat(F.lit("n"), (did % 50).cast("string")).alias("name"),
+        F.concat(F.lit("v"), (did % 50).cast("string")).alias("value"),
+        F.when(m == 1, F.concat(F.lit(".s"), d, F.lit(".example.com")))
+        .when(m == 2, F.concat(F.lit("evil"), d, F.lit(".net")))
+        .when(m == 3, F.lit("com"))
+        .when(m == 5, F.concat(F.lit("a"), d, F.lit(".co.uk")))
+        .alias("domain_attr"),
+        F.when(did % 3 == 0, F.lit("/p")).alias("path"),
+        F.lit(None).cast("timestamp").alias("expires"),
+        (did % 2 == 0).alias("secure"),
+        F.when(did % 3 == 1, F.lit("Strict")).alias("same_site"),
+        F.lit(False).alias("http_only"),
+    )
+    return normalize_set_cookies(raw).select(
+        "domain", "domain_cc", "inc_subdomain", "name", "value", "path",
+        "secure", "same_site",
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -983,6 +1067,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_gopher": q_text_gopher,
         "img_decode_stats": q_img_decode_stats,
         "img_decode_check": q_img_decode_check,
+        "cookie_match": q_cookie_match,
+        "cookie_set_validate": q_cookie_set_validate,
     }
 
 
@@ -1335,6 +1421,56 @@ def oracle_sql() -> dict[str, str]:
                    CAST([16, 24, 48][CAST((i // 3) % 3 AS INT) + 1] AS INT) AS height,
                    true AS phash_match
             FROM range(120) t(i)""",
+        "cookie_match": """
+            WITH jar AS (
+              SELECT 'site' || CAST(n_nationkey % 12 AS VARCHAR) || '.example.com' AS domain,
+                     n_nationkey % 2 = 0 AS inc_subdomain,
+                     n_nationkey % 3 = 0 AS secure,
+                     CASE n_nationkey % 4 WHEN 0 THEN '' WHEN 1 THEN '/test'
+                          WHEN 2 THEN '/test/' ELSE '/deep/path' END AS path,
+                     'c' || CAST(n_nationkey AS VARCHAR) AS name,
+                     'v' || CAST(n_nationkey AS VARCHAR) AS value,
+                     CASE WHEN n_nationkey % 5 = 4 THEN TIMESTAMP '2020-01-01 00:00:00' END AS expires
+              FROM nation),
+            u AS (
+              SELECT DISTINCT
+                     (CASE WHEN doc_id % 4 = 0 THEN 'https' ELSE 'http' END) || '://' || host || upath AS url,
+                     doc_id % 4 = 0 AS is_https, host, upath
+              FROM (
+                SELECT doc_id,
+                       (CASE doc_id % 3 WHEN 0 THEN 'www.' WHEN 1 THEN 'sub.a.' ELSE '' END)
+                         || 'site' || CAST(doc_id % 15 AS VARCHAR) || '.example.com' AS host,
+                       CASE doc_id % 5 WHEN 0 THEN '/' WHEN 1 THEN '/test' WHEN 2 THEN '/test/'
+                            WHEN 3 THEN '/test/sub' ELSE '/aaa' END AS upath
+                FROM documents))
+            SELECT DISTINCT u.url, jar.name, jar.value
+            FROM u JOIN jar
+              ON (u.host = jar.domain OR (jar.inc_subdomain AND u.host LIKE '%.' || jar.domain))
+            WHERE (u.is_https OR NOT jar.secure)
+              AND (rtrim(jar.path, '/') = '' OR rtrim(u.upath, '/') = rtrim(jar.path, '/')
+                   OR u.upath LIKE rtrim(jar.path, '/') || '/%')
+              AND (jar.expires IS NULL OR jar.expires > TIMESTAMP '2024-01-15 00:00:00')""",
+        "cookie_set_validate": """
+            -- expected output per validation branch (m = doc_id % 6):
+            -- m=0 host-only valid; m=1 Domain-attr same-site valid;
+            -- m=2 cross-site reject; m=3 TLD-attr reject; m=4 TLD-host
+            -- reject; m=5 two-level-suffix (co.uk) attr valid
+            WITH base AS (
+              SELECT doc_id % 6 AS m, CAST(doc_id % 7 AS VARCHAR) AS d,
+                     'n' || CAST(doc_id % 50 AS VARCHAR) AS name,
+                     'v' || CAST(doc_id % 50 AS VARCHAR) AS value,
+                     CASE WHEN doc_id % 3 = 0 THEN '/p' ELSE '' END AS path,
+                     doc_id % 2 = 0 AS secure,
+                     CASE WHEN doc_id % 3 = 1 THEN 'Strict' ELSE 'Lax' END AS same_site
+              FROM documents)
+            SELECT CASE m WHEN 0 THEN 'www.s' || d || '.example.com'
+                          WHEN 1 THEN 's' || d || '.example.com'
+                          ELSE 'a' || d || '.co.uk' END AS domain,
+                   CASE m WHEN 1 THEN '.s' || d || '.example.com'
+                          WHEN 5 THEN 'a' || d || '.co.uk' END AS domain_cc,
+                   m IN (1, 5) AS inc_subdomain,
+                   name, value, path, secure, same_site
+            FROM base WHERE m IN (0, 1, 5)""",
         "q11_csv_metadata": """
             WITH d AS (
               SELECT 'u' || CAST(doc_id AS VARCHAR) AS url,
