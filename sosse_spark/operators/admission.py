@@ -64,6 +64,12 @@ class CollectionPolicy:
     # P17 webhook trigger conditions kept as metric events
     # (se/webhook.py:108-117): subset of discovery|change|always|manual
     webhooks: tuple = field(default_factory=tuple)
+    # form auth (se/collection.py:244-255): a redirect landing on a URL
+    # matching auth_login_url_re triggers the auth kernel; auth_fields
+    # are (key, value) pairs overlaid on the scraped form inputs
+    # (≙ authfield_set, se/browser_request.py:264-265)
+    auth_login_url_re: str = ""
+    auth_fields: tuple = field(default_factory=tuple)
 
 
 def admit_links(

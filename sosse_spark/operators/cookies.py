@@ -48,6 +48,7 @@ __all__ = [
     "cookie_header",
     "upsert_cookies",
     "sync_delete_missing",
+    "import_netscape_cookies",
 ]
 
 # persisted jar row (se/cookie.py:41-53)
@@ -229,6 +230,43 @@ def upsert_cookies(jar: DataFrame | None, validated: DataFrame, now_col: Column)
     else:
         merged = jar.select(*cols).join(new.select(*key), key, "left_anti").unionByName(new)
     return merged.filter(F.col("expires").isNull() | (F.col("expires") > now_col))
+
+
+def import_netscape_cookies(lines: DataFrame) -> DataFrame:
+    """Netscape/Mozilla cookies.txt import (se/cookies_import.py:79-83 →
+    Cookie.set_from_jar(None, jar) → the url=None branch of Cookie.set,
+    se/cookie.py:138-142: no cross-site/TLD validation; the
+    include-subdomains flag becomes inc_subdomain and the stored domain
+    drops its leading dot).
+
+    `lines` is one row per file line (e.g. spark.read.text): the
+    7-field tab format  domain  flag  path  secure  expires  name
+    value, '#'-comment lines skipped EXCEPT the #HttpOnly_ prefix,
+    which marks the cookie http-only (the prefix Mozilla writes).
+    Returns COOKIE_SCHEMA rows (caller upserts them into the jar)."""
+    c = F.col(lines.columns[0])
+    http_only = c.startswith("#HttpOnly_")
+    body = F.when(http_only, F.substring(c, len("#HttpOnly_") + 1, 1 << 20)).otherwise(c)
+    return (
+        lines.select(http_only.alias("_ho"), body.alias("_b"))
+        .filter((F.trim(F.col("_b")) != "") & ~F.col("_b").startswith("#"))
+        .select(F.col("_ho"), F.split("_b", "\t").alias("_f"))
+        .filter(F.size("_f") >= 7)
+        .select(
+            F.regexp_replace(F.col("_f")[0], r"^\.+", "").alias("domain"),
+            F.when(F.upper(F.col("_f")[1]) == "TRUE",
+                   F.regexp_replace(F.col("_f")[0], r"^\.+", "")).alias("domain_cc"),
+            (F.upper(F.col("_f")[1]) == "TRUE").alias("inc_subdomain"),
+            F.col("_f")[5].alias("name"),
+            F.col("_f")[6].alias("value"),
+            F.col("_f")[2].alias("path"),
+            F.when(F.col("_f")[4].cast("long") > 0,
+                   F.timestamp_seconds(F.col("_f")[4].cast("long"))).alias("expires"),
+            (F.upper(F.col("_f")[3]) == "TRUE").alias("secure"),
+            F.lit("Lax").alias("same_site"),
+            F.col("_ho").alias("http_only"),
+        )
+    )
 
 
 def sync_delete_missing(jar: DataFrame, set_events: DataFrame, now_col: Column) -> DataFrame:

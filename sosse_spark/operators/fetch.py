@@ -27,6 +27,7 @@ from sosse_spark.functions.images import decode_image
 from sosse_spark.sources.corpus import caption_for, dims_for, fmt_for, image_id_for
 from sosse_spark.sources.webgraph import (
     WebConfig,
+    _host_of_url,
     favicon_of,
     fetch_sim,
     max_age_of,
@@ -37,6 +38,7 @@ from sosse_spark.operators.robots import robots_rules_rows
 __all__ = [
     "FETCH_SCHEMA",
     "fetch_batch",
+    "auth_and_fetch",
     "fetch_robots_for_domains",
     "fetch_favicons_for_domains",
 ]
@@ -44,63 +46,124 @@ __all__ = [
 FETCH_SCHEMA = (
     "url string, final_url string, redirect_count int, error string, "
     "image_id string, bytes binary, w int, h int, fmt string, "
-    "caption string, phash bigint, links array<string>, max_age bigint"
+    "caption string, phash bigint, links array<string>, max_age bigint, "
+    "set_cookies array<struct<name:string,value:string,domain_attr:string,"
+    "path:string,secure:boolean>>"
 )
 
 
+def _fetch_row(url: str, cfg: WebConfig, cookie: str | None) -> dict:
+    res = fetch_sim(url, cfg, cookie)
+    row = {
+        "url": url,
+        "final_url": res.final_url,
+        "redirect_count": res.redirect_count,
+        "error": res.error,
+        "image_id": None,
+        "bytes": None,
+        "w": None,
+        "h": None,
+        "fmt": None,
+        "caption": None,
+        "phash": None,
+        "links": res.links,
+        "max_age": None,
+        "set_cookies": [],
+    }
+    if res.error is None and res.doc_index is not None:
+        i = res.doc_index
+        w, h = dims_for(i)
+        fmt = fmt_for(i)
+        data = encode_image(render_pattern(i, w, h), fmt)
+        row.update(
+            image_id=image_id_for(i),
+            bytes=data,
+            w=w,
+            h=h,
+            fmt=fmt,
+            caption=caption_for(i),
+            phash=phash64(decode_image(data, fmt)),
+            max_age=max_age_of(i, cfg),
+        )
+    return row
+
+
+def _int64_fix(rows: list[dict]) -> pd.DataFrame:
+    # CRITICAL: construct with dtype=object FIRST — a batch mixing
+    # success rows with error/redirect rows (phash=None) would
+    # otherwise coerce int64 → float64 at construction and silently
+    # corrupt low bits of large phashes; Int64 cast from object is
+    # exact.
+    out = pd.DataFrame(rows, dtype=object)
+    for col in ("phash", "w", "h", "redirect_count", "max_age"):
+        out[col] = out[col].astype("Int64")
+    return out
+
+
 def fetch_batch(claimed: DataFrame, cfg: WebConfig) -> DataFrame:
-    """mapInPandas over the claimed batch; emits payload + raw hrefs."""
+    """mapInPandas over the claimed batch; emits payload + raw hrefs.
+    When the batch carries a `cookie_header` column (jar-matched
+    cookies, se/browser_request.py:76-97 analog), each request sends it."""
+    has_cookies = "cookie_header" in claimed.columns
+    cols = ["url", "cookie_header"] if has_cookies else ["url"]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         sessions: dict[str, int] = {}  # per-host session reuse analog
         for pdf in batches:
             rows = []
-            for url in pdf["url"]:
+            hdrs = pdf["cookie_header"] if has_cookies else [None] * len(pdf)
+            for url, hdr in zip(pdf["url"], hdrs):
                 host = url.split("/", 3)[2] if url.startswith("http") else ""
                 sessions[host] = sessions.get(host, 0) + 1
-                res = fetch_sim(url, cfg)
-                row = {
-                    "url": url,
-                    "final_url": res.final_url,
-                    "redirect_count": res.redirect_count,
-                    "error": res.error,
-                    "image_id": None,
-                    "bytes": None,
-                    "w": None,
-                    "h": None,
-                    "fmt": None,
-                    "caption": None,
-                    "phash": None,
-                    "links": res.links,
-                    "max_age": None,
-                }
-                if res.error is None and res.doc_index is not None:
-                    i = res.doc_index
-                    w, h = dims_for(i)
-                    fmt = fmt_for(i)
-                    data = encode_image(render_pattern(i, w, h), fmt)
-                    row.update(
-                        image_id=image_id_for(i),
-                        bytes=data,
-                        w=w,
-                        h=h,
-                        fmt=fmt,
-                        caption=caption_for(i),
-                        phash=phash64(decode_image(data, fmt)),
-                        max_age=max_age_of(i, cfg),
-                    )
-                rows.append(row)
-            # CRITICAL: construct with dtype=object FIRST — a batch mixing
-            # success rows with error/redirect rows (phash=None) would
-            # otherwise coerce int64 → float64 at construction and silently
-            # corrupt low bits of large phashes; Int64 cast from object is
-            # exact.
-            out = pd.DataFrame(rows, dtype=object)
-            for col in ("phash", "w", "h", "redirect_count", "max_age"):
-                out[col] = out[col].astype("Int64")
-            yield out
+                cookie = None if hdr is None or (isinstance(hdr, float)) else hdr
+                rows.append(_fetch_row(url, cfg, cookie))
+            yield _int64_fix(rows)
 
-    return claimed.select("url").mapInPandas(run, FETCH_SCHEMA)
+    return claimed.select(*cols).mapInPandas(run, FETCH_SCHEMA)
+
+
+def auth_and_fetch(rows: DataFrame, cfg: WebConfig, auth_fields: dict) -> DataFrame:
+    """Form authentication + refetch for URLs whose fetch redirected to
+    the login page (try_auth, se/browser_request.py:242-287 +
+    collection.url_get reopen, se/collection.py:347-365):
+
+      GET login page → scrape form inputs → overlay Collection
+      authfields → absolutize the form action → POST → follow the 302
+      with the fresh session cookie → REFETCH the original URL.
+
+    Emits one FETCH_SCHEMA row per original URL, carrying the cookies
+    the login response set (the caller upserts them into the jar).
+    Input: (url, final_url) where final_url is the login redirect."""
+    from sosse_spark.functions.urlnorm import absolutize_url
+    from sosse_spark.sources.webgraph import AUTH_COOKIE, login_form, login_post
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows_out = []
+            for url, login_url in zip(pdf["url"], pdf["final_url"]):
+                host = _host_of_url(login_url)
+                next_path = login_url.split("next=", 1)[-1] if "next=" in login_url else "/"
+                form = login_form(host)
+                payload = dict(form["inputs"])
+                payload.update(auth_fields)
+                # the POST target must absolutize like the reference does
+                post_url = absolutize_url(login_url, form["action"])
+                assert post_url.startswith("http"), post_url
+                set_cookies, location = login_post(host, payload, next_path)
+                if location is None:
+                    row = _fetch_row(url, cfg, None)
+                    row.update(error="AuthElemFailed: authentication failed", set_cookies=[])
+                else:
+                    # the fresh session cookie rides the refetch directly
+                    # (requests keeps it in the live session jar)
+                    cookie = "; ".join(f"{c['name']}={c['value']}" for c in set_cookies)
+                    row = _fetch_row(url, cfg, cookie)
+                    row["set_cookies"] = set_cookies
+                    assert AUTH_COOKIE in cookie
+                rows_out.append(row)
+            yield _int64_fix(rows_out)
+
+    return rows.select("url", "final_url").mapInPandas(run, FETCH_SCHEMA)
 
 
 ROBOTS_FETCH_SCHEMA = "domain string, kind string, pattern string, pattern_len int"

@@ -29,6 +29,12 @@ __all__ = [
     "favicon_of",
     "robots_body",
     "fetch_sim",
+    "auth_required",
+    "session_cookie_value",
+    "login_form",
+    "login_post",
+    "AUTH_COOKIE",
+    "AUTH_PASSWORD",
 ]
 
 _KNUTH = 2654435761
@@ -44,6 +50,10 @@ class WebConfig:
     redirect_mod: int = 50  # doc i has a redirect chain iff i % mod == 1
     error_mod: int = 100  # i % mod == 3 → generic error; == 7 → PageTooBig
     private_mod: int = 17  # i % mod == 0 → doc lives under /private/
+    # hosts with host % mod == 1 gate /private/ behind a session cookie
+    # (== 1 so auth hosts never coincide with robots hosts, mod 4 == 0);
+    # 0 disables the auth surface entirely (default: existing behavior)
+    auth_host_mod: int = 0
 
 
 def _uniform(i: int) -> float:
@@ -136,6 +146,62 @@ def robots_body(host: int, cfg: WebConfig) -> Optional[str]:
     )
 
 
+AUTH_COOKIE = "sosse_session"
+AUTH_PASSWORD = "hunter2"  # one site-wide credential (≙ Collection authfields)
+
+
+def auth_required(host: int, cfg: WebConfig) -> bool:
+    """Whether this host's /private/ area needs a session cookie."""
+    return cfg.auth_host_mod > 0 and host % cfg.auth_host_mod == 1
+
+
+def session_cookie_value(host: int) -> str:
+    return f"tok{host}"
+
+
+def _login_url(host: int, next_path: str) -> str:
+    return f"http://img{host}.example.com/login?next={next_path}"
+
+
+def login_form(host: int) -> dict:
+    """The login page's <form> as the auth kernel scrapes it (≙
+    try_auth's input walk, se/browser_request.py:258-263): default
+    input values incl. a per-host csrf token that MUST flow through,
+    and a relative action that MUST be absolutized."""
+    return {
+        "action": "/login/post",
+        "inputs": {"csrf": f"csrf-{host}", "user": "", "password": ""},
+    }
+
+
+def login_post(host: int, payload: dict, next_path: str):
+    """POST the login form.  Success (csrf echoed + credentials) sets
+    the session cookie and 302s to `next` (se/browser_request.py:275-287
+    shape); failure returns (no cookies, no redirect)."""
+    ok = (
+        payload.get("csrf") == f"csrf-{host}"
+        and payload.get("user") == "admin"
+        and payload.get("password") == AUTH_PASSWORD
+    )
+    if not ok:
+        return [], None
+    cookie = {
+        "name": AUTH_COOKIE,
+        "value": session_cookie_value(host),
+        "domain_attr": None,  # host-only cookie
+        "path": "/",
+        "secure": False,
+    }
+    return [cookie], f"http://img{host}.example.com{next_path}"
+
+
+def _host_of_url(url: str) -> int:
+    try:
+        return int(url.split("/", 3)[2].split(".")[0].removeprefix("img"))
+    except (IndexError, ValueError):
+        return -1
+
+
 @dataclass
 class FetchResult:
     url: str  # requested URL
@@ -144,14 +210,36 @@ class FetchResult:
     error: Optional[str] = None
     doc_index: Optional[int] = None
     links: list[str] = field(default_factory=list)
+    is_login_page: bool = False
 
 
-def fetch_sim(url: str, cfg: WebConfig) -> FetchResult:
-    """Simulate one fetch: redirect chain, error injection, payload.
+def fetch_sim(url: str, cfg: WebConfig, cookie: Optional[str] = None) -> FetchResult:
+    """Simulate one fetch: redirect chain, error injection, auth gate,
+    payload.  `cookie` is the request's Cookie header (or None).
     Deterministic; callable inside Arrow batches on executors."""
+    # the login page is a real (payload-less) page so an unauthenticated
+    # crawl that queues the redirect target still completes cleanly
+    path = url.split("/", 3)[3] if url.count("/") >= 3 else ""
+    if path.startswith("login"):
+        return FetchResult(url=url, final_url=url, is_login_page=True)
+
     i = doc_index_of(url, cfg)
     if i is None:
         return FetchResult(url=url, final_url=url, error="404 not found")
+
+    host = host_no(i, cfg)
+    doc_path = _path_of(i, cfg)
+    if doc_path.startswith("/private/") and auth_required(host, cfg):
+        granted = cookie is not None and (
+            f"{AUTH_COOKIE}={session_cookie_value(host)}" in cookie
+        )
+        if not granted:
+            return FetchResult(
+                url=url,
+                final_url=_login_url(host, doc_path),
+                redirect_count=1,
+                is_login_page=True,
+            )
 
     if i % cfg.error_mod == 3:
         return FetchResult(url=url, final_url=url, doc_index=i, error="fetch error: connection reset")

@@ -8,7 +8,9 @@ se/document.py:714-829) with one deterministic DataFrame DAG per round:
     → eligibility filter → per-host politeness window (salted)
     → global priority top-N                                (the claim)
     → robots broadcast join (fetching rules for new domains first)
+    → cookie-jar match join (Cookie header per URL, distributed)
     → Arrow mapInPandas fetch (redirects, size caps, error injection)
+    → form-auth kernel over login-redirected rows (sign in + refetch)
     → change detection + adaptive reschedule               (replacements)
     → link canonicalization UDFs → admission → Bloom-prefiltered dedup
     → deterministic id assignment                          (inserts)
@@ -33,7 +35,14 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sosse_spark.operators.admission import CollectionPolicy, admit_links
+from sosse_spark.operators.cookies import (
+    cookie_header,
+    match_cookies,
+    normalize_set_cookies,
+    upsert_cookies,
+)
 from sosse_spark.operators.fetch import (
+    auth_and_fetch,
     fetch_batch,
     fetch_favicons_for_domains,
     fetch_robots_for_domains,
@@ -96,6 +105,12 @@ class CrawlEngine:
         # repoint probe reads THIS table, O(pending externs) — never the
         # whole links append-log, which grows with total crawl history.
         self.pending_externs = SnapshotTable(root, "pending_externs", n_buckets)
+        # cookie jar (se/cookie.py), bucketed on domain.  Commits BEFORE
+        # the frontier commit and is NOT rolled back on replay: a cookie
+        # surviving a crashed round only lets the replay skip the auth
+        # round-trip — the refetched payload and all appended rows are
+        # identical (upsert is idempotent, session tokens deterministic).
+        self.cookies = SnapshotTable(root, "cookies", n_buckets)
         # cached host_rules DataFrame handle (NOT a driver-side domain
         # set: new-domain discovery is an anti-join against this table,
         # bounded by the round batch — a python set of every domain ever
@@ -117,6 +132,7 @@ class CrawlEngine:
         if m is not None and m.get("n_buckets") and m["n_buckets"] != self.n_buckets:
             self.n_buckets = m["n_buckets"]
         self.pending_externs.n_buckets = self.n_buckets
+        self.cookies.n_buckets = self.n_buckets
         r = self.round_no()
         for table in (self.documents, self.links, self.metrics, self.webhook_events, self.favicons):
             table.truncate_from(r)
@@ -355,7 +371,37 @@ class CrawlEngine:
         authorized = checked.filter(F.col("robots_authorized"))
 
         # --- fetch ------------------------------------------------------
-        fetched = fetch_batch(authorized, self.web)
+        # jar-matched cookies ride each request (se/browser_request.py:76-97
+        # _get_cookies analog — a distributed thin join, never a collected
+        # driver-side jar)
+        jar = self.cookies.read(spark)
+        if jar is not None:
+            hdrs = cookie_header(match_cookies(jar, authorized.select("url"), now_col))
+            with_cookies = authorized.join(hdrs, "url", "left")
+        else:
+            with_cookies = authorized.withColumn(
+                "cookie_header", F.lit(None).cast("string")
+            )
+        fetched = fetch_batch(with_cookies, self.web)
+
+        # --- form auth (se/collection.py:347-365): a redirect landing on
+        # the login URL triggers the auth kernel over JUST those rows
+        # (bounded by the batch), which signs in and refetches ----------
+        login_re = self.policy.auth_login_url_re
+        fetched_cached = None
+        if login_re and self.policy.auth_fields:
+            # cache: both slices below would otherwise re-run the whole
+            # fetch kernel (image render + encode) once each
+            fetched_cached = fetched.cache()
+            hit_login = (
+                F.col("error").isNull()
+                & (F.col("final_url") != F.col("url"))
+                & F.col("final_url").rlike(login_re)
+            )
+            needs_auth = fetched_cached.filter(hit_login)
+            fetched = fetched_cached.filter(~hit_login).unionByName(
+                auth_and_fetch(needs_auth, self.web, dict(self.policy.auth_fields))
+            )
         joined = authorized.alias("b").join(fetched.alias("f"), "url").cache()
 
         is_error = F.col("f.error").isNotNull()
@@ -748,6 +794,45 @@ class CrawlEngine:
                 pending.unpersist()
                 matched.unpersist()
 
+        # --- cookie jar upsert (Cookie.set, se/cookie.py:106-162) --------
+        # cookies the auth kernel captured this round; committed before
+        # the frontier commit (idempotent — see the table's init note)
+        if login_re and self.policy.auth_fields:
+            raw_cookies = (
+                joined.filter(F.size("f.set_cookies") > 0)
+                .select(F.col("url"), F.explode("f.set_cookies").alias("c"))
+                .select(
+                    "url",
+                    F.col("c.name").alias("name"),
+                    F.col("c.value").alias("value"),
+                    F.col("c.domain_attr").alias("domain_attr"),
+                    F.col("c.path").alias("path"),
+                    F.lit(None).cast("timestamp").alias("expires"),
+                    F.col("c.secure").alias("secure"),
+                    F.lit(None).cast("string").alias("same_site"),
+                    F.lit(False).alias("http_only"),
+                )
+            )
+            validated = SnapshotTable.with_bucket(
+                normalize_set_cookies(raw_cookies), "domain", self.n_buckets
+            ).cache()
+            cookie_buckets = self._touched_buckets(validated)
+            if cookie_buckets:
+                kept = self._changed_bucket_slice(jar, cookie_buckets)
+                merged_jar = SnapshotTable.with_bucket(
+                    upsert_cookies(
+                        kept.drop("bucket") if kept is not None else None,
+                        validated.drop("bucket"),
+                        now_col,
+                    ),
+                    "domain",
+                    self.n_buckets,
+                )
+                self.cookies.commit(
+                    spark, merged_jar, round_no, changed_buckets=cookie_buckets
+                )
+            validated.unpersist()
+
         # --- commits: bloom BEFORE frontier ------------------------------
         # The frontier commit is the round's atomic commit point.  Bloom
         # goes first: a crash between the two leaves the bloom a SUPERSET
@@ -806,6 +891,8 @@ class CrawlEngine:
 
         for df in (frontier, batch, checked, joined, resolved, replacements, inserts):
             df.unpersist()
+        if fetched_cached is not None:
+            fetched_cached.unpersist()
         return metrics_row
 
     # ------------------------------------------------------------------

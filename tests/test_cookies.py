@@ -216,3 +216,34 @@ def test_sync_delete_missing(spark):
     set_events = spark.createDataFrame([("http://s.com/", "keep")], "url string, name string")
     left = sorted(r["name"] for r in sync_delete_missing(jar, set_events, _now()).collect())
     assert left == ["keep", "untouched"]
+
+
+def test_import_netscape_cookies(spark):
+    # se/cookies_import.py → Cookie.set_from_jar(None, jar): the url=None
+    # branch — no validation, flag column becomes inc_subdomain,
+    # leading dot dropped, #HttpOnly_ prefix honored, comments skipped
+    lines = [
+        "# Netscape HTTP Cookie File",
+        "",
+        ".example.com\tTRUE\t/\tFALSE\t2000000000\tsess\tabc",
+        "host.example.com\tFALSE\t/app\tTRUE\t0\tk\tv",
+        "#HttpOnly_.secure.org\tTRUE\t/\tTRUE\t2000000000\thk\thv",
+        "not-a-cookie-line",
+    ]
+    df = spark.createDataFrame([(l,) for l in lines], "value string")
+    from sosse_spark.operators.cookies import import_netscape_cookies
+
+    got = {r["name"]: r for r in import_netscape_cookies(df).collect()}
+    assert set(got) == {"sess", "k", "hk"}
+    assert got["sess"]["domain"] == "example.com"
+    assert got["sess"]["inc_subdomain"] is True
+    assert got["sess"]["domain_cc"] == "example.com"
+    assert got["sess"]["expires"] is not None
+    assert got["k"]["domain"] == "host.example.com"
+    assert got["k"]["inc_subdomain"] is False
+    assert got["k"]["domain_cc"] is None
+    assert got["k"]["secure"] is True
+    assert got["k"]["expires"] is None  # 0 ⇒ session cookie
+    assert got["k"]["path"] == "/app"
+    assert got["hk"]["http_only"] is True
+    assert got["hk"]["domain"] == "secure.org"
