@@ -317,3 +317,36 @@ def test_assign_ids_base_rank_offsets(spark):
     df = spark.createDataFrame([("a", 1), ("b", 2)], "url string, disc_order long")
     got = sorted(r["id"] for r in assign_ids(df, 1, base_rank=5).collect())
     assert got == [(1 << 32) + 6, (1 << 32) + 7]
+
+
+def test_cookie_match_is_equi_join(spark):
+    """P18 jar matching must plan as an equi-join on suffix==domain
+    (the thin suffix-explode side, bounded fan-out) — never a
+    cartesian/nested-loop over jar x URLs (the jar is 10^8 rows at
+    fleet scale)."""
+    from datetime import datetime
+
+    from sosse_spark.operators.cookies import match_cookies
+
+    jar = spark.createDataFrame(
+        [("d%d.example.com" % i, None, i % 2 == 0, "n", "v", "/", None, False, "Lax", False)
+         for i in range(20)],
+        "domain string, domain_cc string, inc_subdomain boolean, name string, "
+        "value string, path string, expires timestamp, secure boolean, "
+        "same_site string, http_only boolean",
+    )
+    urls = spark.createDataFrame(
+        [("http://sub.d%d.example.com/p" % i,) for i in range(50)], "url string"
+    )
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = match_cookies(jar, urls, F.lit(datetime(2024, 1, 2)).cast("timestamp"))
+        plan = _plan(out)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    # and the subdomain rows actually matched through the suffix explode
+    assert out.count() == 10
