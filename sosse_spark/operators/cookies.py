@@ -83,8 +83,9 @@ _SUF_ALT = "|".join(s.replace(".", r"\.") for s in _TWO_LEVEL_SUFFIXES)
 
 def public_suffix_col(host: Column) -> Column:
     """The public suffix of `host` under the structural rule (last
-    label, or the two-label ending when it is a known suffix)."""
-    two = F.regexp_extract(host, r"((?:" + _SUF_ALT + r"))$", 1)
+    label, or the two-label ending when it is a known suffix).  The
+    label boundary is required: barco.uk's suffix is uk, not co.uk."""
+    two = F.regexp_extract(host, r"(?:^|\.)((?:" + _SUF_ALT + r"))$", 1)
     return F.when(two != "", two).otherwise(F.regexp_extract(host, r"([^.]+)$", 1))
 
 
@@ -177,7 +178,7 @@ def match_cookies(jar: DataFrame, urls: DataFrame, now_col: Column) -> DataFrame
         )
         # stage the parsed columns before the HOF so CollapseProject
         # can't inline parse_url into the per-element lambda
-        .select("url", "_https", "_host", "_path", F.posexplode(_host_suffixes(F.col("_host"))).alias("_p", "_suffix"))
+        .select("url", "_https", "_host", "_path", F.explode(_host_suffixes(F.col("_host"))).alias("_suffix"))
     )
     cpath = F.regexp_replace(F.col("path"), "/+$", "")
     upath = F.regexp_replace(F.col("_path"), "/+$", "")
@@ -222,9 +223,17 @@ def upsert_cookies(jar: DataFrame | None, validated: DataFrame, now_col: Column)
     row wins deterministically."""
     key = ["domain", "path", "name"]
     cols = [f.strip().split(" ")[0] for f in COOKIE_SCHEMA.split(",")]
-    new = validated.groupBy(*key).agg(
-        *[F.max_by(c, F.struct("expires", "value")).alias(c) for c in cols if c not in key]
-    ).select(*cols)
+    nonkey = [c for c in cols if c not in key]
+    # ONE max over a struct of all non-key fields: per-column max_by with
+    # a tied ordering key would break ties per column independently
+    # (partition-order-dependent blend of two source rows); the struct
+    # max is a deterministic total order over the whole row
+    new = (
+        validated.groupBy(*key)
+        .agg(F.max(F.struct(*nonkey)).alias("_w"))
+        .select(*key, *[F.col(f"_w.{c}").alias(c) for c in nonkey])
+        .select(*cols)
+    )
     if jar is None:
         merged = new
     else:

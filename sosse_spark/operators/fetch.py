@@ -135,7 +135,7 @@ def auth_and_fetch(rows: DataFrame, cfg: WebConfig, auth_fields: dict) -> DataFr
     the login response set (the caller upserts them into the jar).
     Input: (url, final_url) where final_url is the login redirect."""
     from sosse_spark.functions.urlnorm import absolutize_url
-    from sosse_spark.sources.webgraph import AUTH_COOKIE, login_form, login_post
+    from sosse_spark.sources.webgraph import login_form, login_post
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -146,10 +146,12 @@ def auth_and_fetch(rows: DataFrame, cfg: WebConfig, auth_fields: dict) -> DataFr
                 form = login_form(host)
                 payload = dict(form["inputs"])
                 payload.update(auth_fields)
-                # the POST target must absolutize like the reference does
+                # the POST target must absolutize like the reference
+                # does; the synthetic server validates the endpoint, so
+                # a broken absolutize surfaces as a per-row auth error
+                # (never a task-killing assert inside the kernel)
                 post_url = absolutize_url(login_url, form["action"])
-                assert post_url.startswith("http"), post_url
-                set_cookies, location = login_post(host, payload, next_path)
+                set_cookies, location = login_post(host, payload, next_path, post_url)
                 if location is None:
                     row = _fetch_row(url, cfg, None)
                     row.update(error="AuthElemFailed: authentication failed", set_cookies=[])
@@ -159,7 +161,6 @@ def auth_and_fetch(rows: DataFrame, cfg: WebConfig, auth_fields: dict) -> DataFr
                     cookie = "; ".join(f"{c['name']}={c['value']}" for c in set_cookies)
                     row = _fetch_row(url, cfg, cookie)
                     row["set_cookies"] = set_cookies
-                    assert AUTH_COOKIE in cookie
                 rows_out.append(row)
             yield _int64_fix(rows_out)
 

@@ -174,12 +174,15 @@ def login_form(host: int) -> dict:
     }
 
 
-def login_post(host: int, payload: dict, next_path: str):
-    """POST the login form.  Success (csrf echoed + credentials) sets
-    the session cookie and 302s to `next` (se/browser_request.py:275-287
-    shape); failure returns (no cookies, no redirect)."""
+def login_post(host: int, payload: dict, next_path: str, post_url: str | None = None):
+    """POST the login form.  Success (posted to the right endpoint with
+    csrf echoed + credentials) sets the session cookie and 302s to
+    `next` (se/browser_request.py:275-287 shape); failure returns
+    (no cookies, no redirect).  Validating `post_url` server-side makes
+    the client's form-action absolutization observable per-row."""
     ok = (
-        payload.get("csrf") == f"csrf-{host}"
+        (post_url is None or post_url == f"http://img{host}.example.com/login/post")
+        and payload.get("csrf") == f"csrf-{host}"
         and payload.get("user") == "admin"
         and payload.get("password") == AUTH_PASSWORD
     )
@@ -227,20 +230,6 @@ def fetch_sim(url: str, cfg: WebConfig, cookie: Optional[str] = None) -> FetchRe
     if i is None:
         return FetchResult(url=url, final_url=url, error="404 not found")
 
-    host = host_no(i, cfg)
-    doc_path = _path_of(i, cfg)
-    if doc_path.startswith("/private/") and auth_required(host, cfg):
-        granted = cookie is not None and (
-            f"{AUTH_COOKIE}={session_cookie_value(host)}" in cookie
-        )
-        if not granted:
-            return FetchResult(
-                url=url,
-                final_url=_login_url(host, doc_path),
-                redirect_count=1,
-                is_login_page=True,
-            )
-
     if i % cfg.error_mod == 3:
         return FetchResult(url=url, final_url=url, doc_index=i, error="fetch error: connection reset")
     if i % cfg.error_mod == 7:
@@ -258,6 +247,28 @@ def fetch_sim(url: str, cfg: WebConfig, cookie: Optional[str] = None) -> FetchRe
             # the redirect target must itself be a plain page
             if final_i % cfg.redirect_mod == 1 or final_i % cfg.error_mod in (3, 7):
                 final_i = (final_i + 1) % cfg.n_docs
+
+    # auth gate on the FINAL doc: a redirect landing on a protected page
+    # must hit the login wall exactly like a direct request (gating only
+    # the requested doc would let any redirect circumvent the wall); the
+    # login hop counts against max_redirects
+    host = host_no(final_i, cfg)
+    doc_path = _path_of(final_i, cfg)
+    if doc_path.startswith("/private/") and auth_required(host, cfg):
+        granted = cookie is not None and (
+            f"{AUTH_COOKIE}={session_cookie_value(host)}" in cookie
+        )
+        if not granted:
+            if redirect_count + 1 > cfg.max_redirects:
+                return FetchResult(
+                    url=url, final_url=url, doc_index=i, error="TooManyRedirects"
+                )
+            return FetchResult(
+                url=url,
+                final_url=_login_url(host, doc_path),
+                redirect_count=redirect_count + 1,
+                is_login_page=True,
+            )
 
     return FetchResult(
         url=url,

@@ -816,9 +816,29 @@ class CrawlEngine:
             validated = SnapshotTable.with_bucket(
                 normalize_set_cookies(raw_cookies), "domain", self.n_buckets
             ).cache()
-            cookie_buckets = self._touched_buckets(validated)
+            # session-sync deletion (se/cookie.py:155-161): jar cookies
+            # matching a cookie-setting response's URL whose names were
+            # NOT re-set are dropped (server-side logout/invalidation)
+            stale = None
+            if jar is not None:
+                set_events = raw_cookies.select("url", "name")
+                stale = SnapshotTable.with_bucket(
+                    match_cookies(jar, set_events.select("url").distinct(), now_col)
+                    .join(set_events, ["url", "name"], "left_anti")
+                    .select("domain", "path", "name")
+                    .distinct(),
+                    "domain",
+                    self.n_buckets,
+                ).cache()
+            cookie_buckets = self._touched_buckets(validated, stale)
             if cookie_buckets:
                 kept = self._changed_bucket_slice(jar, cookie_buckets)
+                if kept is not None and stale is not None:
+                    kept = kept.join(
+                        stale.select("domain", "path", "name"),
+                        ["domain", "path", "name"],
+                        "left_anti",
+                    )
                 merged_jar = SnapshotTable.with_bucket(
                     upsert_cookies(
                         kept.drop("bucket") if kept is not None else None,
@@ -832,6 +852,8 @@ class CrawlEngine:
                     spark, merged_jar, round_no, changed_buckets=cookie_buckets
                 )
             validated.unpersist()
+            if stale is not None:
+                stale.unpersist()
 
         # --- commits: bloom BEFORE frontier ------------------------------
         # The frontier commit is the round's atomic commit point.  Bloom

@@ -169,3 +169,85 @@ def test_crash_after_frontier_commit_does_not_replay(spark, tmp_path_factory, re
     for g, want in zip(got, reference):
         assert g == want
     eng2.close()
+
+
+# --- auth round: the cookies.commit point -----------------------------------
+# cookies commit BEFORE the frontier commit and are NOT rolled back on
+# replay (crawl_loop.py init note): a crash after cookies.commit replays
+# the round with the session cookie pre-loaded — the direct cookie-bearing
+# fetch must yield a state identical to the uncrashed auth+refetch path.
+
+from sosse_spark.sources.webgraph import AUTH_PASSWORD  # noqa: E402
+
+WEB_AUTH = WebConfig(n_docs=60, n_hosts=6, zipf_alpha=1.0, private_mod=5, auth_host_mod=2)
+POL_AUTH = CollectionPolicy(
+    collection_id=1,
+    unlimited_regex=r"^http://img[0-9]+\.example\.com/",
+    recursion_depth=2,
+    keep_params=False,
+    recrawl_freq="adaptive",
+    auth_login_url_re=r"/login",
+    auth_fields=(("user", "admin"), ("password", AUTH_PASSWORD)),
+)
+AUTH_SEEDS = [10, 4]  # private doc on auth host 1 + a public doc
+
+
+def _auth_engine(spark, root):
+    return CrawlEngine(
+        spark, root, WEB_AUTH, POL_AUTH, n_buckets=4, batch_size=16, per_host_budget=8
+    )
+
+
+def _auth_state(spark, eng):
+    jar_df = eng.cookies.read(spark)
+    jar = (
+        {tuple(r) for r in jar_df.select("domain", "name", "value", "path").collect()}
+        if jar_df is not None
+        else set()
+    )
+    return _snapshot_state(spark, eng) + (jar,)
+
+
+@pytest.fixture(scope="module")
+def auth_reference(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("crash_auth_ref"))
+    eng = _auth_engine(spark, root)
+    eng.seed([url_of(i, WEB_AUTH) for i in AUTH_SEEDS], T0)
+    eng.run_round(T0)
+    eng.close()
+    return _auth_state(spark, eng)
+
+
+@pytest.mark.parametrize("table_attr", ["cookies", "bloom"])
+def test_crash_in_auth_round_replays_identically(
+    spark, tmp_path_factory, auth_reference, table_attr
+):
+    """Kill after cookies.commit (replay re-auths nothing: the persisted
+    cookie short-circuits the login wall) and after bloom.commit (cookie
+    already durable, crash later in the round) — both replays must equal
+    the uncrashed run, jar included."""
+    root = str(tmp_path_factory.mktemp(f"crash_auth_{table_attr}"))
+    eng = _auth_engine(spark, root)
+    eng.seed([url_of(i, WEB_AUTH) for i in AUTH_SEEDS], T0)
+
+    table = getattr(eng, table_attr)
+    original = table.commit
+
+    def exploding(*args, **kwargs):
+        out = original(*args, **kwargs)
+        raise _Boom(f"crash after {table_attr}.commit")
+
+    table.commit = exploding
+    with pytest.raises(_Boom):
+        eng.run_round(T0)
+    table.commit = original
+    eng.close()
+
+    eng2 = _auth_engine(spark, root)
+    m = eng2.run_round(T0)
+    assert m is not None and m["round_no"] == 1 and m["errors"] == 0
+    got = _auth_state(spark, eng2)
+    names = ("frontier", "documents", "links_view", "metrics", "cookie_jar")
+    for name, g, want in zip(names, got, auth_reference):
+        assert g == want, f"{name} diverged after crash at {table_attr}.commit"
+    eng2.close()
