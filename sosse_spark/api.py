@@ -206,3 +206,87 @@ class RestApi:
         upsert (F31/F32).  ``t`` is the engine's injected logical clock
         (crawl_loop.py seed) — the API stays wall-clock-free too."""
         engine.seed(urls, t, manual=manual)
+
+
+# ---------------------------------------------------------------------------
+# Search history (SearchHistory, se/models.py:443-497 + se/history.py:30-66)
+# ---------------------------------------------------------------------------
+
+_HISTORY_SCHEMA = (
+    "hist_id long, user string, query string, querystring string, "
+    "tags array<string>, date timestamp"
+)
+_FILTER_RE = r"(ft|ff|fo|fv|fc)[0-9]+$"  # se/search.py:41
+
+
+def save_history(
+    spark: SparkSession,
+    history: DataFrame | None,
+    user: str,
+    get_params: dict[str, str],
+    tags: list[str],
+    t,
+) -> DataFrame | None:
+    """SearchHistory.save_history (se/models.py:450-497): keep the
+    filter/lang/sort/query params (sorted by key), space-join the fv
+    values into the display query, dedup against the user's LAST entry
+    (same querystring + tags ⇒ no-op), skip empty searches.  Returns the
+    new history DataFrame (caller persists), or the input when nothing
+    was recorded."""
+    import re as _re
+    from urllib.parse import urlencode
+
+    q = get_params.get("q", "")
+    tags = sorted(tags or [])
+    params = {}
+    queryparams = ""
+    for key in sorted(get_params):
+        if not _re.match(_FILTER_RE, key) and key not in ("doc_lang", "s", "q"):
+            continue
+        params[key] = get_params[key]
+        if key.startswith("fv"):
+            queryparams += (" " if queryparams else "") + get_params[key]
+    if q and queryparams:
+        q = f"{q} ({queryparams})"
+    qs = urlencode(params)
+
+    if not q and not queryparams and not tags:
+        return history
+    if not q:
+        q = queryparams
+
+    next_id = 0
+    if history is not None:
+        last = (
+            history.filter(F.col("user") == user)
+            .orderBy(F.col("date").desc(), F.col("hist_id").desc())
+            .limit(1)
+            .collect()
+        )
+        if last and last[0]["querystring"] == qs and (sorted(last[0]["tags"] or [])) == tags:
+            return history  # consecutive-duplicate dedup
+        top = history.agg(F.max("hist_id")).collect()[0][0]
+        next_id = (top if top is not None else -1) + 1
+
+    row = spark.createDataFrame(
+        [(next_id, user, q, qs, tags, t)], _HISTORY_SCHEMA
+    )
+    return row if history is None else history.unionByName(row)
+
+
+def history_page(history: DataFrame, user: str, page: int = 1, page_size: int = 20) -> DataFrame:
+    """HistoryView list: the user's entries newest-first, paginated
+    (se/history.py:34-41)."""
+    out = history.filter(F.col("user") == user).orderBy(
+        F.col("date").desc(), F.col("hist_id").desc()
+    )
+    return out.offset((page - 1) * page_size).limit(page_size)
+
+
+def history_delete(history: DataFrame, user: str, ids: list[int] | None = None) -> DataFrame:
+    """HistoryView.post (se/history.py:56-66): del_all (ids=None) or
+    per-id deletes — only the requesting user's rows."""
+    mine = F.col("user") == user
+    if ids is None:
+        return history.filter(~mine)
+    return history.filter(~(mine & F.col("hist_id").isin([int(i) for i in ids])))

@@ -242,3 +242,54 @@ def test_plugin_rowcount_change_is_an_error(spark):
     with pytest.raises(Exception):
         # single partition so one batch holds BOTH text/* rows
         apply_mime_plugins(_docs_df(spark).coalesce(1), [plug]).collect()
+
+
+# --- search history (se/models.py:443-497 + se/history.py:30-66) ------------
+
+
+def test_search_history_save_list_delete(spark):
+    from datetime import datetime
+
+    from sosse_spark.api import history_delete, history_page, save_history
+
+    t = datetime(2024, 1, 1)
+    h = save_history(spark, None, "alice", {"q": "cats"}, [], t)
+    assert h.count() == 1
+
+    # fv values join the display query; params sort by key; fc/ft/ff kept
+    h = save_history(
+        spark, h, "alice",
+        {"q": "dogs", "fv1": "big", "ff1": "title", "fo1": "contain", "ft1": "inc",
+         "junk": "dropped"},
+        [], datetime(2024, 1, 2),
+    )
+    rows = {r["query"]: r for r in h.collect()}
+    assert "dogs (big)" in rows
+    assert "junk" not in rows["dogs (big)"]["querystring"]
+
+    # consecutive duplicate (same querystring + tags) is a no-op
+    n0 = h.count()
+    h = save_history(
+        spark, h, "alice",
+        {"q": "dogs", "fv1": "big", "ff1": "title", "fo1": "contain", "ft1": "inc"},
+        [], datetime(2024, 1, 3),
+    )
+    assert h.count() == n0
+
+    # empty search is a no-op; query defaults to the fv values when q empty
+    assert save_history(spark, h, "alice", {}, [], t).count() == n0
+    h = save_history(spark, h, "alice", {"fv1": "solo", "ft1": "inc"}, [], datetime(2024, 1, 4))
+    assert h.orderBy(F.col("hist_id").desc()).limit(1).collect()[0]["query"] == "solo"
+
+    # per-user isolation + newest-first pagination
+    h = save_history(spark, h, "bob", {"q": "fish"}, [], datetime(2024, 1, 5))
+    page = history_page(h, "alice", page=1, page_size=2).collect()
+    assert [r["query"] for r in page] == ["solo", "dogs (big)"]
+    assert all(r["user"] == "alice" for r in page)
+
+    # delete by id then delete-all — bob's rows untouched
+    h2 = history_delete(h, "alice", ids=[page[0]["hist_id"]])
+    assert h2.filter("user = 'alice'").count() == h.filter("user = 'alice'").count() - 1
+    h3 = history_delete(h2, "alice")
+    assert h3.filter("user = 'alice'").count() == 0
+    assert h3.filter("user = 'bob'").count() == 1
