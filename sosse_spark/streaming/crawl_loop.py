@@ -963,6 +963,79 @@ class CrawlEngine:
         self.frontier.commit(self.spark, merged, self.round_no(), changed_buckets=buckets)
         updated.unpersist()
 
+    def move_to_collection(
+        self,
+        urls: list[str],
+        src_collection_id: int,
+        dst_collection_id: int,
+        conflict: str = "skip",
+    ) -> dict:
+        """Bulk collection move (MoveToCollectionView.form_valid,
+        se/move_to_collection.py:84-158): selected docs in the source
+        collection change collection_id; a (url, dst) conflict resolves
+        per `conflict` ∈ skip | overwrite (existing dst row deleted,
+        source moved) | delete_source.  Frontier-only MERGE — the bloom
+        is url-keyed, so membership identity stays correct: moved/
+        removed rows leave superset bits, and (url, collection) checks
+        fall through to the exact anti-join.  Returns the reference's
+        counters."""
+        if conflict not in ("skip", "overwrite", "delete_source"):
+            raise ValueError(f"unknown conflict resolution: {conflict}")
+        from sosse_spark.functions.urlnorm import sanitize_url
+
+        self._repair()
+        frontier = self._with_schema_defaults(self.frontier.read(self.spark))
+        empty = {"moved": 0, "skipped": 0, "overwritten": 0, "deleted": 0}
+        if frontier is None:
+            return empty
+        targets = [sanitize_url(u) for u in urls]
+        sel = frontier.filter(
+            F.col("url").isin(targets)
+            & (F.col("collection_id") == src_collection_id)
+        ).cache()
+        conflicts = (
+            frontier.filter(F.col("collection_id") == dst_collection_id)
+            .join(sel.select("url").distinct(), "url", "left_semi")
+            .cache()
+        )
+        conflict_urls = conflicts.select("url").distinct()
+        if conflict == "skip":
+            to_move = sel.join(conflict_urls, "url", "left_anti")
+            to_remove = None
+            counts = {"skipped": conflict_urls.count(), "overwritten": 0, "deleted": 0}
+        elif conflict == "overwrite":
+            to_move = sel
+            to_remove = conflicts  # existing dst rows deleted first
+            counts = {"skipped": 0, "overwritten": conflicts.count(), "deleted": 0}
+        else:  # delete_source
+            to_move = sel.join(conflict_urls, "url", "left_anti")
+            to_remove = sel.join(conflict_urls, "url", "left_semi")
+            counts = {"skipped": 0, "overwritten": 0, "deleted": to_remove.count()}
+
+        moved = self._finalize_rows(
+            to_move.withColumn("collection_id", F.lit(dst_collection_id))
+        ).cache()
+        counts["moved"] = moved.count()
+        buckets = self._touched_buckets(sel, conflicts)
+        if not buckets:
+            for df in (sel, conflicts, moved):
+                df.unpersist()
+            return {**empty, **counts}
+        # drop only the MOVED rows' old keys (skipped rows stay put!)
+        # plus any conflict-removed keys, then insert the moved rows
+        # under their new collection
+        drop_keys = to_move.select("url", "collection_id")
+        if to_remove is not None:
+            drop_keys = drop_keys.unionByName(to_remove.select("url", "collection_id"))
+        sliced = self._changed_bucket_slice(frontier, buckets).join(
+            drop_keys.distinct(), ["url", "collection_id"], "left_anti"
+        )
+        merged = merge_frontier(sliced, None, moved)
+        self.frontier.commit(self.spark, merged, self.round_no(), changed_buckets=buckets)
+        for df in (sel, conflicts, moved):
+            df.unpersist()
+        return counts
+
     def widen_scope(self, urls: list[str], t: datetime, manual: bool = True) -> None:
         """F32 bulk add-to-queue with scope widening (se/add_to_queue.py:
         59-89): append '^https?://{host}/.*' for each URL's host to the
