@@ -86,6 +86,7 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> dict[str, float]:
         "q1_fts_or",
         "p12_cache_gate",
         "p14_content_filename",
+        "cookie_match",
         "text_langid",
         "text_quality",
         "text_fingerprint",

@@ -257,16 +257,26 @@ def save_history(
 
     next_id = 0
     if history is not None:
-        last = (
-            history.filter(F.col("user") == user)
-            .orderBy(F.col("date").desc(), F.col("hist_id").desc())
-            .limit(1)
-            .collect()
-        )
-        if last and last[0]["querystring"] == qs and (sorted(last[0]["tags"] or [])) == tags:
+        # ONE aggregation job: global max id + the user's latest entry
+        # (max_by over (is_mine, date, id) — a mine row, if any exists,
+        # always outranks others; the user check below rejects the
+        # fallback winner when the user has no rows)
+        agg = history.agg(
+            F.max("hist_id").alias("top"),
+            F.max_by(
+                F.struct("user", "querystring", "tags"),
+                F.struct((F.col("user") == user).alias("m"), "date", "hist_id"),
+            ).alias("last"),
+        ).collect()[0]
+        last = agg["last"]
+        if (
+            last is not None
+            and last["user"] == user
+            and last["querystring"] == qs
+            and sorted(last["tags"] or []) == tags
+        ):
             return history  # consecutive-duplicate dedup
-        top = history.agg(F.max("hist_id")).collect()[0][0]
-        next_id = (top if top is not None else -1) + 1
+        next_id = (agg["top"] if agg["top"] is not None else -1) + 1
 
     row = spark.createDataFrame(
         [(next_id, user, q, qs, tags, t)], _HISTORY_SCHEMA

@@ -47,6 +47,7 @@ __all__ = [
     "match_cookies",
     "cookie_header",
     "upsert_cookies",
+    "stale_cookie_keys",
     "sync_delete_missing",
     "import_netscape_cookies",
 ]
@@ -227,10 +228,14 @@ def upsert_cookies(jar: DataFrame | None, validated: DataFrame, now_col: Column)
     # ONE max over a struct of all non-key fields: per-column max_by with
     # a tied ordering key would break ties per column independently
     # (partition-order-dependent blend of two source rows); the struct
-    # max is a deterministic total order over the whole row
+    # max is a deterministic total order over the whole row.  expires
+    # and value lead the struct so the ordering stays latest-expiry-
+    # then-value first (schema order would compare domain_cc first and
+    # let a stale Domain=-attributed row beat a host-only re-set).
+    ordered = ["expires", "value"] + [c for c in nonkey if c not in ("expires", "value")]
     new = (
         validated.groupBy(*key)
-        .agg(F.max(F.struct(*nonkey)).alias("_w"))
+        .agg(F.max(F.struct(*ordered)).alias("_w"))
         .select(*key, *[F.col(f"_w.{c}").alias(c) for c in nonkey])
         .select(*cols)
     )
@@ -278,16 +283,21 @@ def import_netscape_cookies(lines: DataFrame) -> DataFrame:
     )
 
 
-def sync_delete_missing(jar: DataFrame, set_events: DataFrame, now_col: Column) -> DataFrame:
-    """Session-sync deletion (se/cookie.py:155-161): for each URL that
-    reported its response jar, cookies matching that URL whose names
-    were NOT re-set are removed.  `set_events` = (url, name) rows of
-    every cookie the response carried."""
-    key = ["domain", "path", "name"]
+def stale_cookie_keys(jar: DataFrame, set_events: DataFrame, now_col: Column) -> DataFrame:
+    """(domain, path, name) keys of jar cookies matching a cookie-
+    setting response's URL whose names were NOT re-set — the deletion
+    set of the session sync (se/cookie.py:155-161).  `set_events` =
+    (url, name) rows of every cookie the response carried."""
     matched = match_cookies(jar, set_events.select("url").distinct(), now_col)
-    stale = (
+    return (
         matched.join(set_events, ["url", "name"], "left_anti")
-        .select(*key)
+        .select("domain", "path", "name")
         .distinct()
     )
-    return jar.join(stale, key, "left_anti")
+
+
+def sync_delete_missing(jar: DataFrame, set_events: DataFrame, now_col: Column) -> DataFrame:
+    """Session-sync deletion (se/cookie.py:155-161): drop the
+    stale_cookie_keys rows from the jar."""
+    key = ["domain", "path", "name"]
+    return jar.join(stale_cookie_keys(jar, set_events, now_col), key, "left_anti")

@@ -255,8 +255,12 @@ def fetch_sim(url: str, cfg: WebConfig, cookie: Optional[str] = None) -> FetchRe
     host = host_no(final_i, cfg)
     doc_path = _path_of(final_i, cfg)
     if doc_path.startswith("/private/") and auth_required(host, cfg):
+        # exact name=value compare per header entry — a substring test
+        # would false-grant when one host's token prefixes another's
+        # (tok1 in tok11)
         granted = cookie is not None and (
-            f"{AUTH_COOKIE}={session_cookie_value(host)}" in cookie
+            f"{AUTH_COOKIE}={session_cookie_value(host)}"
+            in [p.strip() for p in cookie.split(";")]
         )
         if not granted:
             if redirect_count + 1 > cfg.max_redirects:

@@ -39,6 +39,7 @@ from sosse_spark.operators.cookies import (
     cookie_header,
     match_cookies,
     normalize_set_cookies,
+    stale_cookie_keys,
     upsert_cookies,
 )
 from sosse_spark.operators.fetch import (
@@ -796,8 +797,15 @@ class CrawlEngine:
 
         # --- cookie jar upsert (Cookie.set, se/cookie.py:106-162) --------
         # cookies the auth kernel captured this round; committed before
-        # the frontier commit (idempotent — see the table's init note)
-        if login_re and self.policy.auth_fields:
+        # the frontier commit (idempotent — see the table's init note).
+        # Guarded on actual set-cookie events: steady-state recrawl
+        # rounds (cookie already persisted, login wall skipped) must not
+        # pay the jar-scan sync plan.
+        if (
+            login_re
+            and self.policy.auth_fields
+            and joined.filter(F.size("f.set_cookies") > 0).limit(1).count()
+        ):
             raw_cookies = (
                 joined.filter(F.size("f.set_cookies") > 0)
                 .select(F.col("url"), F.explode("f.set_cookies").alias("c"))
@@ -821,12 +829,8 @@ class CrawlEngine:
             # NOT re-set are dropped (server-side logout/invalidation)
             stale = None
             if jar is not None:
-                set_events = raw_cookies.select("url", "name")
                 stale = SnapshotTable.with_bucket(
-                    match_cookies(jar, set_events.select("url").distinct(), now_col)
-                    .join(set_events, ["url", "name"], "left_anti")
-                    .select("domain", "path", "name")
-                    .distinct(),
+                    stale_cookie_keys(jar, raw_cookies.select("url", "name"), now_col),
                     "domain",
                     self.n_buckets,
                 ).cache()

@@ -247,3 +247,15 @@ def test_import_netscape_cookies(spark):
     assert got["k"]["path"] == "/app"
     assert got["hk"]["http_only"] is True
     assert got["hk"]["domain"] == "secure.org"
+
+
+def test_upsert_intra_round_tie_prefers_latest_expiry(spark):
+    # two same-key rows in one round: the later-expiring one wins
+    # (struct ordering leads with expires, then value)
+    a = _jar(spark, [{"domain": "t.com", "name": "k", "value": "a",
+                      "expires": datetime(2026, 1, 1)}])
+    b = _jar(spark, [{"domain": "t.com", "name": "k", "value": "b",
+                      "expires": datetime(2024, 6, 1)}])
+    merged = upsert_cookies(None, a.unionByName(b), _now()).collect()
+    assert len(merged) == 1
+    assert merged[0]["value"] == "a"

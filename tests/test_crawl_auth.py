@@ -117,3 +117,14 @@ def test_wrong_credentials_capture_auth_error(spark, tmp_root):
     row = eng.frontier.read(spark).filter(f"url = '{url}'").collect()[0]
     assert row["error"] is not None and row["error"].startswith("AuthElemFailed")
     assert eng.cookies.read(spark) is None
+
+
+def test_session_cookie_exact_token_match():
+    """tok11 must not grant host 1's wall (substring vs exact compare)."""
+    from sosse_spark.sources.webgraph import fetch_sim
+
+    url = url_of(PRIVATE_I, WEB)  # private doc on auth host 1
+    assert fetch_sim(url, WEB, cookie="sosse_session=tok11").is_login_page
+    assert fetch_sim(url, WEB, cookie=None).is_login_page
+    ok = fetch_sim(url, WEB, cookie="other=x; sosse_session=tok1")
+    assert not ok.is_login_page and ok.doc_index == PRIVATE_I
