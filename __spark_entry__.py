@@ -997,6 +997,38 @@ def q_cookie_set_validate(spark, sf_dir):
     )
 
 
+def q_q1_fts_bm25(spark, sf_dir):
+    """Okapi BM25 over the inverted index (fts.py fts_bm25_rank): exact
+    DuckDB oracle recomputes idf/tf normalization with the identical
+    sorted-token summation order, so the rounded doubles match."""
+    from sosse_spark.operators.fts import fts_bm25_rank, fts_build_index
+
+    idx = fts_build_index(_docs(spark, sf_dir), "doc_id")
+    out = fts_bm25_rank(idx, "spark or vector")
+    return out.select(F.col("_id").alias("doc_id"), "bm25")
+
+
+def q_dedup_paragraphs(spark, sf_dir):
+    """C4-style corpus-level paragraph dedup (dedup.py
+    dedup_paragraphs): multi-paragraph docs synthesized by appending a
+    corpus-wide header paragraph and a doc_id%7 footer to each text —
+    first occurrence (lowest (id, pos)) survives, docs reassemble."""
+    from sosse_spark.operators.dedup import dedup_paragraphs
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\ncommon header paragraph\nfooter "),
+            (F.col("doc_id") % 7).cast("string"),
+        ).alias("text"),
+    )
+    out = dedup_paragraphs(d, "doc_id", "text")
+    return out.select(
+        F.col("_id").alias("doc_id"), "text", "kept_paras", "removed_paras"
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -1069,6 +1101,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "img_decode_check": q_img_decode_check,
         "cookie_match": q_cookie_match,
         "cookie_set_validate": q_cookie_set_validate,
+        "q1_fts_bm25": q_q1_fts_bm25,
+        "dedup_paragraphs": q_dedup_paragraphs,
     }
 
 
@@ -1559,6 +1593,60 @@ def oracle_sql() -> dict[str, str]:
               FROM f
               WHERE list_contains(ftoks, 'spark') OR list_contains(ftoks, 'vector'))
             WHERE rank > 0.01""",
+        "q1_fts_bm25": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+              FROM documents),
+            f AS (
+              SELECT doc_id, len(toks) AS doc_len,
+                     list_transform(toks, x ->
+                       regexp_replace(regexp_replace(regexp_replace(x, 'sses$', 'ss'), 'ies$', 'i'), '([^s])s$', '\\1')) AS ftoks
+              FROM t),
+            postings AS (
+              SELECT doc_id, doc_len, u.token, count(*) AS tf
+              FROM f, LATERAL unnest(ftoks) AS u(token)
+              GROUP BY 1, 2, 3),
+            stats AS (
+              SELECT CAST(count(*) AS DOUBLE) AS n,
+                     CAST(sum(doc_len) AS DOUBLE) / count(*) AS avgdl
+              FROM f),
+            hits AS (SELECT * FROM postings WHERE token IN ('spark', 'vector')),
+            dfreq AS (SELECT token, count(DISTINCT doc_id) AS df FROM hits GROUP BY 1)
+            SELECT h.doc_id,
+                   round(sum(
+                     ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5))
+                       * h.tf * 2.2
+                       / (h.tf + 1.2 * (0.25 + 0.75 * h.doc_len / s.avgdl))
+                     ORDER BY h.token), 6) AS bm25
+            FROM hits h JOIN dfreq d USING (token) CROSS JOIN stats s
+            GROUP BY 1""",
+        "dedup_paragraphs": """
+            WITH d AS (
+              SELECT doc_id,
+                     text || chr(10) || 'common header paragraph' || chr(10)
+                          || 'footer ' || CAST(doc_id % 7 AS VARCHAR) AS text
+              FROM documents),
+            p0 AS (
+              SELECT doc_id, unnest(parts) AS para,
+                     unnest(generate_series(1, len(parts))) AS pos
+              FROM (SELECT doc_id, string_split(text, chr(10)) AS parts FROM d)),
+            p AS (SELECT * FROM p0 WHERE trim(para) <> ''),
+            r AS (
+              SELECT doc_id, para, pos,
+                     row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+              FROM p),
+            tot AS (SELECT doc_id, count(*) AS total FROM p GROUP BY 1),
+            kept AS (
+              SELECT doc_id,
+                     string_agg(para, chr(10) ORDER BY pos) AS text,
+                     count(*) AS kept_paras
+              FROM r WHERE rn = 1 GROUP BY 1)
+            SELECT t.doc_id,
+                   coalesce(k.text, '') AS text,
+                   CAST(coalesce(k.kept_paras, 0) AS INT) AS kept_paras,
+                   CAST(t.total - coalesce(k.kept_paras, 0) AS INT) AS removed_paras
+            FROM tot t LEFT JOIN kept k USING (doc_id)""",
         "q1_fts_negation": """
             WITH t AS (
               SELECT doc_id, text,

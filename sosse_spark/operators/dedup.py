@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
+    "dedup_paragraphs",
     "exact_dedup",
     "shingles",
     "minhash_signature",
@@ -489,4 +490,53 @@ def ngram_jaccard_pairs(
     )
     return pairs.filter(F.col("jaccard") >= threshold).select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def dedup_paragraphs(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", sep: str = "\n"
+) -> DataFrame:
+    """Corpus-level paragraph dedup (the C4 cleaning rule — Raffel et
+    al. 2020 §2.2's repeated-span removal at paragraph granularity):
+    every distinct non-blank paragraph keeps only its FIRST occurrence
+    (lowest (doc id, position)); each document reassembles from its
+    surviving paragraphs in original order.
+
+    Output: (_id, text, kept_paras, removed_paras) — text '' when every
+    paragraph lost, removed counts non-blank duplicates only.
+
+    Scale shape: the winner-per-paragraph aggregation shuffles a
+    16-byte md5 + (id, pos) — never the paragraph text (same digest
+    treatment as exact_dedup); survivors resolve via a thin equi-join
+    on (md5, id, pos); paragraph text rides only the final per-doc
+    reassembly, with no amplification."""
+    paras = (
+        docs.select(
+            F.col(id_col).alias("_id"),
+            F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+        )
+        .filter(F.trim("para") != "")
+        .withColumn("md5", F.md5("para"))
+    )
+    winners = paras.groupBy("md5").agg(F.min(F.struct("_id", "pos")).alias("w"))
+    keys = winners.select("md5", F.col("w._id").alias("_id"), F.col("w.pos").alias("pos"))
+    kept = paras.join(keys, ["md5", "_id", "pos"], "left_semi")
+    per_doc_total = paras.groupBy("_id").agg(F.count("*").alias("_total"))
+    reassembled = kept.groupBy("_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))), lambda x: x["para"]
+            ),
+            sep,
+        ).alias("text"),
+        F.count("*").alias("kept_paras"),
+    )
+    return (
+        per_doc_total.join(reassembled, "_id", "left")
+        .select(
+            "_id",
+            F.coalesce("text", F.lit("")).alias("text"),
+            F.coalesce("kept_paras", F.lit(0)).cast("int").alias("kept_paras"),
+            (F.col("_total") - F.coalesce("kept_paras", F.lit(0))).cast("int").alias("removed_paras"),
+        )
     )

@@ -41,6 +41,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
+    "fts_bm25_rank",
     "WebsearchGroup",
     "parse_websearch",
     "fold_suffix",
@@ -268,3 +269,66 @@ def fts_query_index(
         doc_lens = index.select("_id").distinct()
         out = matched_ids.join(doc_lens, "_id").withColumn("rank", F.lit(1.0))
     return out.filter(F.col("rank") > rank_floor)
+
+
+def fts_bm25_rank(
+    index: DataFrame,
+    query: str,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 over an fts_build_index postings table (Robertson &
+    Walker 1994) — the ranking upgrade over the TF rank that PG's
+    ts_rank approximates.  OR semantics across the query's positive
+    folded terms: every doc holding >= 1 term scores
+
+        sum_t  idf_t * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)),
+        idf_t = ln(1 + (N - df_t + 0.5)/(df_t + 0.5))
+
+    Output: (_id, bm25 double rounded 6), descending relevance.
+
+    Scale shape: corpus stats (N, avgdl) are ONE bounded aggregation
+    (exact long sum / count, identical across engines); postings filter
+    to the query's terms, df is a per-term count-distinct broadcast back
+    onto the hits; the per-doc sum folds contributions in sorted-token
+    order via a staged array so double addition order — and therefore
+    the rounded score — is deterministic and engine-reproducible."""
+    groups = parse_websearch(query)
+    terms = sorted({fold_suffix(t) for g in groups for t in g.terms})
+    if not terms:
+        return index.select("_id", F.lit(0.0).alias("bm25")).limit(0)
+    stats = (
+        index.select("_id", "doc_len")
+        .distinct()
+        .agg(F.count("*").alias("n"), F.sum("doc_len").alias("s"))
+        .collect()[0]
+    )
+    n = stats["n"] or 0
+    avgdl = (stats["s"] / n) if n else 1.0
+    hits = index.filter(F.col("token").isin(terms))
+    df_t = hits.groupBy("token").agg(F.count_distinct("_id").alias("df"))
+    idf = F.log(
+        F.lit(1.0) + (F.lit(float(n)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    contrib = (
+        idf
+        * F.col("tf")
+        * F.lit(k1 + 1.0)
+        / (
+            F.col("tf")
+            + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("doc_len") / F.lit(float(avgdl)))
+        )
+    )
+    scored = hits.join(F.broadcast(df_t), "token").select(
+        "_id", F.struct(F.col("token"), contrib.alias("c")).alias("_tc")
+    )
+    return scored.groupBy("_id").agg(
+        F.round(
+            F.aggregate(
+                F.array_sort(F.collect_list("_tc")),
+                F.lit(0.0),
+                lambda acc, x: acc + x["c"],
+            ),
+            6,
+        ).alias("bm25")
+    )

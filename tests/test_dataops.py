@@ -441,3 +441,50 @@ def test_image_transcode_roundtrip(spark):
         a = decode_image(orig[r["image_id"]], "png")
         b = decode_image(bytes(r["bytes"]), "bmp")
         assert (a == b).all()
+
+
+def test_bm25_rank_semantics(spark):
+    """BM25: rarer terms weigh more; higher tf scores higher at equal
+    length; longer docs are normalized down at equal tf."""
+    from sosse_spark.operators.fts import fts_bm25_rank, fts_build_index
+
+    docs = spark.createDataFrame(
+        [
+            (1, "rare common filler filler"),
+            (2, "common filler filler filler"),
+            (3, "common common filler filler"),
+            (4, "common filler filler filler filler filler filler filler"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = fts_build_index(docs, "doc_id")
+    out = {r["_id"]: r["bm25"] for r in fts_bm25_rank(idx, "rare common").collect()}
+    assert set(out) == {1, 2, 3, 4}
+    # doc 1 holds the rare term: top score
+    assert out[1] == max(out.values())
+    # same length, higher tf of 'common' -> 3 beats 2
+    assert out[3] > out[2]
+    # longer doc with same tf -> normalized below the short one
+    assert out[4] < out[2]
+
+
+def test_dedup_paragraphs_first_occurrence_wins(spark):
+    from sosse_spark.operators.dedup import dedup_paragraphs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha\nshared"),
+            (2, "shared\nbeta"),
+            (3, "shared\n \nshared"),
+            (4, "   "),  # blank-only doc: no non-blank paragraphs
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["_id"]: r for r in dedup_paragraphs(docs, "doc_id", "text").collect()}
+    assert out[1]["text"] == "alpha\nshared" and out[1]["removed_paras"] == 0
+    # doc 2 loses 'shared' (doc 1 owns it) but keeps beta
+    assert out[2]["text"] == "beta" and out[2]["removed_paras"] == 1
+    # doc 3: both copies are duplicates of doc 1's
+    assert out[3]["text"] == "" and out[3]["kept_paras"] == 0 and out[3]["removed_paras"] == 2
+    # blank-only docs carry no paragraphs and drop out
+    assert 4 not in out
