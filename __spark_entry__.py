@@ -1608,9 +1608,11 @@ def oracle_sql() -> dict[str, str]:
               FROM f, LATERAL unnest(ftoks) AS u(token)
               GROUP BY 1, 2, 3),
             stats AS (
+              -- the INDEXED corpus: docs with >= 1 token (zero-token
+              -- docs have no postings and are invisible to the operator)
               SELECT CAST(count(*) AS DOUBLE) AS n,
                      CAST(sum(doc_len) AS DOUBLE) / count(*) AS avgdl
-              FROM f),
+              FROM (SELECT DISTINCT doc_id, doc_len FROM postings)),
             hits AS (SELECT * FROM postings WHERE token IN ('spark', 'vector')),
             dfreq AS (SELECT token, count(DISTINCT doc_id) AS df FROM hits GROUP BY 1)
             SELECT h.doc_id,

@@ -505,22 +505,26 @@ def dedup_paragraphs(
     Output: (_id, text, kept_paras, removed_paras) — text '' when every
     paragraph lost, removed counts non-blank duplicates only.
 
-    Scale shape: the winner-per-paragraph aggregation shuffles a
-    16-byte md5 + (id, pos) — never the paragraph text (same digest
-    treatment as exact_dedup); survivors resolve via a thin equi-join
-    on (md5, id, pos); paragraph text rides only the final per-doc
-    reassembly, with no amplification."""
+    Scale shape: ONE shuffle of the paragraph rows keyed by md5 digest
+    (16 bytes — grouping on the digest, not the text, exactly like
+    exact_dedup) with a row_number window picking the (id, pos)-first
+    winner, then one per-doc reassembly shuffle.  Blank-only docs have
+    no paragraph rows and drop out."""
+    from pyspark.sql import Window
+
     paras = (
         docs.select(
             F.col(id_col).alias("_id"),
-            F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+            # \Q...\E: sep is a LITERAL separator, not a regex
+            F.posexplode(F.split(F.col(text_col), "\\Q" + sep + "\\E")).alias("pos", "para"),
         )
         .filter(F.trim("para") != "")
         .withColumn("md5", F.md5("para"))
     )
-    winners = paras.groupBy("md5").agg(F.min(F.struct("_id", "pos")).alias("w"))
-    keys = winners.select("md5", F.col("w._id").alias("_id"), F.col("w.pos").alias("pos"))
-    kept = paras.join(keys, ["md5", "_id", "pos"], "left_semi")
+    w = Window.partitionBy("md5").orderBy("_id", "pos")
+    kept = (
+        paras.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    )
     per_doc_total = paras.groupBy("_id").agg(F.count("*").alias("_total"))
     reassembled = kept.groupBy("_id").agg(
         F.array_join(

@@ -75,6 +75,13 @@ def fold_suffix(term: str) -> str:
     return term
 
 
+def _positive_terms(groups: list[WebsearchGroup]) -> list[str]:
+    """Sorted distinct folded positive terms across all groups — the
+    single source of truth for fts_match_rank / fts_query_index /
+    fts_bm25_rank term extraction."""
+    return sorted({fold_suffix(t) for g in groups for t in g.terms})
+
+
 def parse_websearch(query: str) -> list[WebsearchGroup]:
     """websearch_to_tsquery grammar → OR-list of AND-groups.
 
@@ -171,7 +178,7 @@ def fts_match_rank(
     else:
         cond = F.lit(False)
 
-    pos_terms = sorted({fold_suffix(t) for g in groups for t in g.terms})
+    pos_terms = _positive_terms(groups)
     if pos_terms:
         term_arr = F.array(*[F.lit(t) for t in pos_terms])
         matched = F.size(F.filter("_ftoks", lambda x: F.array_contains(term_arr, x)))
@@ -253,7 +260,7 @@ def fts_query_index(
         matched_ids = hit if matched_ids is None else matched_ids.unionByName(hit)
     matched_ids = matched_ids.distinct()
 
-    pos_terms = sorted({fold_suffix(t) for g in groups for t in g.terms})
+    pos_terms = _positive_terms(groups)
     if pos_terms:
         scores = (
             index.filter(F.col("token").isin(pos_terms))
@@ -287,28 +294,33 @@ def fts_bm25_rank(
 
     Output: (_id, bm25 double rounded 6), descending relevance.
 
-    Scale shape: corpus stats (N, avgdl) are ONE bounded aggregation
-    (exact long sum / count, identical across engines); postings filter
-    to the query's terms, df is a per-term count-distinct broadcast back
-    onto the hits; the per-doc sum folds contributions in sorted-token
-    order via a staged array so double addition order — and therefore
-    the rounded score — is deterministic and engine-reproducible."""
+    Corpus stats (N, avgdl) cover the INDEXED corpus — docs with >= 1
+    token (the operator's whole visible world); the stats/df frames are
+    1-row / terms-row aggregates broadcast into the plan, so the whole
+    operator stays lazy (no driver collect).  Negated terms anti-join
+    their postings out of the result; phrases need positions the index
+    lacks — ValueError, matching fts_query_index's policy.  The per-doc
+    sum folds contributions in sorted-token order via a staged array so
+    double addition order — and therefore the rounded score — is
+    deterministic and engine-reproducible."""
     groups = parse_websearch(query)
-    terms = sorted({fold_suffix(t) for g in groups for t in g.terms})
+    if any(g.phrases or g.neg_phrases for g in groups):
+        raise ValueError("phrase queries need fts_match_rank (index has no positions)")
+    terms = _positive_terms(groups)
     if not terms:
         return index.select("_id", F.lit(0.0).alias("bm25")).limit(0)
     stats = (
         index.select("_id", "doc_len")
         .distinct()
-        .agg(F.count("*").alias("n"), F.sum("doc_len").alias("s"))
-        .collect()[0]
+        .agg(
+            F.count("*").cast("double").alias("_n"),
+            (F.sum("doc_len") / F.count("*")).alias("_avgdl"),
+        )
     )
-    n = stats["n"] or 0
-    avgdl = (stats["s"] / n) if n else 1.0
     hits = index.filter(F.col("token").isin(terms))
     df_t = hits.groupBy("token").agg(F.count_distinct("_id").alias("df"))
     idf = F.log(
-        F.lit(1.0) + (F.lit(float(n)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        F.lit(1.0) + (F.col("_n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
     )
     contrib = (
         idf
@@ -316,13 +328,15 @@ def fts_bm25_rank(
         * F.lit(k1 + 1.0)
         / (
             F.col("tf")
-            + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("doc_len") / F.lit(float(avgdl)))
+            + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("doc_len") / F.col("_avgdl"))
         )
     )
-    scored = hits.join(F.broadcast(df_t), "token").select(
-        "_id", F.struct(F.col("token"), contrib.alias("c")).alias("_tc")
+    scored = (
+        hits.join(F.broadcast(df_t), "token")
+        .crossJoin(F.broadcast(stats))
+        .select("_id", F.struct(F.col("token"), contrib.alias("c")).alias("_tc"))
     )
-    return scored.groupBy("_id").agg(
+    out = scored.groupBy("_id").agg(
         F.round(
             F.aggregate(
                 F.array_sort(F.collect_list("_tc")),
@@ -332,3 +346,8 @@ def fts_bm25_rank(
             6,
         ).alias("bm25")
     )
+    neg = sorted({fold_suffix(t) for g in groups for t in g.neg_terms})
+    if neg:
+        neg_posts = index.filter(F.col("token").isin(neg)).select("_id").distinct()
+        out = out.join(neg_posts, "_id", "left_anti")
+    return out

@@ -488,3 +488,29 @@ def test_dedup_paragraphs_first_occurrence_wins(spark):
     assert out[3]["text"] == "" and out[3]["kept_paras"] == 0 and out[3]["removed_paras"] == 2
     # blank-only docs carry no paragraphs and drop out
     assert 4 not in out
+
+
+def test_bm25_negation_and_phrase_policy(spark):
+    import pytest as _pytest
+
+    from sosse_spark.operators.fts import fts_bm25_rank, fts_build_index
+
+    docs = spark.createDataFrame(
+        [(1, "spark java"), (2, "spark scala")], "doc_id long, text string"
+    )
+    idx = fts_build_index(docs, "doc_id")
+    got = {r["_id"] for r in fts_bm25_rank(idx, "spark -java").collect()}
+    assert got == {2}  # negated term anti-joined, not silently ignored
+    with _pytest.raises(ValueError):
+        fts_bm25_rank(idx, '"exact phrase"')
+
+
+def test_dedup_paragraphs_literal_separator(spark):
+    from sosse_spark.operators.dedup import dedup_paragraphs
+
+    docs = spark.createDataFrame(
+        [(1, "alpha|shared"), (2, "shared|beta")], "doc_id long, text string"
+    )
+    out = {r["_id"]: r for r in dedup_paragraphs(docs, "doc_id", "text", sep="|").collect()}
+    assert out[1]["text"] == "alpha|shared"  # '|' split literally, not as regex
+    assert out[2]["text"] == "beta" and out[2]["removed_paras"] == 1
