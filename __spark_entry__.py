@@ -1029,6 +1029,39 @@ def q_dedup_paragraphs(spark, sf_dir):
     )
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (dedup.py decontaminate): the eval set
+    is synthesized as the first-12-token prefix of every 97th document,
+    so those docs (and their exact dups) collide on 8-grams."""
+    from sosse_spark.operators.dedup import decontaminate
+
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    bench = d.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("bench_id"),
+        F.concat_ws(" ", F.slice(toks, 1, 12)).alias("text"),
+    )
+    out = decontaminate(d, bench, "doc_id", "text", "bench_id", "text", k=8)
+    return out.select(
+        F.col("_id").alias("doc_id"), "contaminated", "matches", "first_gram"
+    )
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic stratified sampling (sampling.py): strata from
+    doc_id%4, target fractions (1.0, 0.5, 0.25, 0.0) — the md5-based
+    keep rule reproduces row-for-row in DuckDB."""
+    from sosse_spark.operators.sampling import stratified_sample
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.concat(F.lit("s"), (F.col("doc_id") % 4).cast("string")).alias("stratum")
+    )
+    out = stratified_sample(
+        d, "stratum", {"s0": 1.0, "s1": 0.5, "s2": 0.25, "s3": 0.0}, "doc_id"
+    )
+    return out.select("doc_id", "stratum")
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -1103,6 +1136,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cookie_set_validate": q_cookie_set_validate,
         "q1_fts_bm25": q_q1_fts_bm25,
         "dedup_paragraphs": q_dedup_paragraphs,
+        "decontaminate": q_decontaminate,
+        "sample_stratified": q_sample_stratified,
     }
 
 
@@ -1649,6 +1684,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(k.kept_paras, 0) AS INT) AS kept_paras,
                    CAST(t.total - coalesce(k.kept_paras, 0) AS INT) AS removed_paras
             FROM tot t LEFT JOIN kept k USING (doc_id)""",
+        "decontaminate": """
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+              FROM documents),
+            dg AS (
+              SELECT DISTINCT doc_id AS _id,
+                     unnest(list_transform(generate_series(1, greatest(len(t) - 7, 1)),
+                                           i -> array_to_string(t[i:i+7], ' '))) AS gram
+              FROM toks),
+            bt AS (
+              SELECT doc_id AS bench_id,
+                     string_split_regex(lower(trim(array_to_string(t[1:12], ' '))), '\\s+') AS t
+              FROM toks WHERE doc_id % 97 = 0),
+            bg AS (
+              SELECT DISTINCT bench_id,
+                     unnest(list_transform(generate_series(1, greatest(len(t) - 7, 1)),
+                                           i -> array_to_string(t[i:i+7], ' '))) AS gram
+              FROM bt),
+            hits AS (
+              SELECT dg._id, count(DISTINCT bg.bench_id) AS matches,
+                     min(dg.gram) AS first_gram
+              FROM dg JOIN bg USING (gram) GROUP BY 1)
+            SELECT d.doc_id, h._id IS NOT NULL AS contaminated,
+                   CAST(coalesce(h.matches, 0) AS INT) AS matches, h.first_gram
+            FROM (SELECT DISTINCT doc_id FROM documents) d
+            LEFT JOIN hits h ON d.doc_id = h._id""",
+        "sample_stratified": """
+            SELECT doc_id, 's' || CAST(doc_id % 4 AS VARCHAR) AS stratum
+            FROM documents
+            WHERE CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE)
+                    / 4294967296.0
+                  < (CASE doc_id % 4 WHEN 0 THEN 1.0 WHEN 1 THEN 0.5
+                     WHEN 2 THEN 0.25 ELSE 0.0 END)""",
         "q1_fts_negation": """
             WITH t AS (
               SELECT doc_id, text,

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
+    "decontaminate",
     "dedup_paragraphs",
     "exact_dedup",
     "shingles",
@@ -543,4 +544,56 @@ def dedup_paragraphs(
             F.coalesce("kept_paras", F.lit(0)).cast("int").alias("kept_paras"),
             (F.col("_total") - F.coalesce("kept_paras", F.lit(0))).cast("int").alias("removed_paras"),
         )
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "bench_id",
+    bench_text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Training-set decontamination by word k-gram collision (the
+    benchmark-leakage rule of GPT-3 appendix C / PaLM-style n-gram
+    overlap checks): a training doc is CONTAMINATED when it shares any
+    word k-gram with any benchmark doc.  Documents shorter than k
+    tokens contribute their whole token sequence as one gram (the
+    shingles() short-doc rule, shared with MinHash).
+
+    Output: one row per training doc — (_id, contaminated,
+    matches int = distinct colliding benchmark docs, first_gram =
+    lexicographically-first colliding gram for auditability).
+
+    Scale shape: both sides explode to DISTINCT md5(gram) digests, so
+    the collision join shuffles 16-byte keys — never text; the
+    benchmark side (eval sets: thousands of docs) broadcasts; training
+    docs join their verdict back thin on _id."""
+    d_grams = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array_distinct(shingles(text_col, k))).alias("gram"),
+    ).withColumn("g_md5", F.md5("gram"))
+    b_grams = (
+        benchmark.select(
+            F.col(bench_id_col).alias("_bid"),
+            F.explode(F.array_distinct(shingles(bench_text_col, k))).alias("gram"),
+        )
+        .select("_bid", F.md5("gram").alias("g_md5"))
+        .distinct()
+    )
+    hits = (
+        d_grams.join(F.broadcast(b_grams), "g_md5")
+        .groupBy("_id")
+        .agg(
+            F.count_distinct("_bid").alias("matches"),
+            F.min("gram").alias("first_gram"),
+        )
+    )
+    return docs.select(F.col(id_col).alias("_id")).distinct().join(hits, "_id", "left").select(
+        "_id",
+        F.col("matches").isNotNull().alias("contaminated"),
+        F.coalesce("matches", F.lit(0)).cast("int").alias("matches"),
+        "first_gram",
     )

@@ -1,0 +1,49 @@
+"""Deterministic corpus sampling for training-data mix rebalancing.
+
+Large-scale dataset curation reweights sources/domains (the mixing-
+proportions step of corpus assembly à la The Pile / Dolma): each
+stratum keeps a target fraction of its rows.  RNG-based sampling
+(`DataFrame.sample`) is partition-order dependent and irreproducible
+across engines; here the keep/drop decision is a pure function of the
+row id — u(id) = int(first 8 hex chars of md5(id)) / 2^32 — so a rerun,
+a crash replay, or a different engine (the DuckDB oracle) selects the
+IDENTICAL rows.  md5 is the one hash both engines share (CLAUDE.md:
+xxhash64 does not exist in DuckDB).
+
+Whole-stage-codegen column algebra throughout — no UDF, no shuffle:
+sampling is a pure filter that pushes down to the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["deterministic_uniform", "stratified_sample"]
+
+
+def deterministic_uniform(id_col: Column) -> Column:
+    """u(id) ∈ [0, 1): first 32 md5 bits of the id's string form.
+    Uniform, stable, engine-reproducible."""
+    return (
+        F.conv(F.substring(F.md5(id_col.cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        .cast("double")
+        / F.lit(float(1 << 32))
+    )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Keep each row iff u(id) < fraction(stratum).  Strata absent from
+    `fractions` use `default_fraction` (0.0 = drop, mirroring
+    sampleBy's contract).  Output: the input columns, filtered."""
+    frac = F.lit(float(default_fraction))
+    for key, f in sorted(fractions.items()):
+        frac = F.when(F.col(strata_col) == key, F.lit(float(f))).otherwise(frac)
+    return docs.filter(deterministic_uniform(F.col(id_col)) < frac)

@@ -514,3 +514,44 @@ def test_dedup_paragraphs_literal_separator(spark):
     out = {r["_id"]: r for r in dedup_paragraphs(docs, "doc_id", "text", sep="|").collect()}
     assert out[1]["text"] == "alpha|shared"  # '|' split literally, not as regex
     assert out[2]["text"] == "beta" and out[2]["removed_paras"] == 1
+
+
+def test_decontaminate_flags_benchmark_overlap(spark):
+    from sosse_spark.operators.dedup import decontaminate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "completely unrelated text with no overlap whatsoever here now"),
+            (3, "short doc"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "quick brown fox jumps over the lazy dog"),  # 8-gram overlap w/ doc 1
+         (101, "short doc")],                                # whole-text gram w/ doc 3
+        "bench_id long, text string",
+    )
+    out = {r["_id"]: r for r in decontaminate(docs, bench, k=8).collect()}
+    assert out[1]["contaminated"] and out[1]["matches"] == 1
+    assert out[1]["first_gram"].startswith("quick brown fox")
+    assert not out[2]["contaminated"] and out[2]["matches"] == 0
+    assert out[3]["contaminated"]  # short docs compare whole-sequence
+
+
+def test_stratified_sample_deterministic_proportions(spark):
+    from sosse_spark.operators.sampling import stratified_sample
+
+    docs = spark.range(4000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), (F.col("id") % 2).cast("string")).alias("stratum"),
+    )
+    frac = {"s0": 0.5, "s1": 0.0}
+    a = stratified_sample(docs, "stratum", frac).collect()
+    b = stratified_sample(docs, "stratum", frac).collect()
+    assert sorted(r["doc_id"] for r in a) == sorted(r["doc_id"] for r in b)  # rerun-stable
+    kept = [r for r in a if r["stratum"] == "s0"]
+    assert not any(r["stratum"] == "s1" for r in a)
+    assert 0.42 * 2000 < len(kept) < 0.58 * 2000  # ~Binomial(2000, .5)
+    # unknown strata fall to default_fraction
+    assert stratified_sample(docs, "stratum", {}, default_fraction=1.0).count() == 4000
