@@ -23,7 +23,7 @@ and no filters → empty result (se/search.py:226-227).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sosse_spark.operators.search import (
@@ -300,3 +300,36 @@ def history_delete(history: DataFrame, user: str, ids: list[int] | None = None) 
     if ids is None:
         return history.filter(~mine)
     return history.filter(~(mine & F.col("hist_id").isin([int(i) for i in ids])))
+
+
+# ---------------------------------------------------------------------------
+# Admin import / descriptor shims
+# ---------------------------------------------------------------------------
+
+
+def parse_excluded_urls(text: str) -> list[str]:
+    """ExcludedUrlsImportView textarea parsing (se/excluded_urls_import.py
+    :43-60): one URL per line, blanks stripped; raises when empty.  Feed
+    the result to admit_links(excluded_exact=...) or, with the form's
+    starting_with flag, excluded_prefix (F10)."""
+    urls = [line.strip() for line in text.split("\n") if line.strip()]
+    if not urls:
+        raise ValueError("At least one URL must be provided")
+    return urls
+
+
+def opensearch_descriptor(base_url: str, short_name: str = "Sosse") -> str:
+    """The OpenSearch 1.1 descriptor XML (se/opensearch.py +
+    se/templates/se/opensearch.xml) — lets browsers register the engine;
+    `base_url` ≙ request.build_absolute_uri('/') sans trailing slash."""
+    base = base_url.rstrip("/")
+    return (
+        '<?xml version="1.0" encoding="utf-8"?>\n'
+        '<OpenSearchDescription xmlns="http://a9.com/-/spec/opensearch/1.1/"\n'
+        '                       xmlns:moz="http://www.mozilla.org/2006/browser/search/">\n'
+        f"  <ShortName>{short_name}</ShortName>\n"
+        f"  <Description>{short_name} search engine</Description>\n"
+        "  <InputEncoding>UTF-8</InputEncoding>\n"
+        f'  <Url type="text/html" method="GET" template="{base}/?q={{searchTerms}}"/>\n'
+        "</OpenSearchDescription>"
+    )

@@ -9,9 +9,11 @@ Reference parity:
     Arrow batches inside one mapInPandas task
   * error capture → error text + md5 hash (se/document.py:579-584)
 
-The fetcher is a pure function of the URL (webgraph.fetch_sim + corpus
-render) so crawl runs are exactly reproducible — the analog of
-se/test_mock.py's URL→bytes map, at any scale, with zero stored state.
+The fetcher is a pure function of (URL, cookie header) — webgraph.
+fetch_sim + corpus render — so crawl runs are exactly reproducible: the
+analog of se/test_mock.py's URL→bytes map, at any scale, with zero
+stored state.  Form auth (try_auth, se/browser_request.py:242-287) runs
+as a second bounded kernel over just the login-redirected slice.
 """
 
 from __future__ import annotations

@@ -293,3 +293,16 @@ def test_search_history_save_list_delete(spark):
     h3 = history_delete(h2, "alice")
     assert h3.filter("user = 'alice'").count() == 0
     assert h3.filter("user = 'bob'").count() == 1
+
+
+def test_excluded_urls_parse_and_opensearch():
+    from sosse_spark.api import opensearch_descriptor, parse_excluded_urls
+
+    assert parse_excluded_urls(" http://a/ \n\nhttp://b/x\n") == ["http://a/", "http://b/x"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        parse_excluded_urls("\n  \n")
+    xml = opensearch_descriptor("http://search.example.com/")
+    assert 'template="http://search.example.com/?q={searchTerms}"' in xml
+    assert xml.startswith('<?xml version="1.0"')
