@@ -350,3 +350,31 @@ def test_cookie_match_is_equi_join(spark):
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
     # and the subdomain rows actually matched through the suffix explode
     assert out.count() == 10
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    """The eval-set side of decontamination must broadcast (it is
+    thousands of docs vs a corpus) and the collision join must be a
+    digest equi-join — never a cartesian over text."""
+    from sosse_spark.operators.dedup import decontaminate
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} a b c d e f g h i j") for i in range(50)], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame([(1, "a b c d e f g h")], "bench_id long, text string")
+    plan = _plan(decontaminate(docs, bench))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_stratified_sample_is_pure_filter(spark):
+    """Deterministic sampling adds NO exchange — it is a pushed-down
+    row filter, not a shuffle (DataFrame.sample-style RNG would also be
+    partition-order dependent; the md5 rule is neither)."""
+    from sosse_spark.operators.sampling import stratified_sample
+
+    docs = spark.range(100).select(
+        F.col("id").alias("doc_id"), F.lit("a").alias("st")
+    )
+    plan = _plan(stratified_sample(docs, "st", {"a": 0.5}))
+    assert "Exchange" not in plan
