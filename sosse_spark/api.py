@@ -321,15 +321,22 @@ def parse_excluded_urls(text: str) -> list[str]:
 def opensearch_descriptor(base_url: str, short_name: str = "Sosse") -> str:
     """The OpenSearch 1.1 descriptor XML (se/opensearch.py +
     se/templates/se/opensearch.xml) — lets browsers register the engine;
-    `base_url` ≙ request.build_absolute_uri('/') sans trailing slash."""
+    `base_url` ≙ request.build_absolute_uri('/') sans trailing slash.
+    Values are XML-escaped (the reference renders through Django's
+    autoescaping template)."""
+    from xml.sax.saxutils import escape
+
     base = base_url.rstrip("/")
+    name = escape(short_name)
+    attr = escape(f"{base}/?q=", {'"': "&quot;"})
+    template = f'"{attr}{{searchTerms}}"'
     return (
         '<?xml version="1.0" encoding="utf-8"?>\n'
         '<OpenSearchDescription xmlns="http://a9.com/-/spec/opensearch/1.1/"\n'
         '                       xmlns:moz="http://www.mozilla.org/2006/browser/search/">\n'
-        f"  <ShortName>{short_name}</ShortName>\n"
-        f"  <Description>{short_name} search engine</Description>\n"
+        f"  <ShortName>{name}</ShortName>\n"
+        f"  <Description>{name} search engine</Description>\n"
         "  <InputEncoding>UTF-8</InputEncoding>\n"
-        f'  <Url type="text/html" method="GET" template="{base}/?q={{searchTerms}}"/>\n'
+        f'  <Url type="text/html" method="GET" template={template}/>\n'
         "</OpenSearchDescription>"
     )

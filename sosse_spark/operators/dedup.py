@@ -511,8 +511,6 @@ def dedup_paragraphs(
     exact_dedup) with a row_number window picking the (id, pos)-first
     winner, then one per-doc reassembly shuffle.  Blank-only docs have
     no paragraph rows and drop out."""
-    from pyspark.sql import Window
-
     paras = (
         docs.select(
             F.col(id_col).alias("_id"),

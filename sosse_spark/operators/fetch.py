@@ -50,7 +50,7 @@ FETCH_SCHEMA = (
     "image_id string, bytes binary, w int, h int, fmt string, "
     "caption string, phash bigint, links array<string>, max_age bigint, "
     "set_cookies array<struct<name:string,value:string,domain_attr:string,"
-    "path:string,secure:boolean>>"
+    "path:string,secure:boolean,origin_url:string>>"
 )
 
 
@@ -162,7 +162,14 @@ def auth_and_fetch(rows: DataFrame, cfg: WebConfig, auth_fields: dict) -> DataFr
                     # (requests keeps it in the live session jar)
                     cookie = "; ".join(f"{c['name']}={c['value']}" for c in set_cookies)
                     row = _fetch_row(url, cfg, cookie)
-                    row["set_cookies"] = set_cookies
+                    # origin_url: the cookie belongs to the RESPONDING
+                    # login host — a redirect chain can land on another
+                    # host than the frontier URL's, and attributing the
+                    # cookie to the origin host would clobber jar keys
+                    # across auth hosts and re-auth every round
+                    row["set_cookies"] = [
+                        {**c, "origin_url": post_url} for c in set_cookies
+                    ]
                 rows_out.append(row)
             yield _int64_fix(rows_out)
 

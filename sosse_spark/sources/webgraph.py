@@ -151,8 +151,11 @@ AUTH_PASSWORD = "hunter2"  # one site-wide credential (≙ Collection authfields
 
 
 def auth_required(host: int, cfg: WebConfig) -> bool:
-    """Whether this host's /private/ area needs a session cookie."""
-    return cfg.auth_host_mod > 0 and host % cfg.auth_host_mod == 1
+    """Whether this host's /private/ area needs a session cookie.
+    `1 % mod` (not a literal 1) so auth_host_mod=1 gates EVERY host
+    rather than silently gating none (x % 1 == 0 for all x)."""
+    m = cfg.auth_host_mod
+    return m > 0 and host % m == 1 % m
 
 
 def session_cookie_value(host: int) -> str:
@@ -221,9 +224,14 @@ def fetch_sim(url: str, cfg: WebConfig, cookie: Optional[str] = None) -> FetchRe
     payload.  `cookie` is the request's Cookie header (or None).
     Deterministic; callable inside Arrow batches on executors."""
     # the login page is a real (payload-less) page so an unauthenticated
-    # crawl that queues the redirect target still completes cleanly
+    # crawl that queues the redirect target still completes cleanly.
+    # Served ONLY when the auth surface is on, and only at the exact
+    # /login endpoint — with auth off, or for /login-bonus-style paths,
+    # the pre-auth behavior (404) is unchanged.
     path = url.split("/", 3)[3] if url.count("/") >= 3 else ""
-    if path.startswith("login"):
+    if cfg.auth_host_mod > 0 and (
+        path == "login" or path.startswith("login?") or path.startswith("login/")
+    ):
         return FetchResult(url=url, final_url=url, is_login_page=True)
 
     i = doc_index_of(url, cfg)

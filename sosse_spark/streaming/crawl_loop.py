@@ -808,9 +808,14 @@ class CrawlEngine:
         ):
             raw_cookies = (
                 joined.filter(F.size("f.set_cookies") > 0)
-                .select(F.col("url"), F.explode("f.set_cookies").alias("c"))
+                .select(F.explode("f.set_cookies").alias("c"))
                 .select(
-                    "url",
+                    # the cookie's URL context is the RESPONDING login
+                    # endpoint (c.origin_url), not the frontier URL — a
+                    # redirect chain can cross hosts, and origin-host
+                    # attribution would clobber jar keys between auth
+                    # hosts (and diverge from requests' session jar)
+                    F.col("c.origin_url").alias("url"),
                     F.col("c.name").alias("name"),
                     F.col("c.value").alias("value"),
                     F.col("c.domain_attr").alias("domain_attr"),
@@ -825,12 +830,19 @@ class CrawlEngine:
                 normalize_set_cookies(raw_cookies), "domain", self.n_buckets
             ).cache()
             # session-sync deletion (se/cookie.py:155-161): jar cookies
-            # matching a cookie-setting response's URL whose names were
-            # NOT re-set are dropped (server-side logout/invalidation)
+            # matching a cookie-setting response's URL that are in the
+            # session jar NEITHER as a sent cookie NOR as a new set are
+            # dropped.  The reference syncs against the live requests
+            # session jar = (cookies that rode the request) ∪ (newly
+            # set) — syncing against the new sets alone would delete
+            # every pre-existing cookie on the first auth round.
             stale = None
             if jar is not None:
+                set_urls = raw_cookies.select("url").distinct()
+                sent = match_cookies(jar, set_urls, now_col).select("url", "name")
+                session_jar_names = raw_cookies.select("url", "name").unionByName(sent)
                 stale = SnapshotTable.with_bucket(
-                    stale_cookie_keys(jar, raw_cookies.select("url", "name"), now_col),
+                    stale_cookie_keys(jar, session_jar_names, now_col),
                     "domain",
                     self.n_buckets,
                 ).cache()

@@ -128,3 +128,46 @@ def test_session_cookie_exact_token_match():
     assert fetch_sim(url, WEB, cookie=None).is_login_page
     ok = fetch_sim(url, WEB, cookie="other=x; sosse_session=tok1")
     assert not ok.is_login_page and ok.doc_index == PRIVATE_I
+
+
+def test_cross_host_redirect_hits_auth_and_cookie_lands_on_login_host(spark, tmp_root):
+    """Doc 11 (host 4) redirects to doc 15 — private on auth host 1.
+    The login wall fires on the FINAL doc, and the session cookie must
+    be stored under the RESPONDING login host (img1), not the origin
+    (img4): origin attribution would clobber jar keys across auth hosts
+    and re-auth every round."""
+    web = WebConfig(
+        n_docs=60, n_hosts=6, zipf_alpha=1.0, private_mod=5,
+        redirect_mod=10, auth_host_mod=2,
+    )
+    assert host_no(11, web) == 4 and host_no(15, web) == 1
+    eng = CrawlEngine(spark, tmp_root, web, AUTH_POL, n_buckets=4, batch_size=16, per_host_budget=8)
+    eng.seed([url_of(11, web)], T0)
+    m1 = eng.run_round(T0)
+    assert m1["errors"] == 0
+    jar = eng.cookies.read(spark).collect()
+    assert [r["domain"] for r in jar] == ["img1.example.com"]  # login host, not img4
+
+    # the redirect target (private doc 15) crawls NEXT round with the
+    # persisted cookie — no second auth round-trip
+    jar_snap = eng.cookies.latest()
+    m2 = eng.run_round(T0 + timedelta(minutes=1))
+    assert m2["errors"] == 0
+    assert eng.cookies.latest() == jar_snap
+    docs = eng.documents.read(spark).collect()
+    assert caption_for(15) in {d["caption"] for d in docs}
+
+
+def test_login_endpoint_edges():
+    from sosse_spark.sources.webgraph import auth_required, fetch_sim
+
+    # /login-prefixed paths that are NOT the endpoint stay 404
+    on = WebConfig(n_docs=30, n_hosts=4, auth_host_mod=2)
+    assert fetch_sim("http://img1.example.com/login-bonus/x", on).error == "404 not found"
+    assert fetch_sim("http://img1.example.com/login", on).is_login_page
+    # with the auth surface off, /login does not exist
+    off = WebConfig(n_docs=30, n_hosts=4, auth_host_mod=0)
+    assert fetch_sim("http://img1.example.com/login", off).error == "404 not found"
+    # auth_host_mod=1 gates EVERY host (1 % 1 == 0)
+    all_on = WebConfig(n_docs=30, n_hosts=4, auth_host_mod=1)
+    assert all(auth_required(h, all_on) for h in range(4))
