@@ -43,6 +43,8 @@ __all__ = [
     "SET_COOKIE_SCHEMA",
     "public_suffix_col",
     "registrable_domain_col",
+    "configure_public_suffixes",
+    "load_psl_suffixes",
     "normalize_set_cookies",
     "match_cookies",
     "cookie_header",
@@ -65,14 +67,16 @@ SET_COOKIE_SCHEMA = (
     "expires timestamp, secure boolean, same_site string, http_only boolean"
 )
 
-# two-level public suffixes recognized by the structural rule (subset of
-# the PSL covering the registries exercised in tests; the rule "last
-# label, or these two-label endings" is the documented approximation)
-_TWO_LEVEL_SUFFIXES = (
+# multi-label public suffixes recognized by the structural rule (subset
+# of the PSL covering the registries exercised in tests; the rule "last
+# label, or these multi-label endings" is the documented approximation
+# of the reference's full Mozilla PSL lookup, se/cookie.py:120-127)
+_DEFAULT_MULTI_LABEL_SUFFIXES = (
     "co.uk", "org.uk", "ac.uk", "gov.uk", "com.au", "net.au", "org.au",
     "co.jp", "ne.jp", "or.jp", "com.br", "com.cn", "com.mx", "co.in",
     "co.nz", "co.za", "com.sg", "com.tr",
 )
+_TWO_LEVEL_SUFFIXES = _DEFAULT_MULTI_LABEL_SUFFIXES
 
 
 # constant-pattern regexes keep the expression tree tiny — the earlier
@@ -80,6 +84,47 @@ _TWO_LEVEL_SUFFIXES = (
 # that whole-stage codegen exceeded janino's method limit and fell back
 # to interpreted evaluation
 _SUF_ALT = "|".join(s.replace(".", r"\.") for s in _TWO_LEVEL_SUFFIXES)
+
+
+def configure_public_suffixes(suffixes=None) -> tuple:
+    """Override the structural rule's multi-label suffix list (None
+    restores the default).  Entries are literal multi-label suffixes
+    ('co.uk', 'github.io', 's3.amazonaws.com') — closing the gap the
+    default list leaves for PSL private-domain registries, where
+    cross-site Set-Cookie between sibling subdomains must be rejected.
+
+    The list compiles into ONE constant regex alternation, so keep it
+    to the registries a deployment actually crawls (order hundreds):
+    the full ~9,500-rule PSL as a single pattern would exceed the JVM
+    constant-pool string limit and break codegen.  When publicsuffix2
+    is installed, `load_psl_suffixes()` feeds this hook."""
+    global _TWO_LEVEL_SUFFIXES, _SUF_ALT
+    if suffixes is None:
+        _TWO_LEVEL_SUFFIXES = _DEFAULT_MULTI_LABEL_SUFFIXES
+    else:
+        clean = tuple(
+            s.strip(".").lower() for s in suffixes if s and "." in s and "*" not in s and not s.startswith("!")
+        )
+        if not clean:
+            raise ValueError("suffixes must contain at least one multi-label entry")
+        _TWO_LEVEL_SUFFIXES = clean
+    _SUF_ALT = "|".join(s.replace(".", r"\.") for s in _TWO_LEVEL_SUFFIXES)
+    return _TWO_LEVEL_SUFFIXES
+
+
+def load_psl_suffixes(max_rules: int = 2000):
+    """Multi-label rules from the publicsuffix2 package's bundled
+    Mozilla PSL, for `configure_public_suffixes` — or None when the
+    package is not installed (the structural rule stays in force).
+    Wildcard and exception rules are skipped (the structural rule
+    cannot express them); `max_rules` caps the constant-pattern size."""
+    try:
+        from publicsuffix2 import PublicSuffixList  # optional dependency
+    except ImportError:
+        return None
+    psl = PublicSuffixList()
+    rules = [r for r in psl.tlds if "." in r and "*" not in r and not r.startswith("!")]
+    return tuple(rules[:max_rules])
 
 
 def public_suffix_col(host: Column) -> Column:
@@ -133,9 +178,13 @@ def normalize_set_cookies(raw: DataFrame) -> DataFrame:
         | (F.col("_reg_attr") != F.col("_reg_host"))
     )
     is_tld = F.col("_reg_dom").isNull()
+    # an optional `seq` ordering column (response-sequence position)
+    # rides through so the upsert can honor last-write-wins
+    extra = ["seq"] if "seq" in raw.columns else []
     return (
         staged.filter(~cross_site & ~is_tld)
         .select(
+            *extra,
             F.col("_domain").alias("domain"),
             F.when(has_attr, F.col("domain_attr")).alias("domain_cc"),
             has_attr.alias("inc_subdomain"),
@@ -220,19 +269,29 @@ def cookie_header(matched: DataFrame) -> DataFrame:
 def upsert_cookies(jar: DataFrame | None, validated: DataFrame, now_col: Column) -> DataFrame:
     """Latest-wins MERGE on (domain, path, name) (update_or_create,
     se/cookie.py:150) + expired-row GC.  `validated` may itself carry
-    duplicate keys (several responses in one round): the highest-value
-    row wins deterministically."""
+    duplicate keys (several responses in one round): when it carries a
+    `seq` ordering column (the Set-Cookie's position in its response —
+    the order the reference's update_or_create loop applies them in),
+    the highest seq wins, matching reference last-write-wins for
+    same-response rotation (e.g. a session cookie re-set); otherwise —
+    and across DIFFERENT responses of one parallel round, where neither
+    engine defines an order — the highest-value row wins
+    deterministically."""
     key = ["domain", "path", "name"]
     cols = [f.strip().split(" ")[0] for f in COOKIE_SCHEMA.split(",")]
     nonkey = [c for c in cols if c not in key]
     # ONE max over a struct of all non-key fields: per-column max_by with
     # a tied ordering key would break ties per column independently
     # (partition-order-dependent blend of two source rows); the struct
-    # max is a deterministic total order over the whole row.  expires
-    # and value lead the struct so the ordering stays latest-expiry-
-    # then-value first (schema order would compare domain_cc first and
-    # let a stale Domain=-attributed row beat a host-only re-set).
-    ordered = ["expires", "value"] + [c for c in nonkey if c not in ("expires", "value")]
+    # max is a deterministic total order over the whole row.  seq (when
+    # present), expires and value lead the struct so the ordering stays
+    # response-order-then-latest-expiry-then-value first (schema order
+    # would compare domain_cc first and let a stale Domain=-attributed
+    # row beat a host-only re-set).
+    has_seq = "seq" in validated.columns
+    ordered = (["seq"] if has_seq else []) + ["expires", "value"] + [
+        c for c in nonkey if c not in ("expires", "value")
+    ]
     new = (
         validated.groupBy(*key)
         .agg(F.max(F.struct(*ordered)).alias("_w"))

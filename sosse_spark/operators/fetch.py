@@ -32,6 +32,7 @@ from sosse_spark.sources.webgraph import (
     _host_of_url,
     favicon_of,
     fetch_sim,
+    html_page,
     max_age_of,
     robots_body,
 )
@@ -48,7 +49,8 @@ __all__ = [
 FETCH_SCHEMA = (
     "url string, final_url string, redirect_count int, error string, "
     "image_id string, bytes binary, w int, h int, fmt string, "
-    "caption string, phash bigint, links array<string>, max_age bigint, "
+    "caption string, title string, phash bigint, links array<string>, "
+    "max_age bigint, "
     "set_cookies array<struct<name:string,value:string,domain_attr:string,"
     "path:string,secure:boolean,origin_url:string>>"
 )
@@ -67,6 +69,7 @@ def _fetch_row(url: str, cfg: WebConfig, cookie: str | None) -> dict:
         "h": None,
         "fmt": None,
         "caption": None,
+        "title": None,
         "phash": None,
         "links": res.links,
         "max_age": None,
@@ -74,20 +77,65 @@ def _fetch_row(url: str, cfg: WebConfig, cookie: str | None) -> dict:
     }
     if res.error is None and res.doc_index is not None:
         i = res.doc_index
-        w, h = dims_for(i)
-        fmt = fmt_for(i)
-        data = encode_image(render_pattern(i, w, h), fmt)
-        row.update(
-            image_id=image_id_for(i),
-            bytes=data,
-            w=w,
-            h=h,
-            fmt=fmt,
-            caption=caption_for(i),
-            phash=phash64(decode_image(data, fmt)),
-            max_age=max_age_of(i, cfg),
-        )
+        if cfg.html_mode:
+            # html_mode: the page is real HTML — run the P2 DOM-walk
+            # kernel (se/page.py:103-233 semantics) right here in the
+            # Arrow batch: caption ≙ Document.content (assembled text,
+            # anchor text included), title from <title>, links already
+            # base-resolved (se/page.py:88-95) so the downstream
+            # absolutize vs final_url is an identity pass
+            from sosse_spark.operators.htmlparse import parse_html
+
+            html = html_page(i, cfg, caption_for(i))
+            parsed = parse_html(res.final_url, html)
+            row.update(
+                image_id=image_id_for(i),
+                bytes=html.encode("utf-8"),
+                fmt="html",
+                caption=parsed["text"],
+                title=parsed["title"],
+                links=[l["abs_url"] for l in parsed["links"]],
+                max_age=max_age_of(i, cfg),
+            )
+        else:
+            w, h = dims_for(i)
+            fmt = fmt_for(i)
+            data = encode_image(render_pattern(i, w, h), fmt)
+            row.update(
+                image_id=image_id_for(i),
+                bytes=data,
+                w=w,
+                h=h,
+                fmt=fmt,
+                caption=caption_for(i),
+                title=None,  # caption ≡ title under the image graft (P7)
+                phash=phash64(decode_image(data, fmt)),
+                max_age=max_age_of(i, cfg),
+            )
     return row
+
+
+def _error_row(url: str, error: str) -> dict:
+    """A FETCH_SCHEMA error row built directly — no network/simulated
+    fetch behind it (used when the outcome is already known, e.g. a
+    failed login POST)."""
+    return {
+        "url": url,
+        "final_url": url,
+        "redirect_count": 0,
+        "error": error,
+        "image_id": None,
+        "bytes": None,
+        "w": None,
+        "h": None,
+        "fmt": None,
+        "caption": None,
+        "title": None,
+        "phash": None,
+        "links": [],
+        "max_age": None,
+        "set_cookies": [],
+    }
 
 
 def _int64_fix(rows: list[dict]) -> pd.DataFrame:
@@ -155,8 +203,13 @@ def auth_and_fetch(rows: DataFrame, cfg: WebConfig, auth_fields: dict) -> DataFr
                 post_url = absolutize_url(login_url, form["action"])
                 set_cookies, location = login_post(host, payload, next_path, post_url)
                 if location is None:
-                    row = _fetch_row(url, cfg, None)
-                    row.update(error="AuthElemFailed: authentication failed", set_cookies=[])
+                    # credential failure: no refetch — it would only
+                    # re-hit the login wall to be overwritten by the
+                    # error anyway.  Distinct message from the
+                    # reference's AuthElemFailed, which it reserves for
+                    # form-SELECTOR failures (se/browser_request.py:
+                    # 252-257); a bad-credentials POST just doesn't 302.
+                    row = _error_row(url, "AuthFailed: no redirect after login POST")
                 else:
                     # the fresh session cookie rides the refetch directly
                     # (requests keeps it in the live session jar)

@@ -53,6 +53,24 @@ def cosine_sim(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+# Every *_topk entry point broadcasts or driver-collects the query
+# side — the "small query batch" contract.  The guard makes the
+# contract enforced rather than trusted: an oversized query set fails
+# fast with a chunking instruction instead of OOMing the driver.
+MAX_QUERY_BATCH = 100_000
+
+
+def _guard_query_batch(queries: DataFrame, cap: Optional[int]) -> None:
+    cap = cap if cap is not None else MAX_QUERY_BATCH
+    if queries.limit(cap + 1).count() > cap:
+        raise ValueError(
+            f"ANN query batch exceeds max_query_batch={cap}: the query side is "
+            "broadcast/driver-collected by design — split the queries into "
+            "chunks of at most that size (or raise max_query_batch if the "
+            "driver genuinely has the memory)"
+        )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -60,12 +78,14 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    max_query_batch: Optional[int] = None,
 ) -> DataFrame:
     """Exact cosine top-k per query: cross-join (queries broadcast — the
     query set is the small side), score, per-query window rank.
 
     → (query_id, vec_id, cos_sim, rank), rank 1..k, ties broken by id.
     """
+    _guard_query_batch(queries, max_query_batch)
     q = queries.select(
         F.col(query_id_col), F.col(vec_col).alias("_qvec")
     )
@@ -168,6 +188,7 @@ def lsh_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     seed: int = 42,
+    max_query_batch: Optional[int] = None,
 ) -> DataFrame:
     """Approximate top-k: OR-amplified band join (b tables of r planes),
     exact rescoring of the candidate union.  Queries whose candidate set
@@ -175,6 +196,7 @@ def lsh_topk(
     exact scan — the fallback side is (few starved queries) × corpus, a
     bounded second pass, so every query always returns k rows.
     """
+    _guard_query_batch(queries, max_query_batch)
     fill_min = fill_min_candidates if fill_min_candidates is not None else 8 * k
     c_sig = banded_signatures(corpus, dim, bands, rows_per_band, id_col, vec_col, seed)
     q_sig = banded_signatures(queries, dim, bands, rows_per_band, query_id_col, vec_col, seed)
@@ -305,6 +327,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    max_query_batch: Optional[int] = None,
 ) -> DataFrame:
     """IVF approximate top-k: probe the query's n_probe nearest cells,
     exact-rescore only their members.  Starved queries (< max(k,
@@ -316,6 +339,7 @@ def ivf_topk(
     never corpus × queries.  Pass a precomputed `assignment` (the
     persisted index) to skip the assignment pass.
     """
+    _guard_query_batch(queries, max_query_batch)
     fill_min = fill_min_candidates if fill_min_candidates is not None else 2 * k
     cells = assignment if assignment is not None else ivf_assign(corpus, centroids, id_col, vec_col)
     probe = _cell_udf(centroids, n_probe)
@@ -503,6 +527,7 @@ def pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    max_query_batch: Optional[int] = None,
 ) -> DataFrame:
     """PQ-ADC top-k with exact re-rank: per query build the (m_sub ×
     n_codes) dot-product lookup table, score every code row by m_sub
@@ -523,6 +548,7 @@ def pq_topk(
     import pandas as pd
     from pyspark.sql import types as T
 
+    _guard_query_batch(queries, max_query_batch)
     books = [np.array(b, dtype=np.float64) for b in codebooks]
     dsub = books[0].shape[1]
     q_rows = queries.select(F.col(query_id_col).alias("_qid"), F.col(vec_col).alias("_qv")).collect()
@@ -612,6 +638,7 @@ def ivfpq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    max_query_batch: Optional[int] = None,
 ) -> DataFrame:
     """IVF+PQ top-k (the FAISS IndexIVFPQ composition): IVF cells bound
     WHICH vectors are candidates (Σ|probed cell|, never corpus×queries),
@@ -630,6 +657,7 @@ def ivfpq_topk(
     from pyspark.sql import types as T
     from pyspark.sql.functions import pandas_udf
 
+    _guard_query_batch(queries, max_query_batch)
     fill_min = fill_min_candidates if fill_min_candidates is not None else 2 * k
     q_rows = queries.select(F.col(query_id_col).alias("_qid"), F.col(vec_col).alias("_qv")).collect()
     if not q_rows:

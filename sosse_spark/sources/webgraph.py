@@ -25,6 +25,7 @@ __all__ = [
     "url_of",
     "doc_index_of",
     "out_links",
+    "html_page",
     "max_age_of",
     "favicon_of",
     "robots_body",
@@ -54,6 +55,10 @@ class WebConfig:
     # (== 1 so auth hosts never coincide with robots hosts, mod 4 == 0);
     # 0 disables the auth surface entirely (default: existing behavior)
     auth_host_mod: int = 0
+    # serve real HTML pages instead of the image payload: the fetch
+    # stage then runs the P2 DOM-walk kernel (operators/htmlparse) for
+    # text + links instead of the synthetic out-link function
+    html_mode: bool = False
 
 
 def _uniform(i: int) -> float:
@@ -115,6 +120,28 @@ def out_links(i: int, cfg: WebConfig) -> list[str]:
         else:
             links.append(f"http://img{t_host}.example.com/other/../{t_path.lstrip('/')}")
     return links
+
+
+def html_page(i: int, cfg: WebConfig, title: str) -> str:
+    """Real-HTML rendering of doc i (cfg.html_mode): the SAME out-links
+    as the synthetic graph, written as anchors in their original
+    absolute/relative forms so URL resolution is identical to the
+    synthetic path.  On top, the page exercises the P2 parse surface:
+    a <title>; a <nav> boilerplate whose link is a SELF-link (flagged
+    in_nav, suppressed from text, and — like the reference's
+    ``target_doc != document`` guard, se/page.py:170 — storing no link
+    row); every fifth page a self-base ``<base>`` tag (the base-href
+    parse path runs; resolution is unchanged because the base IS the
+    page's own path); the title as a block <div>; anchors inside a <p>.
+    """
+    links = out_links(i, cfg)
+    anchors = " ".join(f'<a href="{h}">link {j}</a>' for j, h in enumerate(links))
+    base = f'<base href="{_path_of(i, cfg)}">' if i % 5 == 2 else ""
+    nav = f'<nav>site menu <a href="{_path_of(i, cfg)}">self</a></nav>'
+    return (
+        f"<html><head><title>{title}</title>{base}</head>"
+        f"<body>{nav}<div>{title}</div><p>{anchors}</p></body></html>"
+    )
 
 
 def max_age_of(i: int, cfg: WebConfig) -> Optional[int]:
@@ -225,12 +252,14 @@ def fetch_sim(url: str, cfg: WebConfig, cookie: Optional[str] = None) -> FetchRe
     Deterministic; callable inside Arrow batches on executors."""
     # the login page is a real (payload-less) page so an unauthenticated
     # crawl that queues the redirect target still completes cleanly.
-    # Served ONLY when the auth surface is on, and only at the exact
-    # /login endpoint — with auth off, or for /login-bonus-style paths,
-    # the pre-auth behavior (404) is unchanged.
+    # Served ONLY on hosts whose auth wall actually exists (the login
+    # flow only ever points at auth_required hosts), and only at the
+    # exact /login endpoint — on non-auth hosts, with auth off, or for
+    # /login-bonus-style paths, the pre-auth behavior (404) is unchanged.
     path = url.split("/", 3)[3] if url.count("/") >= 3 else ""
-    if cfg.auth_host_mod > 0 and (
-        path == "login" or path.startswith("login?") or path.startswith("login/")
+    if (
+        auth_required(_host_of_url(url), cfg)
+        and (path == "login" or path.startswith("login?") or path.startswith("login/"))
     ):
         return FetchResult(url=url, final_url=url, is_login_page=True)
 

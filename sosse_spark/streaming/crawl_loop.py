@@ -544,11 +544,21 @@ class CrawlEngine:
             F.lit(round_no).alias("lineage_round"),
             F.col("bucket").alias("lineage_part"),
         )
+        # localCheckpoint (not cache): the round's commit plans otherwise
+        # drag the ENTIRE round DAG — window + fetch kernel + robots join
+        # + admission — into every downstream plan; measured 10-22
+        # MILLION chars of plan string per frontier/bloom commit even on
+        # a 30-doc web (cache substitution doesn't shrink the analyzed
+        # tree, and the driver burns minutes per round walking it).  The
+        # checkpoint truncates lineage to a LogicalRDD: commit plans
+        # become scan+merge only.  At 10^10-URL scale this is the
+        # difference between a constant-size driver plan per round and a
+        # driver that melts down stringifying/analyzing megaplans.
         replacements = self._finalize_rows(
             replacements.unionByName(self._finalize_rows(rejected_rows)).unionByName(
                 self._finalize_rows(cache_rows)
             )
-        ).cache()
+        ).localCheckpoint(eager=True)
 
         # --- link extraction & admission ---------------------------------
         # parse skipped when hash unchanged and recrawl_condition=change
@@ -576,7 +586,9 @@ class CrawlEngine:
             resolved = resolved.withColumn(
                 "abs_url", F.split(F.col("abs_url"), r"\?", 2).getItem(0)
             )
-        resolved = resolved.withColumn("url", F.col("abs_url")).cache()
+        # lineage cut (see the replacements note): links append + the
+        # whole candidate/dedup/bloom pipeline hang off this frame
+        resolved = resolved.withColumn("url", F.col("abs_url")).localCheckpoint(eager=True)
 
         admitted = admit_links(resolved, self.policy)
         candidates = (
@@ -646,7 +658,9 @@ class CrawlEngine:
             .withColumn("lineage_round", F.lit(round_no))
             .withColumn("lineage_part", F.col("bucket"))
         )
-        inserts = self._finalize_rows(inserts).cache()
+        # lineage cut (see the replacements note): bloom_build and the
+        # frontier merge both consume this frame
+        inserts = self._finalize_rows(inserts).localCheckpoint(eager=True)
 
         # --- metrics (F30 parity counts): single-pass aggregation --------
         counts = joined.agg(
@@ -718,6 +732,7 @@ class CrawlEngine:
                 F.col("f.h").alias("h"),
                 F.col("f.fmt").alias("fmt"),
                 F.col("f.caption").alias("caption"),
+                F.col("f.title").alias("title"),
                 F.col("f.phash").alias("phash"),
                 new_hash.alias("content_hash"),
                 changed_content.alias("changed"),
@@ -730,16 +745,23 @@ class CrawlEngine:
             n_links = resolved.count()
             link_rows = None
             if n_links:
-                link_rows = resolved.join(
-                    admitted.select(F.col("url"), F.lit(True).alias("is_admitted")).distinct(),
-                    "url",
-                    "left",
-                ).select(
-                    F.col("base_url").alias("src_url"),
-                    F.col("url").alias("dst_url"),
-                    F.col("link_no"),
-                    F.coalesce(F.col("is_admitted"), F.lit(False)).alias("is_admitted"),
-                    F.lit(round_no).alias("round_no"),
+                link_rows = (
+                    resolved.join(
+                        admitted.select(F.col("url"), F.lit(True).alias("is_admitted")).distinct(),
+                        "url",
+                        "left",
+                    )
+                    # self-links store no row (target_doc != document
+                    # guard, se/page.py:170) — e.g. the html_mode nav
+                    # self-anchor; the link_no ordinal still counts them
+                    .filter(F.col("url") != F.col("base_url"))
+                    .select(
+                        F.col("base_url").alias("src_url"),
+                        F.col("url").alias("dst_url"),
+                        F.col("link_no"),
+                        F.coalesce(F.col("is_admitted"), F.lit(False)).alias("is_admitted"),
+                        F.lit(round_no).alias("round_no"),
+                    )
                 )
                 self.links.append(spark, link_rows, round_no)
 
@@ -808,8 +830,13 @@ class CrawlEngine:
         ):
             raw_cookies = (
                 joined.filter(F.size("f.set_cookies") > 0)
-                .select(F.explode("f.set_cookies").alias("c"))
+                # posexplode: the array position IS the response-sequence
+                # order — the upsert leads its winner struct with it so a
+                # same-response cookie rotation resolves last-write-wins
+                # like the reference's update_or_create loop
+                .select(F.posexplode("f.set_cookies").alias("seq", "c"))
                 .select(
+                    F.col("seq"),
                     # the cookie's URL context is the RESPONDING login
                     # endpoint (c.origin_url), not the frontier URL — a
                     # redirect chain can cross hosts, and origin-host

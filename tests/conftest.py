@@ -1,8 +1,20 @@
+import os
 import shutil
 import tempfile
 
 import pytest
 from pyspark.sql import SparkSession
+
+# The sandbox disk throttles to single-digit MB/s sustained writes
+# (measured 3.7 MB/s via a 100MB fsync'd write while e2e tests crawled
+# at ~10× their normal wall-time).  Every test table (snapshot commits
+# are fsync'd) and Spark's shuffle/scratch space goes to tmpfs instead —
+# the suite's working set is MBs against a 126 GB /dev/shm.
+if os.path.isdir("/dev/shm"):
+    _shm = "/dev/shm/sosse-tests"
+    os.makedirs(_shm, exist_ok=True)
+    os.environ["TMPDIR"] = _shm
+    tempfile.tempdir = None  # re-resolve gettempdir() from the new TMPDIR
 
 
 @pytest.fixture(scope="session")
@@ -23,6 +35,14 @@ def spark():
         # flakes near the 300-test mark at 8g, hence 30s + 12g)
         .config("spark.cleaner.periodicGC.interval", "30s")
         .config("spark.sql.adaptive.enabled", "true")
+        # plan-DESCRIPTION strings (SQL listener events, AQE plan
+        # updates) are generated eagerly per query execution even with
+        # the UI off; on the deep iterative crawl plans generateTreeString
+        # burned 300+ CPU-seconds per e2e test (measured via jstack —
+        # the driver thread sat in TreeNode.generateTreeString).  The
+        # truncation only affects debug strings, never semantics.
+        .config("spark.sql.maxPlanStringLength", "4096")
+        .config("spark.local.dir", tempfile.gettempdir())
         .getOrCreate()
     )
     yield s

@@ -259,3 +259,65 @@ def test_upsert_intra_round_tie_prefers_latest_expiry(spark):
     merged = upsert_cookies(None, a.unionByName(b), _now()).collect()
     assert len(merged) == 1
     assert merged[0]["value"] == "a"
+
+
+def test_upsert_seq_response_order_wins(spark):
+    # same-response session-cookie rotation: the LATER Set-Cookie (higher
+    # seq — the order the reference's update_or_create loop applies them
+    # in) wins even though it sorts LOWER on (expires, value)
+    old = _jar(spark, [{"domain": "t.com", "name": "k", "value": "z-older-sorts-higher",
+                        "expires": datetime(2027, 1, 1)}]).withColumn("seq", F.lit(0))
+    new = _jar(spark, [{"domain": "t.com", "name": "k", "value": "a-newer"}]).withColumn(
+        "seq", F.lit(1)
+    )
+    merged = upsert_cookies(None, old.unionByName(new), _now())
+    assert "seq" not in merged.columns  # ordering column never persists
+    rows = merged.collect()
+    assert len(rows) == 1 and rows[0]["value"] == "a-newer"
+
+
+def test_normalize_passes_seq_through(spark):
+    raw = spark.createDataFrame(
+        [{"seq": 7, "url": "http://t.com/", "name": "n", "value": "v",
+          "domain_attr": None, "path": None, "expires": None,
+          "secure": False, "same_site": None, "http_only": False}],
+        "seq int, " + SET_COOKIE_SCHEMA,
+    )
+    out = normalize_set_cookies(raw)
+    assert "seq" in out.columns
+    assert out.collect()[0]["seq"] == 7
+
+
+def test_configure_public_suffixes_psl_registries(spark):
+    """PSL private registries (github.io, s3.amazonaws.com) loaded into
+    the structural rule: sibling subdomains become cross-site."""
+    from sosse_spark.operators.cookies import configure_public_suffixes
+
+    # default structural rule: github.io looks registrable, so the
+    # sibling set is (divergently) accepted — the gap being closed
+    assert len(_set(spark, "http://a.github.io/", [{"name": "n", "domain": "b.github.io"}])) == 1
+    try:
+        configure_public_suffixes(["co.uk", "github.io", "s3.amazonaws.com"])
+        assert _set(spark, "http://a.github.io/", [{"name": "n", "domain": "b.github.io"}]) == []
+        assert _set(spark, "http://a.github.io/", [{"name": "n", "domain": "github.io"}]) == []
+        c = _set(spark, "http://www.a.github.io/", [{"name": "n", "domain": "a.github.io"}])
+        assert len(c) == 1 and c[0]["domain"] == "a.github.io"
+        # 3-label suffix: sibling buckets are different sites
+        assert _set(
+            spark, "http://x.s3.amazonaws.com/", [{"name": "n", "domain": "y.s3.amazonaws.com"}]
+        ) == []
+        # the rest of the configured list still works
+        assert _set(spark, "http://a.co.uk/", [{"name": "n", "domain": "b.co.uk"}]) == []
+    finally:
+        configure_public_suffixes(None)
+    # default restored
+    assert len(_set(spark, "http://a.github.io/", [{"name": "n", "domain": "b.github.io"}])) == 1
+
+
+def test_load_psl_suffixes_optional():
+    from sosse_spark.operators.cookies import load_psl_suffixes
+
+    got = load_psl_suffixes()
+    # publicsuffix2 absent → None (structural rule stays); present →
+    # multi-label literal rules only
+    assert got is None or (len(got) > 0 and all("." in s and "*" not in s for s in got))

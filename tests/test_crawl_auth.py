@@ -115,7 +115,10 @@ def test_wrong_credentials_capture_auth_error(spark, tmp_root):
     m = eng.run_round(T0)
     assert m["errors"] == 1
     row = eng.frontier.read(spark).filter(f"url = '{url}'").collect()[0]
-    assert row["error"] is not None and row["error"].startswith("AuthElemFailed")
+    # distinct from AuthElemFailed — the reference reserves that name
+    # for form-selector failures; a bad-credentials POST just fails to
+    # redirect (and must NOT trigger a wasted refetch of the wall)
+    assert row["error"] is not None and row["error"].startswith("AuthFailed")
     assert eng.cookies.read(spark) is None
 
 
@@ -165,6 +168,10 @@ def test_login_endpoint_edges():
     on = WebConfig(n_docs=30, n_hosts=4, auth_host_mod=2)
     assert fetch_sim("http://img1.example.com/login-bonus/x", on).error == "404 not found"
     assert fetch_sim("http://img1.example.com/login", on).is_login_page
+    # non-auth hosts never gained a phantom /login endpoint: only hosts
+    # whose wall exists (auth_required) serve the login page
+    assert not auth_required(2, on)
+    assert fetch_sim("http://img2.example.com/login", on).error == "404 not found"
     # with the auth surface off, /login does not exist
     off = WebConfig(n_docs=30, n_hosts=4, auth_host_mod=0)
     assert fetch_sim("http://img1.example.com/login", off).error == "404 not found"

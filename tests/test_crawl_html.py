@@ -1,0 +1,107 @@
+"""html_mode e2e: the crawl engine over REAL HTML pages (P2 DOM walk in
+the fetch stage) must reproduce the synthetic graft's crawl exactly —
+same frontier membership, same link graph — while carrying parsed
+title/text.  Mirrors the e2e strategy of se/test_crawl.py over a web
+whose pages exercise base-href, nav suppression, and mixed
+absolute/relative href forms."""
+
+from datetime import datetime, timedelta
+
+from pyspark.sql import functions as F
+
+from sosse_spark.functions.urlnorm import absolutize_url
+from sosse_spark.operators.admission import CollectionPolicy
+from sosse_spark.sources.corpus import caption_for
+from sosse_spark.sources.webgraph import WebConfig, html_page, out_links, url_of
+from sosse_spark.streaming.crawl_loop import CrawlEngine
+
+T0 = datetime(2024, 1, 1)
+WEB_S = WebConfig(n_docs=24, n_hosts=3)
+WEB_H = WebConfig(n_docs=24, n_hosts=3, html_mode=True)
+POLICY = CollectionPolicy(
+    collection_id=1,
+    unlimited_regex=r"^http://img[0-9]+\.example\.com/",
+    recursion_depth=2,
+    keep_params=False,
+    recrawl_freq="adaptive",
+)
+SEEDS = [url_of(2, WEB_S), url_of(15, WEB_S), url_of(11, WEB_S)]
+
+
+def test_fetch_row_html_payload():
+    """Unit: one html_mode fetch — parsed payload shape (no Spark)."""
+    from sosse_spark.operators.fetch import _fetch_row
+
+    i = 15  # 3-link page, not a base page (15 % 5 == 0)
+    url = url_of(i, WEB_H)
+    row = _fetch_row(url, WEB_H, None)
+    assert row["fmt"] == "html"
+    assert row["bytes"].startswith(b"<html")
+    assert row["title"] == caption_for(i)
+    # content text: title div first (nav suppressed), then anchor texts
+    assert row["caption"].startswith(caption_for(i) + "\n")
+    assert "link 0" in row["caption"] and "site menu" not in row["caption"]
+    # links: [nav self] + out_links, already base-resolved
+    assert row["links"][0] == url
+    expected = [absolutize_url(url, h) for h in out_links(i, WEB_H)]
+    assert row["links"][1:] == expected
+    assert row["phash"] is None and row["w"] is None
+
+
+def test_fetch_row_html_base_page():
+    """A base page (i%5==2) carries <base>; the self-base keeps
+    resolution identical to the synthetic graph."""
+    from sosse_spark.operators.fetch import _fetch_row
+
+    i = 22
+    url = url_of(i, WEB_H)
+    assert b"<base" in html_page(i, WEB_H, "t").encode()
+    row = _fetch_row(url, WEB_H, None)
+    expected = [absolutize_url(url, h) for h in out_links(i, WEB_H)]
+    assert row["links"][1:] == expected
+
+
+def _crawl(spark, root, web, max_rounds=8):
+    eng = CrawlEngine(spark, root, web, POLICY, n_buckets=4, batch_size=32, per_host_budget=8)
+    eng.seed([url_of(2, web), url_of(15, web), url_of(11, web)], T0)
+    eng.run_until_quiescent(T0, timedelta(minutes=1), max_rounds=max_rounds)
+    return eng
+
+def test_html_mode_crawl_matches_synthetic(spark, tmp_path_factory):
+    eng_s = _crawl(spark, str(tmp_path_factory.mktemp("synth")), WEB_S)
+    eng_h = _crawl(spark, str(tmp_path_factory.mktemp("html")), WEB_H)
+
+    fs = eng_s.frontier.read(spark).select("url", "error", "robotstxt_rejected").collect()
+    fh = eng_h.frontier.read(spark).select("url", "error", "robotstxt_rejected").collect()
+    # identical URL-seen membership AND per-URL error/robots outcomes
+    assert {(r["url"], r["error"], r["robotstxt_rejected"]) for r in fs} == {
+        (r["url"], r["error"], r["robotstxt_rejected"]) for r in fh
+    }
+    assert len(fs) == len(fh)
+
+    # identical link graph; the html nav self-anchor consumes ordinal 0
+    # (stored rows shift by exactly one, the self row itself is dropped
+    # per the reference's target_doc != document guard)
+    ls = {
+        (r["src_url"], r["dst_url"], r["link_no"])
+        for r in eng_s.links_view(spark).collect()
+    }
+    lh = {
+        (r["src_url"], r["dst_url"], r["link_no"])
+        for r in eng_h.links_view(spark).collect()
+    }
+    assert {(s, d, n + 1) for (s, d, n) in ls} == lh
+    assert ls  # non-trivial graph
+
+    # html docs carry the parsed title == the corpus caption; content
+    # text leads with the title block
+    hdocs = eng_h.documents.read(spark).collect()
+    assert hdocs
+    for d in hdocs:
+        assert d["fmt"] == "html"
+        assert d["title"] is not None
+        assert d["caption"].startswith(d["title"])
+    sdocs = eng_s.documents.read(spark).collect()
+    assert {d["url"] for d in hdocs} == {d["url"] for d in sdocs}
+    # image-graft docs have no separate title (P7: caption ≡ title)
+    assert all(d["title"] is None for d in sdocs)

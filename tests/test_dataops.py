@@ -555,3 +555,35 @@ def test_stratified_sample_deterministic_proportions(spark):
     assert 0.42 * 2000 < len(kept) < 0.58 * 2000  # ~Binomial(2000, .5)
     # unknown strata fall to default_fraction
     assert stratified_sample(docs, "stratum", {}, default_fraction=1.0).count() == 4000
+
+
+def test_ann_query_batch_guard(spark):
+    """The 'small query batch' contract is enforced: an oversized query
+    side raises with a chunking instruction BEFORE any driver collect
+    or broadcast (all five top-k entry points)."""
+    import pytest as _pytest
+
+    from sosse_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        ivfpq_topk,
+        lsh_topk,
+        pq_topk,
+    )
+
+    emb = _embeddings(spark, n=20)
+    queries = emb.select(F.col("vec_id").alias("query_id"), "embedding")  # 20 > cap 5
+    for call in (
+        lambda: brute_force_topk(emb, queries, k=2, max_query_batch=5),
+        lambda: lsh_topk(emb, queries, dim=16, k=2, max_query_batch=5),
+        lambda: ivf_topk(emb, queries, [[0.0] * 16], k=2, max_query_batch=5),
+        lambda: pq_topk(emb, queries, [[[0.0] * 8]], k=2, max_query_batch=5),
+        lambda: ivfpq_topk(emb, queries, [[0.0] * 16], [[[0.0] * 8]], k=2, max_query_batch=5),
+    ):
+        with _pytest.raises(ValueError, match="max_query_batch"):
+            call()
+    # at/under the cap: passes through (guard is a limit(cap+1).count —
+    # never a full count/collect)
+    small = queries.limit(3)
+    got = brute_force_topk(emb, small, k=2, max_query_batch=5).collect()
+    assert len(got) == 6
