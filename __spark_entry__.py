@@ -533,6 +533,56 @@ def q_q1_fts_index(spark, sf_dir):
     return out.select(F.col("_id").alias("doc_id"), "rank")
 
 
+def q_q1_fts_rank_order(spark, sf_dir):
+    """Q1 ordering parity: `pos` embeds the result ORDER in the row
+    values, so the hash compare certifies that both engines produce the
+    same ts_rank-lite ordering (rank desc, id tiebreak) — not just the
+    same set (the round-3 verdict's ordering gap)."""
+    from sosse_spark.operators.fts import fts_rank_order
+
+    return fts_rank_order(_docs(spark, sf_dir), "spark or vector")
+
+
+def q_p2_html_parse(spark, sf_dir):
+    """P2 real-HTML DOM walk (operators/htmlparse, se/page.py:103-233)
+    over synthetic pages built from the documents table: certifies text
+    assembly (block newlines), title extraction, nav suppression with
+    in_nav link emission, href absolutization and char positions —
+    end-to-end through the mapInPandas kernel, against arithmetic the
+    SQL oracle replicates exactly."""
+    from sosse_spark.operators.htmlparse import parse_html_batch
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id").cast("string")
+    pages = d.select(
+        F.col("doc_id"),
+        F.concat(
+            F.lit("http://h"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com/p/"), did,
+        ).alias("url"),
+        F.concat(
+            F.lit("<html><head><title>doc "), did, F.lit("</title></head><body>"),
+            F.lit('<nav>boilerplate menu <a href="/home">h</a></nav>'),
+            F.lit("<div>"), F.col("text"), F.lit("</div>"),
+            F.lit('<p><a href="/d/'), (F.col("doc_id") + 1).cast("string"),
+            F.lit('">next '), did, F.lit("</a></p>"),
+            F.lit("</body></html>"),
+        ).cast("binary").alias("content"),
+    )
+    out = parse_html_batch(pages)
+    return out.select(
+        "url",
+        "title",
+        F.col("text").alias("text_parsed"),
+        F.size("links").alias("n_links"),
+        F.element_at("links", 1)["abs_url"].alias("nav_href"),
+        F.element_at("links", 1)["in_nav"].alias("nav_in_nav"),
+        F.element_at("links", 2)["abs_url"].alias("next_href"),
+        F.element_at("links", 2)["pos"].alias("next_pos"),
+        F.element_at("links", 2)["in_nav"].alias("next_in_nav"),
+    )
+
+
 def _doctyped_content(d):
     """Synthetic doctype variants over documents.text (html / rss / atom /
     plain) — shared by the P1 sniff and P14 filename entries."""
@@ -731,6 +781,20 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     from sosse_spark.operators.dedup import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(_docs(spark, sf_dir), "text", "doc_id", n=3, threshold=0.12)
+
+
+def q_dedup_ngram_bruteforce(spark, sf_dir):
+    """Full-pair oracle twin of dedup_ngram_jaccard: the DuckDB side has
+    NO blocking key, so a green row certifies the gram/jaccard SEMANTICS
+    independently of the blocked operator's own heuristic (the blocked
+    operator is additionally inclusion-tested against this in
+    tests/test_dataops.py — blocked ⊆ brute force, equal within
+    blocks)."""
+    from sosse_spark.operators.dedup import ngram_jaccard_bruteforce
+
+    return ngram_jaccard_bruteforce(
+        _docs(spark, sf_dir), "text", "doc_id", n=3, threshold=0.12
+    )
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
@@ -1102,6 +1166,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q11_csv_metadata": q_q11_csv_metadata,
         "q1_fts_rank": q_q1_fts_rank,
         "q1_fts_or": q_q1_fts_or,
+        "q1_fts_rank_order": q_q1_fts_rank_order,
+        "p2_html_parse": q_p2_html_parse,
         "q1_fts_negation": q_q1_fts_negation,
         "q1_fts_index": q_q1_fts_index,
         "q9_snippet": q_q9_snippet,
@@ -1117,6 +1183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_components": q_dedup_components,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_ngram_bruteforce": q_dedup_ngram_bruteforce,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "sim_ann_bruteforce": q_sim_ann_bruteforce,
@@ -1867,6 +1934,52 @@ def oracle_sql() -> dict[str, str]:
              AND least(a.gsz, b.gsz) >= greatest(a.gsz, b.gsz) * 0.12
             WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
                   / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.12""",
+        "p2_html_parse": """
+            SELECT
+              'http://h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS url,
+              'doc ' || CAST(doc_id AS VARCHAR) AS title,
+              text || chr(10) || 'next ' || CAST(doc_id AS VARCHAR) || chr(10) AS text_parsed,
+              2 AS n_links,
+              'http://h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/home' AS nav_href,
+              TRUE AS nav_in_nav,
+              'http://h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/d/' || CAST(doc_id + 1 AS VARCHAR) AS next_href,
+              CAST(length(text) + 1 AS INT) AS next_pos,
+              FALSE AS next_in_nav
+            FROM documents""",
+        "dedup_ngram_bruteforce": """
+            WITH g AS (
+              SELECT doc_id AS _id,
+                list_distinct(list_transform(
+                  generate_series(1, greatest(len(string_split_regex(lower(trim(text)), '\\s+')) - 2, 1)),
+                  i -> array_to_string(list_slice(string_split_regex(lower(trim(text)), '\\s+'), i, i + 2), ' ')
+                )) AS grams
+              FROM documents)
+            SELECT a._id AS id_a, b._id AS id_b,
+                   round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                         / len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard
+            FROM g a JOIN g b ON a._id < b._id
+            WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.12""",
+        "q1_fts_rank_order": """
+            WITH t AS (
+              SELECT doc_id, text,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+              FROM documents),
+            f AS (
+              SELECT doc_id,
+                     list_transform(toks, x ->
+                       regexp_replace(regexp_replace(regexp_replace(x, 'sses$', 'ss'), 'ies$', 'i'), '([^s])s$', '\\1')) AS ftoks
+              FROM t),
+            r AS (
+              SELECT doc_id,
+                     CAST(len(list_filter(ftoks, x -> x = 'spark')) AS DOUBLE)
+                       / (1 + len(list_filter(ftoks, x -> x = 'spark')))
+                     + CAST(len(list_filter(ftoks, x -> x = 'vector')) AS DOUBLE)
+                       / (1 + len(list_filter(ftoks, x -> x = 'vector'))) AS r
+              FROM f
+              WHERE list_contains(ftoks, 'spark') OR list_contains(ftoks, 'vector'))
+            SELECT doc_id, CAST(pos AS INT) AS pos, round(r, 6) AS rank_lite FROM (
+              SELECT doc_id, r, ROW_NUMBER() OVER (ORDER BY r DESC, doc_id ASC) AS pos FROM r)""",
         "sim_ann_lsh": """
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
             q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),

@@ -84,6 +84,8 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> dict[str, float]:
         "sim_embedding_neardup",
         "q1_fts_rank",
         "q1_fts_or",
+        "q1_fts_rank_order",
+        "p2_html_parse",
         "p12_cache_gate",
         "p14_content_filename",
         "cookie_match",

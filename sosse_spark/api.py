@@ -35,7 +35,14 @@ from sosse_spark.operators.search import (
     tag_rollup,
 )
 
-__all__ = ["RestApi", "FILTER_FIELDS"]
+__all__ = [
+    "RestApi",
+    "FILTER_FIELDS",
+    "hdd_stats",
+    "OnlineStatus",
+    "search_redirect_context",
+    "archive_latest",
+]
 
 # se/search_form.py:38-49
 FILTER_FIELDS = (
@@ -339,4 +346,162 @@ def opensearch_descriptor(base_url: str, short_name: str = "Sosse") -> str:
         "  <InputEncoding>UTF-8</InputEncoding>\n"
         f'  <Url type="text/html" method="GET" template={template}/>\n'
         "</OpenSearchDescription>"
+    )
+
+
+# ---------------------------------------------------------------------------
+# HDD stats (HddStatsViewSet, se/rest_api.py:75-101)
+# ---------------------------------------------------------------------------
+
+
+def hdd_stats(root: str) -> dict:
+    """GET /api/hdd_stats/ — disk usage over an engine root.
+
+    Reference shape (se/rest_api.py:67-101): {db, screenshots, html,
+    other, free}.  Mapping for this engine: `db` ≙ all snapshot/append
+    tables except the payload table; `html` ≙ the documents table (the
+    stored payloads — the reference's HTML-dump dir analog);
+    `screenshots` is 0 (browser capture not ported, SURVEY §7.4).
+    A per-table breakdown rides along under "tables" — it is what
+    `CrawlEngine.vacuum` shrinks."""
+    import os
+
+    def dir_size(d: str) -> int:
+        total = 0
+        for dirpath, _dirs, files in os.walk(d):
+            for fname in files:
+                fp = os.path.join(dirpath, fname)
+                if not os.path.islink(fp):
+                    try:
+                        total += os.path.getsize(fp)
+                    except OSError:
+                        pass
+        return total
+
+    tables: dict[str, int] = {}
+    if os.path.isdir(root):
+        for name in sorted(os.listdir(root)):
+            p = os.path.join(root, name)
+            if os.path.isdir(p):
+                tables[name] = dir_size(p)
+    st = os.statvfs(root if os.path.isdir(root) else "/")
+    size = st.f_frsize * st.f_blocks
+    free = st.f_frsize * st.f_bavail
+    payload = tables.get("documents", 0)
+    db = sum(tables.values()) - payload
+    return {
+        "db": db,
+        "screenshots": 0,
+        "html": payload,
+        "other": max(size - free - db - payload, 0),
+        "free": free,
+        "tables": tables,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Online status + search redirect (se/online.py:29-70, se/search_redirect.py)
+# ---------------------------------------------------------------------------
+
+
+class OnlineStatus:
+    """online_status (se/online.py:29-61): the search page's
+    online/offline pill.  The form's `o` param forces the verdict
+    ('o' → online, 'l' → offline); otherwise a connectivity probe runs,
+    its verdict cached for `check_cache` requests (None ⇒ probe once,
+    cache forever — the reference's SOSSE_ONLINE_CHECK_CACHE=None arm).
+    `probe` is injected (this engine performs no real network I/O):
+    any zero-arg callable that raises on connectivity failure."""
+
+    def __init__(self, enabled: bool = True, check_cache: int | None = 10, probe=None):
+        self.enabled = enabled
+        self.check_cache = check_cache
+        self.probe = probe
+        self._count = 0
+        self._value: str | None = None
+
+    def status(self, o_param: str | None = None) -> str:
+        if not self.enabled:
+            return ""
+        if o_param == "o":
+            return "online"
+        if o_param == "l":
+            return "offline"
+        if self.check_cache is None and self._value:
+            return self._value
+        if self._count != 0:
+            self._count -= 1
+            if self._value:
+                return self._value
+        self._count = self.check_cache or 0
+        try:
+            if self.probe is not None:
+                self.probe()
+            self._value = "online"
+        except Exception:
+            self._value = "offline"
+        return self._value
+
+    def check(self) -> dict:
+        """GET /online_check (OnlineCheckView, se/online.py:64-70):
+        uncached probe with a status payload."""
+        try:
+            if self.probe is not None:
+                self.probe()
+        except Exception as e:  # the reference reports the exception doc
+            return {"status": type(e).__doc__ or str(e), "success": False}
+        return {"status": "Success", "success": True}
+
+
+def search_redirect_context(base_url: str, q: str | None) -> dict:
+    """SearchRedirectView context (se/search_redirect.py:25-33): the
+    offline-fallback page that forwards the query to an external engine
+    — `url` is the instance base, `q` the quote_plus-encoded query."""
+    from urllib.parse import quote_plus
+
+    return {"url": base_url.rstrip("/") + "/", "q": quote_plus(q or "")}
+
+
+# ---------------------------------------------------------------------------
+# Archive / download serving (se/archive.py:34-230, se/download.py:28-56 —
+# reduced to the engine tier: no template rendering, the payload row IS
+# the archive)
+# ---------------------------------------------------------------------------
+
+
+def archive_latest(documents: DataFrame, url: str) -> DataFrame:
+    """The newest stored payload row for a URL plus the download
+    metadata the reference's DownloadView computes (filename rebuilt
+    from the URL tail with the payload's format as extension, filesize
+    from the stored bytes; the reference picks the newest asset via
+    order_by(download_date).last() — here the highest round wins).
+
+    One-row result; the filter pushes straight onto the documents scan.
+    """
+    from urllib.parse import unquote
+
+    from pyspark.sql import Window
+
+    tail = unquote(url.rstrip("/").rsplit("/", 1)[-1]) or "index"
+    if "." in tail:
+        tail = tail.rsplit(".", 1)[0]
+
+    w = Window.partitionBy("url").orderBy(F.col("round_no").desc())
+    latest = (
+        documents.filter(F.col("url") == url)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return latest.select(
+        "url",
+        "fmt",
+        "bytes",
+        "caption",
+        *(["title"] if "title" in documents.columns else []),
+        "round_no",
+        F.concat(F.lit(tail + "."), F.coalesce(F.col("fmt"), F.lit("bin"))).alias(
+            "filename"
+        ),
+        F.length("bytes").alias("filesize"),
     )

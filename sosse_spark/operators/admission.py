@@ -26,7 +26,14 @@ from typing import Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["CollectionPolicy", "build_multiline_re", "admit_links", "route_cross_collection"]
+__all__ = [
+    "CollectionPolicy",
+    "build_multiline_re",
+    "admit_links",
+    "route_cross_collection",
+    "policy_export",
+    "policy_import",
+]
 
 
 def build_multiline_re(lines: str) -> str:
@@ -175,3 +182,52 @@ def route_cross_collection(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# Collection/policy export-import (config round-trip for instance
+# migration — CrawlPolicyBackup, se/crawl_policy_backup.py:35-231, and
+# the Collection REST serializer, se/rest_api.py:508-525)
+# ---------------------------------------------------------------------------
+
+def policy_export(policies) -> str:
+    """Serialize CollectionPolicy configs to a JSON document.
+
+    Derived artifacts (the reference's precompiled ``*_regex_pg``
+    columns) are NOT exported — they rebuild at load time, exactly as
+    the reference serializer marks them ``read_only_fields``."""
+    import json
+    from dataclasses import asdict
+
+    return json.dumps(
+        {"version": 1, "collections": [asdict(p) for p in policies]},
+        indent=2,
+        sort_keys=True,
+    )
+
+
+def policy_import(text: str) -> list[CollectionPolicy]:
+    """Restore CollectionPolicy configs from `policy_export` JSON.
+    Unknown fields fail loudly (a config from a newer engine should
+    not silently drop behavior); tuple-typed fields are rebuilt from
+    their JSON arrays (auth_fields as (key, value) pairs)."""
+    import dataclasses
+    import json
+
+    data = json.loads(text)
+    if data.get("version") != 1:
+        raise ValueError(f"unsupported policy export version: {data.get('version')!r}")
+    known = {f.name for f in dataclasses.fields(CollectionPolicy)}
+    out = []
+    for c in data.get("collections", []):
+        unknown = set(c) - known
+        if unknown:
+            raise ValueError(f"unknown policy fields: {sorted(unknown)}")
+        c = dict(c)
+        for k in ("queue_to_collections", "webhooks"):
+            if k in c:
+                c[k] = tuple(c[k])
+        if "auth_fields" in c:
+            c["auth_fields"] = tuple((k, v) for k, v in c["auth_fields"])
+        out.append(CollectionPolicy(**c))
+    return out

@@ -37,6 +37,7 @@ __all__ = [
     "hamming_near_dup_pairs",
     "phash_hamming_pairs",
     "ngram_jaccard_pairs",
+    "ngram_jaccard_bruteforce",
     "dedup_components",
     "dedup_canonical",
 ]
@@ -476,6 +477,73 @@ def ngram_jaccard_pairs(
     # gram arrays join back ONCE per side, post-prefilter, for the exact
     # intersect/union — each candidate id is an equi-join probe, so only
     # grams of surviving candidates ever shuffle
+    g = grams.select("_id", "g")
+    pairs = (
+        cand.join(g.select(F.col("_id").alias("id_a"), F.col("g").alias("g_a")), "id_a")
+        .join(g.select(F.col("_id").alias("id_b"), F.col("g").alias("g_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("g_a", "g_b"))
+                / F.size(F.array_union("g_a", "g_b"))
+            ).alias("jaccard"),
+        )
+    )
+    return pairs.filter(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def ngram_jaccard_bruteforce(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.3,
+    max_rows: int = 10_000,
+) -> DataFrame:
+    """Full-pair n-gram Jaccard — the UNBLOCKED oracle twin of
+    `ngram_jaccard_pairs`: identical gram pipeline and score, every
+    i<j pair considered (only the scalar size-ratio bound prunes, which
+    is exact: jaccard ≤ min/max of the distinct-gram counts).
+
+    Quadratic by construction — `max_rows` refuses corpora it was never
+    meant for.  It exists to certify the blocked operator's semantics
+    AND recall (blocked output must be ⊆ this, and equal within
+    blocks); production corpora use the blocked operator.
+    """
+    if df.limit(max_rows + 1).count() > max_rows:
+        raise ValueError(
+            f"ngram_jaccard_bruteforce is O(n²) and capped at max_rows={max_rows}; "
+            "use ngram_jaccard_pairs (blocked) for real corpora"
+        )
+    toks_df = df.select(
+        F.col(id_col).alias("_id"),
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("toks"),
+    )
+    n_sh = F.greatest(F.size("toks") - F.lit(n - 1), F.lit(1))
+    grams = toks_df.select(
+        "_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), n_sh - 1),
+                lambda i: F.concat_ws(" ", F.slice("toks", i + 1, n)),
+            )
+        ).alias("g"),
+    ).withColumn("gs", F.size("g")).localCheckpoint(eager=True)
+
+    thin = grams.select("_id", "gs")
+    a, b = thin.alias("a"), thin.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a._id") < F.col("b._id"))
+        & (
+            F.least(F.col("a.gs"), F.col("b.gs"))
+            >= F.greatest(F.col("a.gs"), F.col("b.gs")) * threshold
+        ),
+    ).select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+
     g = grams.select("_id", "g")
     pairs = (
         cand.join(g.select(F.col("_id").alias("id_a"), F.col("g").alias("g_a")), "id_a")

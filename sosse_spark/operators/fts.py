@@ -37,7 +37,7 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass, field
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -48,6 +48,7 @@ __all__ = [
     "fts_tokens",
     "fts_fold",
     "fts_match_rank",
+    "fts_rank_order",
     "fts_build_index",
     "fts_query_index",
 ]
@@ -190,6 +191,71 @@ def fts_match_rank(
         .withColumn("rank", rank)
         .filter(F.col("rank") > rank_floor)
         .drop("_toks", "_ftoks")
+    )
+
+
+def fts_rank_order(
+    docs: DataFrame,
+    query: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Q1 result ORDERING surface — ts_rank-lite (se/search.py:104-119
+    + the rank sort of se/search_form.py:109-129).
+
+    rank_lite = Σ_t tf_t / (1 + tf_t) over the query's positive folded
+    terms: monotone and SUB-LINEAR in each term's frequency, with NO
+    document-length normalization — matching SearchRank's default
+    ts_rank normalization=0, under which PG's ordering is also a pure
+    function of term frequencies.  Declared deltas vs exact PG ts_rank
+    (documented, ordering-affecting only in corners): PG's per-position
+    weight-label accumulation and proximity terms are not reproduced,
+    and phrases gate matching but do not contribute rank.  Ties break
+    by id (the reference appends title, then pk — se/search_form.py:
+    109-129; the driver corpus carries no title).
+
+    Output: (id, pos, rank_lite) — `pos` is the 1-based result
+    position, so a value-hash oracle match certifies the ORDER itself.
+    This is the paginated result surface: the single global window is
+    bounded by the result set, not the corpus (callers page with
+    LIMIT; the corpus-scale scan stays in fts_match_rank/the index).
+    """
+    groups = parse_websearch(query)
+    staged = docs.withColumn("_toks", fts_tokens(F.col(text_col))).withColumn(
+        "_ftoks", fts_fold(F.col("_toks"))
+    )
+    low = F.lower(F.col(text_col))
+
+    def group_cond(g: WebsearchGroup) -> Column:
+        cond = F.lit(True)
+        for t in g.terms:
+            cond = cond & F.array_contains("_ftoks", fold_suffix(t))
+        for p in g.phrases:
+            cond = cond & low.contains(p)
+        for t in g.neg_terms:
+            cond = cond & ~F.array_contains("_ftoks", fold_suffix(t))
+        for p in g.neg_phrases:
+            cond = cond & ~low.contains(p)
+        return cond
+
+    if groups:
+        cond = group_cond(groups[0])
+        for g in groups[1:]:
+            cond = cond | group_cond(g)
+    else:
+        cond = F.lit(False)
+
+    rank = F.lit(0.0)
+    for t in _positive_terms(groups):
+        tf = F.size(F.filter("_ftoks", lambda x: x == F.lit(t))).cast("double")
+        rank = rank + tf / (F.lit(1.0) + tf)
+
+    w = Window.orderBy(F.col("_r").desc(), F.col(id_col).asc())
+    return (
+        staged.filter(cond)
+        .withColumn("_r", rank)
+        .withColumn("pos", F.row_number().over(w))
+        .select(id_col, "pos", F.round("_r", 6).alias("rank_lite"))
     )
 
 

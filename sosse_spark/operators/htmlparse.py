@@ -151,6 +151,8 @@ def _find_first(node: _Node, name: str) -> Optional[_Node]:
         if isinstance(child, _Node):
             if child.name == name:
                 return child
+            if child.name == "template":
+                continue  # template subtrees are dropped pre-walk (se/page.py:68-70)
             found = _find_first(child, name)
             if found is not None:
                 return found
@@ -281,7 +283,12 @@ def parse_html(
         _walk(child, state, base, remove_nav, False)
     links = state.links
     if not store_extern_links:
+        # dropped candidates consume NO ordinal (the reference numbers
+        # only links it materializes, se/page.py:173) — renumber after
+        # the filter
         links = [l for l in links if l["browsable"]]
+        for i, l in enumerate(links):
+            l["a_no"] = i
     return {
         "title": _title_of(root),
         "text": state.text,

@@ -291,6 +291,19 @@ class CrawlEngine:
         return frontier.filter(F.col("bucket").isin(buckets))
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def _free_checkpoints(cuts) -> None:
+        """Explicitly drop localCheckpoint blocks at end of round.
+        ContextCleaner frees them only when a JVM GC notices the dropped
+        reference — at driver scale one leaked checkpointed frame per
+        round is an unbounded block-manager leak.  MUST run after every
+        use of the frames: a truncated lineage cannot recompute."""
+        for cp in cuts:
+            try:
+                cp._jdf.queryExecution().analyzed().rdd().unpersist(False)
+            except Exception:
+                pass  # best effort — GC + periodic cleaner remain the backstop
+
     def run_round(self, t: datetime) -> Optional[dict]:
         """One BSP round.  Returns the metrics row, or None if quiescent."""
         t0 = time.time()
@@ -298,6 +311,7 @@ class CrawlEngine:
         round_no = self.round_no()
         spark = self.spark
         now_col = F.lit(t).cast("timestamp")
+        lineage_cuts: list = []  # checkpointed hub frames, freed at round end
 
         frontier = self._with_schema_defaults(self.frontier.read(spark))
         if frontier is None:
@@ -559,6 +573,7 @@ class CrawlEngine:
                 self._finalize_rows(cache_rows)
             )
         ).localCheckpoint(eager=True)
+        lineage_cuts.append(replacements)
 
         # --- link extraction & admission ---------------------------------
         # parse skipped when hash unchanged and recrawl_condition=change
@@ -589,6 +604,7 @@ class CrawlEngine:
         # lineage cut (see the replacements note): links append + the
         # whole candidate/dedup/bloom pipeline hang off this frame
         resolved = resolved.withColumn("url", F.col("abs_url")).localCheckpoint(eager=True)
+        lineage_cuts.append(resolved)
 
         admitted = admit_links(resolved, self.policy)
         candidates = (
@@ -661,6 +677,7 @@ class CrawlEngine:
         # lineage cut (see the replacements note): bloom_build and the
         # frontier merge both consume this frame
         inserts = self._finalize_rows(inserts).localCheckpoint(eager=True)
+        lineage_cuts.append(inserts)
 
         # --- metrics (F30 parity counts): single-pass aggregation --------
         counts = joined.agg(
@@ -954,10 +971,11 @@ class CrawlEngine:
         merged = merge_frontier(untouched_frontier, replacements, inserts if n_new else None)
         self.frontier.commit(spark, merged, round_no, changed_buckets=buckets)
 
-        for df in (frontier, batch, checked, joined, resolved, replacements, inserts):
+        for df in (frontier, batch, checked, joined):
             df.unpersist()
         if fetched_cached is not None:
             fetched_cached.unpersist()
+        self._free_checkpoints(lineage_cuts)
         return metrics_row
 
     # ------------------------------------------------------------------

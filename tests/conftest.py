@@ -34,7 +34,14 @@ def spark():
         # of accumulated blocks at ~250 tests; 1min still showed py4j
         # flakes near the 300-test mark at 8g, hence 30s + 12g)
         .config("spark.cleaner.periodicGC.interval", "30s")
-        .config("spark.sql.adaptive.enabled", "true")
+        # AQE OFF for the suite: on this host AQE's per-stage
+        # materialization multiplies fixed job latency ~5× (measured
+        # 2307ms vs 445ms for an identical tiny shuffle job), and the
+        # suite is thousands of tiny jobs.  AQE remains the documented
+        # production setting (skew joins at cluster scale — bench.py and
+        # jobs/ keep it on); no test asserts AQE-shaped plans
+        # (test_plans disables it locally where plan text matters).
+        .config("spark.sql.adaptive.enabled", "false")
         # plan-DESCRIPTION strings (SQL listener events, AQE plan
         # updates) are generated eagerly per query execution even with
         # the UI off; on the deep iterative crawl plans generateTreeString

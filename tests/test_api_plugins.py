@@ -306,3 +306,202 @@ def test_excluded_urls_parse_and_opensearch():
     xml = opensearch_descriptor("http://search.example.com/")
     assert 'template="http://search.example.com/?q={searchTerms}"' in xml
     assert xml.startswith('<?xml version="1.0"')
+
+
+# --- policy export/import (se/crawl_policy_backup.py:35-231) -------------
+
+
+def test_policy_export_import_roundtrip():
+    from sosse_spark.operators.admission import (
+        CollectionPolicy,
+        policy_export,
+        policy_import,
+    )
+
+    p1 = CollectionPolicy(
+        collection_id=7,
+        unlimited_regex=r"^http://a/",
+        limited_regex=r"^http://b/",
+        excluded_regex=r"\.pdf$",
+        recursion_depth=3,
+        keep_params=False,
+        hash_no_numbers=True,
+        recrawl_freq="constant",
+        recrawl_dt_min=60,
+        recrawl_dt_max=600,
+        recrawl_condition="always",
+        queue_to_collections=(2, 3),
+        webhooks=("discovery", "change"),
+        auth_login_url_re=r"/login",
+        auth_fields=(("user", "u"), ("password", "p")),
+    )
+    p2 = CollectionPolicy(collection_id=8)
+    text = policy_export([p1, p2])
+    restored = policy_import(text)
+    assert restored == [p1, p2]
+    # unknown fields fail loudly (config from a newer engine)
+    with pytest.raises(ValueError, match="bogus"):
+        policy_import(text.replace('"collection_id"', '"bogus"'))
+    with pytest.raises(ValueError, match="version"):
+        policy_import('{"version": 99, "collections": []}')
+
+
+def test_policy_import_drives_identical_crawl(spark, tmp_path_factory):
+    """Export → fresh engine → import → identical admission/recrawl
+    behavior on the same seeds (the migration round-trip the reference's
+    CrawlPolicyBackup exists for)."""
+    from datetime import datetime, timedelta
+
+    from sosse_spark.operators.admission import (
+        CollectionPolicy,
+        policy_export,
+        policy_import,
+    )
+    from sosse_spark.sources.webgraph import WebConfig, url_of
+    from sosse_spark.streaming.crawl_loop import CrawlEngine
+
+    t0 = datetime(2024, 1, 1)
+    web = WebConfig(n_docs=24, n_hosts=3)
+    pol = CollectionPolicy(
+        collection_id=1,
+        unlimited_regex=r"^http://img[01]\.example\.com/",
+        limited_regex=r"^http://img[0-9]+\.example\.com/",
+        recursion_depth=1,
+        keep_params=False,
+        recrawl_freq="adaptive",
+        recrawl_dt_min=1800,
+        recrawl_dt_max=7200,
+    )
+    (pol2,) = policy_import(policy_export([pol]))
+    seeds = [url_of(2, web), url_of(15, web)]
+
+    outs = []
+    for p in (pol, pol2):
+        root = str(tmp_path_factory.mktemp("polmig"))
+        eng = CrawlEngine(spark, root, web, p, n_buckets=4, batch_size=16, per_host_budget=8)
+        eng.seed(seeds, t0)
+        eng.run_until_quiescent(t0, timedelta(minutes=1), max_rounds=5)
+        fr = eng.frontier.read(spark).select(
+            "url", "crawl_recurse", "crawl_dt", "error"
+        ).collect()
+        outs.append({(r["url"], r["crawl_recurse"], r["crawl_dt"], r["error"]) for r in fr})
+    assert outs[0] == outs[1] and outs[0]
+
+
+# --- hdd_stats / online_status / search redirect --------------------------
+
+
+def test_hdd_stats_shape(tmp_path):
+    import os
+
+    from sosse_spark.api import hdd_stats
+
+    root = str(tmp_path)
+    os.makedirs(os.path.join(root, "documents"))
+    os.makedirs(os.path.join(root, "frontier"))
+    with open(os.path.join(root, "documents", "x.parquet"), "wb") as f:
+        f.write(b"p" * 1000)
+    with open(os.path.join(root, "frontier", "y.parquet"), "wb") as f:
+        f.write(b"q" * 500)
+    got = hdd_stats(root)
+    assert got["html"] == 1000  # payload table ≙ HTML-dump dir
+    assert got["db"] == 500
+    assert got["screenshots"] == 0
+    assert got["free"] > 0 and got["other"] >= 0
+    assert got["tables"] == {"documents": 1000, "frontier": 500}
+
+
+def test_hdd_stats_shrinks_after_vacuum(spark, tmp_path_factory):
+    """hdd_stats reconciles with the on-disk tree and shrinks when
+    vacuum drops superseded snapshots (se/rest_api.py:75-101 +
+    the engine's disk GC)."""
+    from datetime import datetime, timedelta
+
+    from sosse_spark.api import hdd_stats
+    from sosse_spark.operators.admission import CollectionPolicy
+    from sosse_spark.sources.webgraph import WebConfig, url_of
+    from sosse_spark.streaming.crawl_loop import CrawlEngine
+
+    t0 = datetime(2024, 1, 1)
+    web = WebConfig(n_docs=20, n_hosts=3)
+    pol = CollectionPolicy(
+        collection_id=1,
+        unlimited_regex=r"^http://img[0-9]+\.example\.com/",
+        recursion_depth=2,
+        keep_params=False,
+        recrawl_freq="adaptive",
+    )
+    root = str(tmp_path_factory.mktemp("hdd"))
+    eng = CrawlEngine(spark, root, web, pol, n_buckets=4, batch_size=16, per_host_budget=8)
+    eng.seed([url_of(2, web), url_of(11, web)], t0)
+    eng.run_round(t0)
+    eng.run_round(t0 + timedelta(minutes=1))
+    before = hdd_stats(root)
+    assert before["db"] > 0 and before["tables"].get("frontier", 0) > 0
+    eng.vacuum()
+    after = hdd_stats(root)
+    assert after["db"] + after["html"] < before["db"] + before["html"]
+    # totals reconcile with a direct walk
+    import os
+
+    du = 0
+    for dirpath, _d, files in os.walk(root):
+        for fn in files:
+            du += os.path.getsize(os.path.join(dirpath, fn))
+    assert after["db"] + after["html"] == sum(after["tables"].values()) == du
+
+
+def test_online_status_modes_and_cache():
+    from sosse_spark.api import OnlineStatus, search_redirect_context
+
+    calls = []
+
+    def probe_ok():
+        calls.append(1)
+
+    s = OnlineStatus(check_cache=2, probe=probe_ok)
+    # forced verdicts never probe (se/online.py:33-39)
+    assert s.status("o") == "online" and s.status("l") == "offline" and not calls
+    assert s.status() == "online" and len(calls) == 1
+    # cached for check_cache requests, then re-probed
+    assert s.status() == "online" and s.status() == "online" and len(calls) == 1
+    assert s.status() == "online" and len(calls) == 2
+
+    def probe_bad():
+        calls.append(1)
+        raise ConnectionError("no net")
+
+    b = OnlineStatus(check_cache=None, probe=probe_bad)
+    n0 = len(calls)
+    assert b.status() == "offline" and len(calls) == n0 + 1
+    # cache-forever arm (SOSSE_ONLINE_CHECK_CACHE=None, se/online.py:42-43)
+    assert b.status() == "offline" and len(calls) == n0 + 1
+    assert b.check() == {"status": ConnectionError.__doc__, "success": False}
+    assert OnlineStatus(enabled=False).status() == ""
+    # search redirect context (se/search_redirect.py:25-33)
+    assert search_redirect_context("http://me.local/", "a b&c") == {
+        "url": "http://me.local/",
+        "q": "a+b%26c",
+    }
+
+
+def test_archive_latest_picks_newest_round(spark):
+    from sosse_spark.api import archive_latest
+
+    docs = spark.createDataFrame(
+        [
+            ("http://h/a/page.html", "png", b"old", "c1", 1),
+            ("http://h/a/page.html", "html", b"new", "c2", 2),
+            ("http://h/other", "png", b"x", "c3", 2),
+        ],
+        "url string, fmt string, bytes binary, caption string, round_no int",
+    )
+    got = archive_latest(docs, "http://h/a/page.html").collect()
+    assert len(got) == 1
+    r = got[0]
+    assert bytes(r["bytes"]) == b"new" and r["round_no"] == 2
+    # DownloadView filename rule: URL tail, query-decoded, extension
+    # swapped for the payload's format (se/download.py:41-47)
+    assert r["filename"] == "page.html"
+    assert r["filesize"] == 3
+    assert archive_latest(docs, "http://h/missing").count() == 0

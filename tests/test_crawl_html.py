@@ -84,11 +84,11 @@ def test_html_mode_crawl_matches_synthetic(spark, tmp_path_factory):
     # per the reference's target_doc != document guard)
     ls = {
         (r["src_url"], r["dst_url"], r["link_no"])
-        for r in eng_s.links_view(spark).collect()
+        for r in eng_s.links_view().collect()
     }
     lh = {
         (r["src_url"], r["dst_url"], r["link_no"])
-        for r in eng_h.links_view(spark).collect()
+        for r in eng_h.links_view().collect()
     }
     assert {(s, d, n + 1) for (s, d, n) in ls} == lh
     assert ls  # non-trivial graph

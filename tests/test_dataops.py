@@ -587,3 +587,48 @@ def test_ann_query_batch_guard(spark):
     small = queries.limit(3)
     got = brute_force_topk(emb, small, k=2, max_query_batch=5).collect()
     assert len(got) == 6
+
+
+def test_ngram_blocked_subset_of_bruteforce(spark, docs):
+    """Recall certification for the blocked n-gram operator: blocked ⊆
+    full-pair brute force at the same threshold, and every brute-force
+    pair that shares the blocking key is found by the blocked operator
+    (exactness within blocks)."""
+    from sosse_spark.operators.dedup import (
+        ngram_jaccard_bruteforce,
+        ngram_jaccard_pairs,
+    )
+
+    blocked = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.3).collect()
+    }
+    brute = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_bruteforce(docs, "text", "doc_id", n=3, threshold=0.3).collect()
+    }
+    assert set(blocked) <= set(brute)
+    for k, v in blocked.items():
+        assert brute[k] == v  # identical score where both find the pair
+    # blocking-key replica: pairs sharing (first token, len band) in the
+    # brute-force result MUST appear in the blocked result
+    rows = {r["doc_id"]: r["text"] for r in docs.collect()}
+
+    def blk(t):
+        toks = t.strip().lower().split()
+        return (toks[0], len(toks) // 8)
+
+    for (a, b), v in brute.items():
+        if blk(rows[a]) == blk(rows[b]):
+            assert (a, b) in blocked, (a, b)
+    # the fixture really exercises both sides
+    assert brute and blocked
+
+
+def test_bruteforce_ngram_refuses_big_corpus(spark, docs):
+    import pytest as _pytest
+
+    from sosse_spark.operators.dedup import ngram_jaccard_bruteforce
+
+    with _pytest.raises(ValueError, match="max_rows"):
+        ngram_jaccard_bruteforce(docs, "text", "doc_id", max_rows=3)

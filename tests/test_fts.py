@@ -102,3 +102,34 @@ def test_index_rejects_phrases(spark):
 
     with _pytest.raises(ValueError, match="phrase"):
         fts_query_index(idx, '"a b"')
+
+
+def test_rank_order_embeds_position_and_subsumes_tf(spark):
+    """fts_rank_order: pos is the 1-based position under
+    (rank_lite desc, id asc); rank_lite is sub-linear per-term tf with
+    no length normalization (ts_rank normalization=0 analog)."""
+    from sosse_spark.operators.fts import fts_rank_order
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark is heavy on spark"),  # tf=4 → 4/5
+            (2, "spark once and a lot of other words here now"),  # tf=1 → 1/2
+            (3, "vector vector"),  # tf=2 → 2/3
+            (4, "spark vector"),  # 1/2 + 1/2 = 1.0
+            (5, "nothing relevant"),
+        ],
+        "doc_id long, text string",
+    )
+    got = fts_rank_order(docs, "spark or vector").collect()
+    assert [(r["doc_id"], r["pos"]) for r in got] == [(4, 1), (1, 2), (3, 3), (2, 4)]
+    by_id = {r["doc_id"]: r["rank_lite"] for r in got}
+    assert by_id[4] == 1.0 and by_id[1] == 0.8 and abs(by_id[3] - 2 / 3) < 1e-6
+    # a longer document with the same tf ranks EQUAL (no length
+    # normalization — SearchRank default), tiebreak by id
+    docs2 = spark.createDataFrame(
+        [(1, "spark short"), (2, "spark " + "filler " * 50)],
+        "doc_id long, text string",
+    )
+    got2 = fts_rank_order(docs2, "spark").collect()
+    assert [(r["doc_id"], r["pos"]) for r in got2] == [(1, 1), (2, 2)]
+    assert got2[0]["rank_lite"] == got2[1]["rank_lite"] == 0.5

@@ -158,3 +158,15 @@ def test_parse_html_batch_spark(spark):
     # shuffle in the plan
     plan = parse_html_batch(pages)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_dropped_candidates_consume_no_ordinal():
+    # the reference numbers only materialized links (se/page.py:173):
+    # with store_extern_links off, a dropped mailto must not leave an
+    # a_no gap
+    html = '<a href="mailto:a@b">m</a> <a href="/ok">ok</a> <a href="/two">t</a>'
+    p = parse_html("http://h/", html)
+    assert [(l["a_no"], l["abs_url"]) for l in p["links"]] == [
+        (0, "http://h/ok"),
+        (1, "http://h/two"),
+    ]

@@ -158,7 +158,10 @@ def test_whole_stage_codegen_in_scheduler(spark):
     )
     out.collect()  # under AQE the final plan exists only after execution
     plan = _plan(out)
-    assert "isFinalPlan=true" in plan
+    # AQE wraps the plan only when enabled (the suite session may run
+    # either way); when it does, demand the post-execution final plan
+    if "AdaptiveSparkPlan" in plan:
+        assert "isFinalPlan=true" in plan
     # codegen'd spans print as "*(n) Operator" in the executed plan
     assert "WholeStageCodegen" in plan or "*(1)" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
