@@ -116,6 +116,17 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> dict[str, float]:
     from sosse_spark.operators.frontier import bloom_build, urlseen_dedup, with_bucket
     from sosse_spark.operators.scheduler import select_batch
 
+    # isolate the north-rule section from the query section's leftover
+    # state: drop caches/checkpoint blocks (several entry operators
+    # localCheckpoint internally) and take the JVM GC NOW, so
+    # ContextCleaner block frees and the GC pause land outside the timed
+    # windows (measured: a mid-window GC turned the 2s schedule job into
+    # 26s)
+    spark.catalog.clearCache()
+    for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+        rdd.unpersist()
+    spark.sparkContext._jvm.System.gc()
+
     n_frontier = int(os.environ.get("SPARK_GRAFT_FRONTIER_N", "1000000"))
     frontier = synthetic_frontier(spark, n_frontier).cache()
     frontier.count()
