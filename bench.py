@@ -23,6 +23,28 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 
+def host_control(seconds: float = 2.5) -> float:
+    """Single-process memory-bandwidth probe (the BENCH/membw_control.py
+    kernel at n_procs=1): passes/sec over a private 64 MB copy+add
+    stream.  Run untimed before and after the benchmark and emitted in
+    the JSON so cross-round wall times can be normalized to host state —
+    round 4 measured identical code 2.6× slower purely from host
+    burst-throttling, which was only provable via a separate file."""
+    import numpy as np
+
+    a = np.ones(8 * 1024 * 1024, dtype=np.float64)  # 64 MB
+    b = np.empty_like(a)
+    np.copyto(b, a)  # fault pages before the timing window
+    b += 1.0
+    t0 = time.time()
+    n = 0
+    while time.time() - t0 < seconds:
+        np.copyto(b, a)
+        b += 1.0
+        n += 1
+    return round(n / (time.time() - t0), 2)
+
+
 def make_spark(cpus: int) -> SparkSession:
     return (
         SparkSession.builder.master(f"local[{cpus}]")
@@ -189,11 +211,16 @@ def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    ctl_start = host_control()
+    print(f"  [host control (start): {ctl_start} passes/s]", file=sys.stderr)
     spark = make_spark(cpus)
     spark.sparkContext.setLogLevel("ERROR")
     t0 = time.time()
     queries = bench_queries(spark, sf_dir)
     total = round(time.time() - t0, 3)
+    spark.stop()
+    ctl_end = host_control()
+    print(f"  [host control (end): {ctl_end} passes/s]", file=sys.stderr)
     print(
         json.dumps(
             {
@@ -202,10 +229,13 @@ def main():
                 "unit": "sec",
                 "queries": queries,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                # membw passes/sec at benchmark start/end (see
+                # host_control): divide a round's wall times by the
+                # control ratio before comparing across rounds
+                "control_passes_s": {"start": ctl_start, "end": ctl_end},
             }
         )
     )
-    spark.stop()
 
 
 if __name__ == "__main__":

@@ -71,6 +71,11 @@ class CollectionPolicy:
     # P17 webhook trigger conditions kept as metric events
     # (se/webhook.py:108-117): subset of discovery|change|always|manual
     webhooks: tuple = field(default_factory=tuple)
+    # full webhook DELIVERY configs (operators/webhooks.WebhookConfig ≙
+    # the Webhook model, se/webhook.py:99-193): when non-empty the
+    # engine runs the delivery stage each round and stores real
+    # outcomes in documents.webhooks_result + the webhook_results log
+    webhook_configs: tuple = field(default_factory=tuple)
     # form auth (se/collection.py:244-255): a redirect landing on a URL
     # matching auth_login_url_re triggers the auth kernel; auth_fields
     # are (key, value) pairs overlaid on the scraped form inputs
@@ -229,5 +234,16 @@ def policy_import(text: str) -> list[CollectionPolicy]:
                 c[k] = tuple(c[k])
         if "auth_fields" in c:
             c["auth_fields"] = tuple((k, v) for k, v in c["auth_fields"])
+        if "webhook_configs" in c:
+            # lazy import: webhooks.py imports build_multiline_re from
+            # this module at import time
+            from sosse_spark.operators.webhooks import WebhookConfig
+
+            c["webhook_configs"] = tuple(
+                WebhookConfig(
+                    **{**w, "headers": tuple((hk, hv) for hk, hv in w.get("headers", ()))}
+                )
+                for w in c["webhook_configs"]
+            )
         out.append(CollectionPolicy(**c))
     return out

@@ -83,75 +83,145 @@ _TWO_LEVEL_SUFFIXES = _DEFAULT_MULTI_LABEL_SUFFIXES
 # split/slice/array formulation expanded so large through CollapseProject
 # that whole-stage codegen exceeded janino's method limit and fell back
 # to interpreted evaluation
-_SUF_ALT = "|".join(s.replace(".", r"\.") for s in _TWO_LEVEL_SUFFIXES)
+
+
+def _clean_suffixes(suffixes) -> tuple:
+    clean = tuple(
+        s.strip(".").lower()
+        for s in suffixes
+        if s and "." in s and "*" not in s and not s.startswith("!")
+    )
+    if not clean:
+        raise ValueError("suffixes must contain at least one multi-label entry")
+    return clean
+
+
+def _suffix_alt(suffixes=None) -> str:
+    """The regex alternation for a suffix list (default: the
+    process-default list set by configure_public_suffixes)."""
+    suf = _TWO_LEVEL_SUFFIXES if suffixes is None else _clean_suffixes(suffixes)
+    return "|".join(s.replace(".", r"\.") for s in suf)
 
 
 def configure_public_suffixes(suffixes=None) -> tuple:
-    """Override the structural rule's multi-label suffix list (None
-    restores the default).  Entries are literal multi-label suffixes
-    ('co.uk', 'github.io', 's3.amazonaws.com') — closing the gap the
-    default list leaves for PSL private-domain registries, where
-    cross-site Set-Cookie between sibling subdomains must be rejected.
+    """Override the process-DEFAULT multi-label suffix list (None
+    restores the built-in default).  Entries are literal multi-label
+    suffixes ('co.uk', 'github.io', 's3.amazonaws.com') — closing the
+    gap the default list leaves for PSL private-domain registries,
+    where cross-site Set-Cookie between sibling subdomains must be
+    rejected.
+
+    Prefer the per-call `suffixes=` parameter on public_suffix_col /
+    registrable_domain_col / normalize_set_cookies: plans capture the
+    alternation at BUILD time, so a plan built before a reconfigure
+    keeps the old list, and two engines in one process with different
+    suffix configs would interfere through this global.  This hook
+    remains for single-engine deployments that want one list
+    everywhere.
 
     The list compiles into ONE constant regex alternation, so keep it
     to the registries a deployment actually crawls (order hundreds):
     the full ~9,500-rule PSL as a single pattern would exceed the JVM
     constant-pool string limit and break codegen.  When publicsuffix2
     is installed, `load_psl_suffixes()` feeds this hook."""
-    global _TWO_LEVEL_SUFFIXES, _SUF_ALT
+    global _TWO_LEVEL_SUFFIXES
     if suffixes is None:
         _TWO_LEVEL_SUFFIXES = _DEFAULT_MULTI_LABEL_SUFFIXES
     else:
-        clean = tuple(
-            s.strip(".").lower() for s in suffixes if s and "." in s and "*" not in s and not s.startswith("!")
-        )
-        if not clean:
-            raise ValueError("suffixes must contain at least one multi-label entry")
-        _TWO_LEVEL_SUFFIXES = clean
-    _SUF_ALT = "|".join(s.replace(".", r"\.") for s in _TWO_LEVEL_SUFFIXES)
+        _TWO_LEVEL_SUFFIXES = _clean_suffixes(suffixes)
     return _TWO_LEVEL_SUFFIXES
 
 
-def load_psl_suffixes(max_rules: int = 2000):
+def load_psl_suffixes(max_rules: int = 2000, hosts=None, path=None):
     """Multi-label rules from the publicsuffix2 package's bundled
     Mozilla PSL, for `configure_public_suffixes` — or None when the
     package is not installed (the structural rule stays in force).
-    Wildcard and exception rules are skipped (the structural rule
-    cannot express them); `max_rules` caps the constant-pattern size."""
-    try:
-        from publicsuffix2 import PublicSuffixList  # optional dependency
-    except ImportError:
-        return None
-    psl = PublicSuffixList()
-    rules = [r for r in psl.tlds if "." in r and "*" not in r and not r.startswith("!")]
+    Pass `path` to parse a public_suffix_list.dat-format snapshot
+    directly (``//`` comments, one rule per line — the format
+    published at publicsuffix.org) without the package.  Wildcard and
+    exception rules are skipped (the structural rule cannot express
+    them).
+
+    `max_rules` caps the constant-pattern size; when the PSL has more
+    eligible rules than fit, a RuntimeWarning is emitted naming how
+    many were dropped (file order keeps the ICANN section, which the
+    PSL lists first, ahead of private-domain registries) — silently
+    treating a truncated registry as registrable would accept
+    cross-site Set-Cookie between its sibling subdomains.  Pass
+    `hosts` (the crawl's host set) to keep ONLY rules that are
+    dot-suffixes of those hosts: a deployment's live host set selects
+    a few dozen rules, which both fits the cap and names exactly the
+    registries that matter."""
+    if path is not None:
+        tlds = []
+        with open(path, encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if not line or line.startswith("//"):
+                    continue
+                tlds.append(line.split()[0].lower())
+    else:
+        try:
+            from publicsuffix2 import PublicSuffixList  # optional dependency
+        except ImportError:
+            return None
+        tlds = PublicSuffixList().tlds
+    rules = [r for r in tlds if "." in r and "*" not in r and not r.startswith("!")]
+    if hosts is not None:
+        endings = set()
+        for h in hosts:
+            labels = str(h).lower().strip(".").split(".")
+            for i in range(len(labels)):
+                endings.add(".".join(labels[i:]))
+        rules = [r for r in rules if r.lower() in endings]
+    if len(rules) > max_rules:
+        import warnings
+
+        warnings.warn(
+            f"PSL has {len(rules)} eligible multi-label rules; keeping the "
+            f"first {max_rules} (ICANN section leads in file order) and "
+            f"dropping {len(rules) - max_rules} — hosts under dropped "
+            f"registries are treated as registrable (cross-site Set-Cookie "
+            f"between their sibling subdomains will be ACCEPTED).  Pass "
+            f"hosts= to select only the rules your crawl needs.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return tuple(rules[:max_rules])
 
 
-def public_suffix_col(host: Column) -> Column:
+def public_suffix_col(host: Column, suffixes=None) -> Column:
     """The public suffix of `host` under the structural rule (last
     label, or the two-label ending when it is a known suffix).  The
-    label boundary is required: barco.uk's suffix is uk, not co.uk."""
-    two = F.regexp_extract(host, r"(?:^|\.)((?:" + _SUF_ALT + r"))$", 1)
+    label boundary is required: barco.uk's suffix is uk, not co.uk.
+    `suffixes` overrides the process-default multi-label list for this
+    call only (captured into the plan at build time)."""
+    alt = _suffix_alt(suffixes)
+    two = F.regexp_extract(host, r"(?:^|\.)((?:" + alt + r"))$", 1)
     return F.when(two != "", two).otherwise(F.regexp_extract(host, r"([^.]+)$", 1))
 
 
-def registrable_domain_col(host: Column) -> Column:
+def registrable_domain_col(host: Column, suffixes=None) -> Column:
     """eTLD+1 (what publicsuffix2.get_public_suffix returns for a
-    registrable host); NULL when `host` IS a bare public suffix."""
-    t3 = F.regexp_extract(host, r"([^.]+\.(?:" + _SUF_ALT + r"))$", 1)
+    registrable host); NULL when `host` IS a bare public suffix.
+    `suffixes` overrides the process-default list per-call."""
+    alt = _suffix_alt(suffixes)
+    t3 = F.regexp_extract(host, r"([^.]+\.(?:" + alt + r"))$", 1)
     t2 = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
     return F.when(t3 != "", t3).otherwise(
-        F.when((t2 != "") & ~t2.rlike(r"^(?:" + _SUF_ALT + r")$"), t2)
+        F.when((t2 != "") & ~t2.rlike(r"^(?:" + alt + r")$"), t2)
     )
 
 
-def normalize_set_cookies(raw: DataFrame) -> DataFrame:
+def normalize_set_cookies(raw: DataFrame, suffixes=None) -> DataFrame:
     """Validate raw Set-Cookie rows (SET_COOKIE_SCHEMA) into jar rows
     (COOKIE_SCHEMA).  Pure column algebra mirror of Cookie.set
     (se/cookie.py:112-149): Domain= attr ⇒ inc_subdomain, leading-dot
     strip, cross-site reject (registrable-domain mismatch), TLD reject;
     attr-less ⇒ host-only.  Later duplicate keys win (update_or_create),
-    resolved by the caller's upsert."""
+    resolved by the caller's upsert.  `suffixes` overrides the
+    process-default multi-label public-suffix list per-call (see
+    configure_public_suffixes)."""
     # stage each registrable-domain derivation as a column referenced
     # >= 2 times: inlined, the split/slice/suffix-set tree would expand
     # per reference and blow past janino's generated-method limit
@@ -167,9 +237,9 @@ def normalize_set_cookies(raw: DataFrame) -> DataFrame:
             "_domain",
             F.when(F.col("_has_attr"), F.col("_dom_attr")).otherwise(F.col("_host")),
         )
-        .withColumn("_reg_attr", registrable_domain_col(F.col("_dom_attr")))
-        .withColumn("_reg_host", registrable_domain_col(F.col("_host")))
-        .withColumn("_reg_dom", registrable_domain_col(F.col("_domain")))
+        .withColumn("_reg_attr", registrable_domain_col(F.col("_dom_attr"), suffixes))
+        .withColumn("_reg_host", registrable_domain_col(F.col("_host"), suffixes))
+        .withColumn("_reg_dom", registrable_domain_col(F.col("_domain"), suffixes))
     )
     has_attr = F.col("_has_attr")
     cross_site = has_attr & (

@@ -44,13 +44,14 @@ __all__ = [
     "auth_and_fetch",
     "fetch_robots_for_domains",
     "fetch_favicons_for_domains",
+    "fetch_favicons_for_urls",
 ]
 
 FETCH_SCHEMA = (
     "url string, final_url string, redirect_count int, error string, "
     "image_id string, bytes binary, w int, h int, fmt string, "
     "caption string, title string, phash bigint, links array<string>, "
-    "max_age bigint, "
+    "max_age bigint, favicon_url string, "
     "set_cookies array<struct<name:string,value:string,domain_attr:string,"
     "path:string,secure:boolean,origin_url:string>>"
 )
@@ -73,6 +74,7 @@ def _fetch_row(url: str, cfg: WebConfig, cookie: str | None) -> dict:
         "phash": None,
         "links": res.links,
         "max_age": None,
+        "favicon_url": None,
         "set_cookies": [],
     }
     if res.error is None and res.doc_index is not None:
@@ -96,6 +98,9 @@ def _fetch_row(url: str, cfg: WebConfig, cookie: str | None) -> dict:
                 title=parsed["title"],
                 links=[l["abs_url"] for l in parsed["links"]],
                 max_age=max_age_of(i, cfg),
+                # P8 <link rel~=icon> selection from the parsed head
+                # (FavIcon.extract url derivation, se/models.py:383-391)
+                favicon_url=parsed["favicon"],
             )
         else:
             w, h = dims_for(i)
@@ -134,6 +139,7 @@ def _error_row(url: str, error: str) -> dict:
         "phash": None,
         "links": [],
         "max_age": None,
+        "favicon_url": None,
         "set_cookies": [],
     }
 
@@ -297,3 +303,92 @@ def fetch_favicons_for_domains(domains: DataFrame, cfg: WebConfig) -> DataFrame:
             yield out
 
     return domains.select("url_domain").distinct().mapInPandas(run, FAVICON_FETCH_SCHEMA)
+
+
+def _magic_mime(data: bytes):
+    """Magic-number mimetype sniff for the fetched-favicon gate
+    (FavIcon.extract uses python-magic, se/models.py:412-416; only the
+    image formats the engine can meet need recognizing)."""
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        return "image/png"
+    if data[:3] == b"GIF":
+        return "image/gif"
+    if data[:2] == b"\xff\xd8":
+        return "image/jpeg"
+    if data[:4] == b"\x00\x00\x01\x00":
+        return "image/vnd.microsoft.icon"
+    if data[:2] in (b"BM",):
+        return "image/bmp"
+    return "application/octet-stream"
+
+
+def fetch_favicons_for_urls(urls: DataFrame, cfg: WebConfig) -> DataFrame:
+    """P8 html_mode favicon resolution, keyed by the PAGE-DECLARED icon
+    URL (FavIcon.extract, se/models.py:383-422 — get_or_create(url=url)
+    makes the favicon cache url-unique, not domain-unique):
+
+      * ``data:`` URIs decode in place — ``data:<mime>;base64,<data>``
+        → declared mimetype + b64decoded content, missing=False; a
+        non-base64 encoding or a decode error leaves missing=True
+        (the reference's bare try/except, se/models.py:400-420);
+      * http(s) URLs fetch once each; the content must magic-sniff to
+        image/* to store (se/models.py:412-416), else missing=True.
+
+    Input: one column ``favicon_url`` (already distinct + anti-joined
+    against the favicons table by the caller).  Same mapInPandas shape
+    as the domain variant; the ``domain`` column carries the icon
+    host (NULL for data: URIs)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import base64
+
+        for pdf in batches:
+            rows = []
+            for fav_url in pdf["favicon_url"]:
+                row = {
+                    "domain": None,
+                    "favicon_url": fav_url,
+                    "mimetype": None,
+                    "missing": True,
+                    "content_len": None,
+                }
+                if fav_url.startswith("data:"):
+                    try:
+                        spec = fav_url.split(":", 1)[1]
+                        mimetype, rest = spec.split(";", 1)
+                        encoding, payload = rest.split(",", 1)
+                        if encoding != "base64":
+                            raise ValueError(f"encoding {encoding} not supported")
+                        data = base64.b64decode(payload, validate=True)
+                        row.update(
+                            mimetype=mimetype, missing=False, content_len=len(data)
+                        )
+                    except Exception:
+                        pass  # missing stays True (se/models.py:418-419)
+                else:
+                    try:
+                        domain = fav_url.split("/", 3)[2]
+                    except IndexError:
+                        domain = None
+                    row["domain"] = domain
+                    try:
+                        host = int(domain.split(".")[0].removeprefix("img"))
+                    except (ValueError, AttributeError):
+                        host = -1
+                    fav = favicon_of(host, cfg) if host >= 0 else None
+                    if fav is not None:
+                        data = encode_image(render_pattern(fav, 16, 16), "png")
+                        mime = _magic_mime(data)
+                        # a non-image body leaves missing=True with no
+                        # content recorded (se/models.py:413-416 gate)
+                        if mime.startswith("image/"):
+                            row.update(
+                                mimetype=mime, missing=False, content_len=len(data)
+                            )
+                rows.append(row)
+            out = pd.DataFrame(rows, dtype=object)
+            out["content_len"] = out["content_len"].astype("Int64")
+            out["missing"] = out["missing"].astype("bool")
+            yield out
+
+    return urls.select("favicon_url").distinct().mapInPandas(run, FAVICON_FETCH_SCHEMA)

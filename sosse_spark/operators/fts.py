@@ -49,6 +49,8 @@ __all__ = [
     "fts_fold",
     "fts_match_rank",
     "fts_rank_order",
+    "fts_rank_order_pg",
+    "pg_rank_or_col",
     "fts_build_index",
     "fts_query_index",
 ]
@@ -199,6 +201,7 @@ def fts_rank_order(
     query: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_results: int | None = 1000,
 ) -> DataFrame:
     """Q1 result ORDERING surface — ts_rank-lite (se/search.py:104-119
     + the rank sort of se/search_form.py:109-129).
@@ -216,9 +219,17 @@ def fts_rank_order(
 
     Output: (id, pos, rank_lite) — `pos` is the 1-based result
     position, so a value-hash oracle match certifies the ORDER itself.
-    This is the paginated result surface: the single global window is
-    bounded by the result set, not the corpus (callers page with
-    LIMIT; the corpus-scale scan stays in fts_match_rank/the index).
+
+    Scale bound (ENFORCED): `max_results` mirrors the reference's
+    Paginator slice (se/search.py:330-332 — a user never consumes more
+    than the paged top of the ranking).  The top slice is computed with
+    orderBy().limit(max_results), which compiles to
+    TakeOrderedAndProject — each partition keeps a local top-k and only
+    k rows merge — so a broad query over a 10^8-doc corpus never
+    funnels the full match set through a single-partition sort.  The
+    row_number window that assigns `pos` then runs over at most
+    max_results rows.  Pass max_results=None only for oracle twins
+    that genuinely need the full ordered set.
     """
     groups = parse_websearch(query)
     staged = docs.withColumn("_toks", fts_tokens(F.col(text_col))).withColumn(
@@ -250,12 +261,125 @@ def fts_rank_order(
         tf = F.size(F.filter("_ftoks", lambda x: x == F.lit(t))).cast("double")
         rank = rank + tf / (F.lit(1.0) + tf)
 
+    ranked = staged.filter(cond).select(F.col(id_col), rank.alias("_r"))
+    if max_results is not None:
+        ranked = ranked.orderBy(F.col("_r").desc(), F.col(id_col).asc()).limit(
+            max_results
+        )
     w = Window.orderBy(F.col("_r").desc(), F.col(id_col).asc())
     return (
-        staged.filter(cond)
-        .withColumn("_r", rank)
-        .withColumn("pos", F.row_number().over(w))
+        ranked.withColumn("pos", F.row_number().over(w))
         .select(id_col, "pos", F.round("_r", 6).alias("rank_lite"))
+    )
+
+
+# PG's magic rank normalizer: zeta(2) = pi^2/6 (tsrank.c, the
+# /1.64493406685 divisor in calc_rank_or/calc_rank_and)
+_PG_RANK_DIVISOR = 1.64493406685
+# default SearchRank weight for unlabeled positions: {D,C,B,A} =
+# {0.1, 0.2, 0.4, 1.0}; to_tsvector without setweight labels D
+_PG_WEIGHT_D = 0.1
+
+
+def pg_rank_or_col(ftoks: Column, terms: list[str], weight: float = _PG_WEIGHT_D) -> Column:
+    """EXACT PostgreSQL ts_rank, calc_rank_or arm (tsrank.c — the code
+    path SearchRank takes for OR-rooted and single-term tsqueries,
+    se/search.py:112-115), specialized to unweighted documents (every
+    position carries the to_tsvector default label D = 0.1, which is
+    what the reference's indexer produces — it never calls setweight):
+
+        per present term: resj = Σ_{j=1..tf} w / j²   (position decay)
+                          wjm  = w, jm = 0            (all weights equal)
+                          contrib = (wjm + resj − wjm/1²) / (π²/6)
+                                  = w · H2(tf) / 1.64493406685
+        rank = Σ contribs / n_query_items             (the res/size mean)
+
+    Monotone and saturating in tf like rank_lite, but with PG's exact
+    1/j² position decay and ζ(2) normalization, so VALUES — not just
+    order — match ts_rank(vector, query, 0) for this query class.
+    Remaining declared delta: AND/phrase-ROOTED tsqueries take PG's
+    calc_rank_and arm (pairwise position-distance products), which is
+    not reproduced; see fts_rank_order_pg's docstring."""
+    contribs = []
+    for t in terms:
+        tf = F.size(F.filter(ftoks, lambda x: x == F.lit(t)))
+        # H2(tf) = sum_{j=1..tf} 1/j^2; Spark sequence(1, 0) would be
+        # DESCENDING [1, 0], so the tf=0 arm must short-circuit
+        h2 = (
+            F.when(
+                tf > 0,
+                F.aggregate(
+                    F.sequence(F.lit(1), tf),
+                    F.lit(0.0),
+                    lambda acc, j: acc + F.lit(1.0) / (j * j).cast("double"),
+                ),
+            )
+            .otherwise(F.lit(0.0))
+        )
+        contribs.append(F.lit(weight) * h2 / F.lit(_PG_RANK_DIVISOR))
+    total = contribs[0]
+    for c in contribs[1:]:
+        total = total + c
+    return total / F.lit(float(len(terms)))
+
+
+def fts_rank_order_pg(
+    docs: DataFrame,
+    query: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_results: int | None = 1000,
+) -> DataFrame:
+    """Q1 ordering with the EXACT PG ts_rank value (pg_rank_or_col) —
+    the round-5 strengthening of fts_rank_order's ts_rank-lite
+    (VERDICT r4 next-round #7): for OR-rooted and single-term queries
+    the emitted ``rank_pg`` equals PostgreSQL's
+    ``ts_rank('{0.1,0.2,0.4,1.0}', vector, query, 0)`` on unweighted
+    documents, and ``pos`` embeds the resulting order.
+
+    Declared remaining delta (documented, golden-tested): a tsquery
+    whose ROOT is AND or PHRASE ("spark vector", '"grey cat"') ranks
+    through PG's calc_rank_and arm — pairwise min-position-distance
+    products — which this operator does not reproduce; such queries
+    still match identically but rank through the same or-arm formula.
+    Same top-k scale bound as fts_rank_order (TakeOrderedAndProject
+    before the pos window)."""
+    groups = parse_websearch(query)
+    staged = docs.withColumn("_toks", fts_tokens(F.col(text_col))).withColumn(
+        "_ftoks", fts_fold(F.col("_toks"))
+    )
+    low = F.lower(F.col(text_col))
+
+    def group_cond(g: WebsearchGroup) -> Column:
+        cond = F.lit(True)
+        for t in g.terms:
+            cond = cond & F.array_contains("_ftoks", fold_suffix(t))
+        for p in g.phrases:
+            cond = cond & low.contains(p)
+        for t in g.neg_terms:
+            cond = cond & ~F.array_contains("_ftoks", fold_suffix(t))
+        for p in g.neg_phrases:
+            cond = cond & ~low.contains(p)
+        return cond
+
+    if groups:
+        cond = group_cond(groups[0])
+        for g in groups[1:]:
+            cond = cond | group_cond(g)
+    else:
+        cond = F.lit(False)
+
+    terms = _positive_terms(groups)
+    rank = pg_rank_or_col(F.col("_ftoks"), terms) if terms else F.lit(0.0)
+    ranked = staged.filter(cond).select(F.col(id_col), rank.alias("_r"))
+    if max_results is not None:
+        ranked = ranked.orderBy(F.col("_r").desc(), F.col(id_col).asc()).limit(
+            max_results
+        )
+    w = Window.orderBy(F.col("_r").desc(), F.col(id_col).asc())
+    return (
+        ranked.withColumn("pos", F.row_number().over(w))
+        .select(id_col, "pos", F.round("_r", 6).alias("rank_pg"))
     )
 
 

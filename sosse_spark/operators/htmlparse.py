@@ -50,10 +50,13 @@ from __future__ import annotations
 from html.parser import HTMLParser
 from typing import Iterator, Optional
 
+import re
+
 from sosse_spark.functions.urlnorm import (
     absolutize_url,
     has_browsable_scheme,
     url_remove_fragment,
+    url_remove_query_string,
 )
 
 __all__ = [
@@ -61,6 +64,8 @@ __all__ = [
     "parse_html_batch",
     "HTML_PARSE_SCHEMA",
     "sniff_is_html",
+    "favicon_href",
+    "favicon_url_of",
 ]
 
 NAV_ELEMENTS = ("nav", "header", "footer")  # se/page.py:29
@@ -169,6 +174,57 @@ def _base_url(url: str, root: _Node) -> str:
         except ValueError:
             pass
     return url
+
+
+def _find_all(node: _Node, name: str, out: list) -> list:
+    for child in node.children:
+        if isinstance(child, _Node):
+            if child.name == name:
+                out.append(child)
+            if child.name == "template":
+                continue
+            _find_all(child, name, out)
+    return out
+
+
+_SHORTCUT_ICON_RE = re.compile("shortcut icon", re.IGNORECASE)
+_ICON_RE = re.compile("icon", re.IGNORECASE)
+
+
+def favicon_href(root: _Node) -> Optional[str]:
+    """FavIcon._get_url (se/models.py:424-440): ``<link rel~=shortcut
+    icon>`` first, else ``<link rel~=icon>``; among several, prefer
+    sizes=32x32 then 16x16, else the first; None when the page
+    declares no icon (the caller falls back to /favicon.ico)."""
+    all_links = _find_all(root, "link", [])
+    links = [l for l in all_links if _SHORTCUT_ICON_RE.search(l.attrs.get("rel") or "")]
+    if not links:
+        links = [l for l in all_links if _ICON_RE.search(l.attrs.get("rel") or "")]
+    if not links:
+        return None
+    if len(links) == 1:
+        return links[0].attrs.get("href")
+    for preferred_size in ("32x32", "16x16"):
+        for link in links:
+            if link.attrs.get("sizes") == preferred_size:
+                return link.attrs.get("href")
+    return links[0].attrs.get("href")
+
+
+def favicon_url_of(page_url: str, root: _Node) -> str:
+    """FavIcon.extract's URL derivation (se/models.py:383-391): the
+    selected href (default /favicon.ico) absolutized against the DOC
+    url (not <base href> — the reference passes doc.url), then query
+    string + fragment stripped.  data: URIs pass through absolutize
+    untouched; their base64 alphabet contains no '?' or '#', so the
+    strips are no-ops."""
+    href = favicon_href(root) or "/favicon.ico"
+    try:
+        absolute = absolutize_url(page_url, href)
+    except ValueError:
+        absolute = "/favicon.ico"
+        absolute = absolutize_url(page_url, absolute)
+    return url_remove_query_string(url_remove_fragment(absolute))
 
 
 def _title_of(root: _Node) -> Optional[str]:
@@ -294,13 +350,15 @@ def parse_html(
         "text": state.text,
         "base_url": base,
         "links": links,
+        "favicon": favicon_url_of(url, root),
     }
 
 
 HTML_PARSE_SCHEMA = (
     "url string, title string, text string, base_url string, "
     "links array<struct<a_no:int,href:string,abs_url:string,"
-    "browsable:boolean,text:string,pos:int,in_nav:boolean>>"
+    "browsable:boolean,text:string,pos:int,in_nav:boolean>>, "
+    "favicon string"
 )
 
 
@@ -333,10 +391,11 @@ def parse_html_batch(
                         "text": parsed["text"],
                         "base_url": parsed["base_url"],
                         "links": parsed["links"],
+                        "favicon": parsed["favicon"],
                     }
                 )
             yield pd.DataFrame(
-                out, columns=["url", "title", "text", "base_url", "links"]
+                out, columns=["url", "title", "text", "base_url", "links", "favicon"]
             )
 
     return pages.select(url_col, content_col).mapInPandas(run, HTML_PARSE_SCHEMA)

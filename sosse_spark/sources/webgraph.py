@@ -122,6 +122,14 @@ def out_links(i: int, cfg: WebConfig) -> list[str]:
     return links
 
 
+# a valid 1x1 transparent PNG, base64 (exercises the data:-URI favicon
+# decode path, se/models.py:400-409)
+DATA_URI_ICON = (
+    "data:image/png;base64,iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJ"
+    "AAAADUlEQVR42mP8z8BQDwAEhQGAhKmMIQAAAABJRU5ErkJggg=="
+)
+
+
 def html_page(i: int, cfg: WebConfig, title: str) -> str:
     """Real-HTML rendering of doc i (cfg.html_mode): the SAME out-links
     as the synthetic graph, written as anchors in their original
@@ -138,8 +146,23 @@ def html_page(i: int, cfg: WebConfig, title: str) -> str:
     anchors = " ".join(f'<a href="{h}">link {j}</a>' for j, h in enumerate(links))
     base = f'<base href="{_path_of(i, cfg)}">' if i % 5 == 2 else ""
     nav = f'<nav>site menu <a href="{_path_of(i, cfg)}">self</a></nav>'
+    # P8 icon-link variants (FavIcon._get_url selection, se/models.py:
+    # 424-440): a data:-URI icon, a rel="shortcut icon", a multi-icon
+    # head preferring sizes=32x32, and no declaration (default
+    # /favicon.ico) — all deterministic in i
+    if i % 7 == 0:
+        icon = f'<link rel="icon" href="{DATA_URI_ICON}">'
+    elif i % 7 == 1:
+        icon = '<link rel="shortcut icon" href="/fav/classic.ico">'
+    elif i % 7 == 2:
+        icon = (
+            '<link rel="icon" sizes="16x16" href="/fav/small.png">'
+            '<link rel="icon" sizes="32x32" href="/fav/big.png">'
+        )
+    else:
+        icon = ""
     return (
-        f"<html><head><title>{title}</title>{base}</head>"
+        f"<html><head><title>{title}</title>{base}{icon}</head>"
         f"<body>{nav}<div>{title}</div><p>{anchors}</p></body></html>"
     )
 

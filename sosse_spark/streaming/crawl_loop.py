@@ -82,8 +82,13 @@ class CrawlEngine:
         crash_retry: int = 1,
         salt_buckets: int = 4,
         bloom_bits: int = 1 << 20,
+        webhook_transport=None,
     ):
         self.spark = spark
+        # injectable webhook transport (tests pass a deterministic
+        # callable; None -> the stdlib urllib transport) — only used
+        # when policy.webhook_configs is non-empty
+        self.webhook_transport = webhook_transport
         self.web = web
         self.policy = policy
         self.n_buckets = n_buckets
@@ -100,6 +105,9 @@ class CrawlEngine:
         self.links = AppendTable(root, "links")
         self.metrics = AppendTable(root, "metrics")
         self.webhook_events = AppendTable(root, "webhook_events")
+        # per-(doc, webhook) delivery outcomes (DELIVERY_SCHEMA +
+        # round_no) — the queryable log behind documents.webhooks_result
+        self.webhook_results = AppendTable(root, "webhook_results")
         self.favicons = AppendTable(root, "favicons")
         # P3 pending-extern side table: the extern link rows whose target
         # has not been crawled yet, bucketed on dst_url.  The per-round
@@ -135,7 +143,14 @@ class CrawlEngine:
         self.pending_externs.n_buckets = self.n_buckets
         self.cookies.n_buckets = self.n_buckets
         r = self.round_no()
-        for table in (self.documents, self.links, self.metrics, self.webhook_events, self.favicons):
+        for table in (
+            self.documents,
+            self.links,
+            self.metrics,
+            self.webhook_events,
+            self.webhook_results,
+            self.favicons,
+        ):
             table.truncate_from(r)
         # pending_externs commits before the frontier commit point, so a
         # replayed round must see the pre-round pending state
@@ -367,15 +382,18 @@ class CrawlEngine:
 
         # --- favicons once per domain (P8, se/models.py:383-440) ---------
         # keyed off the favicons table itself so a crash-replay (favicon
-        # appends truncated, host_rules kept) still refetches them
-        fav_table = self.favicons.read(spark)
-        if fav_table is not None:
-            fav_known = fav_table.select(F.col("domain").alias("url_domain")).distinct()
-            new_fav = batch_domains.join(fav_known, "url_domain", "left_anti")
-        else:
-            new_fav = batch_domains
-        if new_fav.limit(1).count():
-            self.favicons.append(spark, fetch_favicons_for_domains(new_fav, self.web), round_no)
+        # appends truncated, host_rules kept) still refetches them.
+        # html_mode resolves favicons from the PARSED head instead
+        # (<link rel~=icon> selection) — url-keyed, post-fetch below.
+        if not getattr(self.web, "html_mode", False):
+            fav_table = self.favicons.read(spark)
+            if fav_table is not None:
+                fav_known = fav_table.select(F.col("domain").alias("url_domain")).distinct()
+                new_fav = batch_domains.join(fav_known, "url_domain", "left_anti")
+            else:
+                new_fav = batch_domains
+            if new_fav.limit(1).count():
+                self.favicons.append(spark, fetch_favicons_for_domains(new_fav, self.web), round_no)
         batch_domains.unpersist()
 
         if self._rules_df is not None:
@@ -575,6 +593,30 @@ class CrawlEngine:
         ).localCheckpoint(eager=True)
         lineage_cuts.append(replacements)
 
+        # --- html_mode favicons, keyed by the PAGE-DECLARED icon URL ----
+        # (P8: FavIcon.extract get_or_create(url=url), se/models.py:
+        # 383-422).  The parsed head supplies favicon_url (link-rel
+        # selection + /favicon.ico default, htmlparse.favicon_url_of);
+        # new URLs anti-join the url-unique favicons cache; data: URIs
+        # decode in the kernel, http URLs fetch once each.
+        if getattr(self.web, "html_mode", False):
+            from sosse_spark.operators.fetch import fetch_favicons_for_urls
+
+            fav_urls = (
+                joined.filter(is_success)
+                .select(F.col("f.favicon_url").alias("favicon_url"))
+                .filter(F.col("favicon_url").isNotNull())
+                .distinct()
+            )
+            fav_table = self.favicons.read(spark)
+            if fav_table is not None:
+                fav_known = fav_table.select("favicon_url").distinct()
+                fav_urls = fav_urls.join(fav_known, "favicon_url", "left_anti")
+            if fav_urls.limit(1).count():
+                self.favicons.append(
+                    spark, fetch_favicons_for_urls(fav_urls, self.web), round_no
+                )
+
         # --- link extraction & admission ---------------------------------
         # parse skipped when hash unchanged and recrawl_condition=change
         # (se/document.py:449-455)
@@ -722,9 +764,11 @@ class CrawlEngine:
         # se/document.py:160): which triggers fired for THIS document
         # and the (synthetic) delivery outcome — the fetcher has no real
         # HTTP surface, so delivery is the deterministic success shape
-        # the reference records on 2xx.
+        # the reference records on 2xx.  When the policy carries FULL
+        # webhook_configs, the real delivery state machine below
+        # replaces this synthetic column.
         wh_result = F.lit(None).cast("string")
-        if self.policy.webhooks:
+        if self.policy.webhooks and not self.policy.webhook_configs:
             parts = [
                 F.when(
                     trig_conds[t],
@@ -737,6 +781,58 @@ class CrawlEngine:
             ]
             if parts:
                 wh_result = F.concat(F.lit("{"), F.concat_ws(", ", *parts), F.lit("}"))
+
+        # --- P17 webhook DELIVERY state machine (se/webhook.py:119-343)
+        # Selection (trigger condition + url/mimetype/title/content
+        # regexes) is pure column algebra; only the POST itself runs in
+        # the mapInPandas kernel.  The delivered frame is eagerly
+        # localCheckpoint'd BEFORE anything consumes it, so the side
+        # effect executes exactly once even though two consumers (the
+        # results log and the documents join) hang off it.
+        wh_folded = None
+        if self.policy.webhook_configs:
+            from sosse_spark.operators.webhooks import (
+                deliver_webhooks,
+                match_webhooks,
+                webhooks_result_col,
+            )
+
+            wh_base = joined.filter(is_success).select(
+                F.col("url"),
+                F.col("f.title").alias("title"),
+                # image-graft field mapping: caption ≙ content, fmt ≙
+                # mimetype (html_mode carries real title/text through
+                # the same columns)
+                F.col("f.caption").alias("content"),
+                F.col("f.fmt").alias("mimetype"),
+                *[trig_conds[t].alias(f"_trig_{t}") for t in trig_conds],
+            )
+            wh_parts = [
+                match_webhooks(
+                    wh_base.filter(F.col(f"_trig_{cfg.trigger_condition}")), (cfg,)
+                )
+                for cfg in sorted(self.policy.webhook_configs, key=lambda c: c.name)
+                if cfg.enabled and cfg.trigger_condition in trig_conds
+            ]
+            if wh_parts:
+                wh_matched = wh_parts[0]
+                for p in wh_parts[1:]:
+                    wh_matched = wh_matched.unionByName(p)
+                # python-boundary stage: ~8 partitions run best on this
+                # host (CLAUDE.md); the batch is bounded by batch_size x
+                # len(configs) anyway
+                delivered = deliver_webhooks(
+                    wh_matched.coalesce(8),
+                    self.policy.webhook_configs,
+                    transport=self.webhook_transport,
+                ).localCheckpoint(eager=True)
+                lineage_cuts.append(delivered)
+                self.webhook_results.append(
+                    spark,
+                    delivered.withColumn("round_no", F.lit(round_no)),
+                    round_no,
+                )
+                wh_folded = webhooks_result_col(delivered)
 
         n_links = 0
         if n_success:
@@ -757,6 +853,22 @@ class CrawlEngine:
                 F.lit(round_no).alias("round_no"),
                 now_col.alias("fetched_at"),
             )
+            if wh_folded is not None:
+                # real delivery outcomes: per-doc folded JSON +
+                # "Webhook {name} failed" (≙ doc.error, se/webhook.py:
+                # 239-241 — stored as its own column; fetch errors keep
+                # the frontier error field).  Docs that matched no
+                # webhook keep NULLs.  wh_folded is bounded by the
+                # batch, so broadcast the join side.
+                docs = (
+                    docs.drop("webhooks_result")
+                    .join(F.broadcast(wh_folded), "url", "left")
+                    .select(
+                        *[c for c in docs.columns if c != "webhooks_result"],
+                        "webhooks_result",
+                        "webhook_error",
+                    )
+                )
             self.documents.append(spark, docs, round_no)
 
             n_links = resolved.count()
@@ -770,8 +882,21 @@ class CrawlEngine:
                     )
                     # self-links store no row (target_doc != document
                     # guard, se/page.py:170) — e.g. the html_mode nav
-                    # self-anchor; the link_no ordinal still counts them
+                    # self-anchor.  The reference assigns link_no =
+                    # len(links) at APPEND time (se/page.py:173), so a
+                    # skipped candidate consumes no ordinal and stored
+                    # rows per page are contiguous 0..k-1: renumber the
+                    # survivors in document order (posexplode position)
+                    # with a per-page window — per-page fan-out is small
+                    # (<= 4096), so the partitioned window is scale-safe.
                     .filter(F.col("url") != F.col("base_url"))
+                    .withColumn(
+                        "link_no",
+                        F.row_number().over(
+                            Window.partitionBy("base_url").orderBy("link_no")
+                        )
+                        - 1,
+                    )
                     .select(
                         F.col("base_url").alias("src_url"),
                         F.col("url").alias("dst_url"),
@@ -1121,6 +1246,7 @@ class CrawlEngine:
             "links": self.links.vacuum(),
             "metrics": self.metrics.vacuum(),
             "webhook_events": self.webhook_events.vacuum(),
+            "webhook_results": self.webhook_results.vacuum(),
             "favicons": self.favicons.vacuum(),
             "host_rules": self.host_rules.vacuum(),
         }

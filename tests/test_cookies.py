@@ -321,3 +321,86 @@ def test_load_psl_suffixes_optional():
     # publicsuffix2 absent → None (structural rule stays); present →
     # multi-label literal rules only
     assert got is None or (len(got) > 0 and all("." in s and "*" not in s for s in got))
+
+
+def _set_with_suffixes(spark, url, cookies, suffixes):
+    rows = [
+        {
+            "url": url,
+            "name": c["name"],
+            "value": c.get("value", "v"),
+            "domain_attr": c.get("domain"),
+            "path": c.get("path"),
+            "expires": c.get("expires"),
+            "secure": c.get("secure", False),
+            "same_site": c.get("same_site"),
+            "http_only": c.get("http_only", False),
+        }
+        for c in cookies
+    ]
+    raw = spark.createDataFrame(rows, SET_COOKIE_SCHEMA)
+    return normalize_set_cookies(raw, suffixes=suffixes).collect()
+
+
+def test_psl_snapshot_multi_label_rejects_cross_site(spark):
+    """VERDICT r4 #8: a vendored public-suffix snapshot (PSL file
+    format) loaded through load_psl_suffixes(path=...) must make
+    github.io-style multi-label registries reject cross-site
+    Set-Cookie between sibling subdomains — exercised per-call, no
+    module-global mutation."""
+    import os
+
+    from sosse_spark.operators.cookies import load_psl_suffixes
+
+    snap = os.path.join(os.path.dirname(__file__), "fixtures", "public_suffix_snapshot.dat")
+    rules = load_psl_suffixes(path=snap)
+    # multi-label literals only; wildcard *.ck and exception !www.ck skipped
+    assert rules is not None and "co.uk" in rules and "github.io" in rules
+    assert all("*" not in r and not r.startswith("!") for r in rules)
+    assert "com" not in rules  # single-label handled structurally
+
+    # sibling subdomains of a private registry: cross-site, rejected
+    assert _set_with_suffixes(
+        spark, "http://a.github.io/", [{"name": "n", "domain": "b.github.io"}], rules
+    ) == []
+    # the registry itself is a public suffix: TLD-reject
+    assert _set_with_suffixes(
+        spark, "http://a.github.io/", [{"name": "n", "domain": "github.io"}], rules
+    ) == []
+    # same registrable domain still accepted
+    c = _set_with_suffixes(
+        spark, "http://www.a.github.io/", [{"name": "n", "domain": "a.github.io"}], rules
+    )
+    assert len(c) == 1 and c[0]["domain"] == "a.github.io"
+    # 3-label private registry from the snapshot
+    assert _set_with_suffixes(
+        spark, "http://x.s3.amazonaws.com/", [{"name": "n", "domain": "y.s3.amazonaws.com"}], rules
+    ) == []
+    # ICANN multi-label from the snapshot
+    assert _set_with_suffixes(
+        spark, "http://a.co.uk/", [{"name": "n", "domain": "b.co.uk"}], rules
+    ) == []
+
+    # per-call isolation: the module default is untouched, so the same
+    # sibling set is (divergently) accepted without the snapshot
+    assert len(_set(spark, "http://a.github.io/", [{"name": "n", "domain": "b.github.io"}])) == 1
+
+
+def test_load_psl_suffixes_host_selection_and_truncation_warning():
+    import os
+    import warnings
+
+    from sosse_spark.operators.cookies import load_psl_suffixes
+
+    snap = os.path.join(os.path.dirname(__file__), "fixtures", "public_suffix_snapshot.dat")
+    # hosts= selects only rules that are dot-suffixes of the live hosts
+    rules = load_psl_suffixes(path=snap, hosts=["a.github.io", "shop.example.co.uk"])
+    assert set(rules) == {"github.io", "co.uk"}
+    # truncation past max_rules warns instead of silently dropping
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        truncated = load_psl_suffixes(max_rules=2, path=snap)
+    assert len(truncated) == 2
+    assert any(
+        issubclass(w.category, RuntimeWarning) and "dropping" in str(w.message) for w in caught
+    )

@@ -79,9 +79,10 @@ def test_html_mode_crawl_matches_synthetic(spark, tmp_path_factory):
     }
     assert len(fs) == len(fh)
 
-    # identical link graph; the html nav self-anchor consumes ordinal 0
-    # (stored rows shift by exactly one, the self row itself is dropped
-    # per the reference's target_doc != document guard)
+    # identical link graph INCLUDING ordinals: the html nav self-anchor
+    # stores no row and consumes no ordinal (se/page.py:170-179 — link_no
+    # is len(links) at append time, so stored rows are contiguous 0..k-1
+    # in both engines; round-5 fix renumbers survivors per page)
     ls = {
         (r["src_url"], r["dst_url"], r["link_no"])
         for r in eng_s.links_view().collect()
@@ -90,7 +91,7 @@ def test_html_mode_crawl_matches_synthetic(spark, tmp_path_factory):
         (r["src_url"], r["dst_url"], r["link_no"])
         for r in eng_h.links_view().collect()
     }
-    assert {(s, d, n + 1) for (s, d, n) in ls} == lh
+    assert ls == lh
     assert ls  # non-trivial graph
 
     # html docs carry the parsed title == the corpus caption; content
@@ -105,3 +106,48 @@ def test_html_mode_crawl_matches_synthetic(spark, tmp_path_factory):
     assert {d["url"] for d in hdocs} == {d["url"] for d in sdocs}
     # image-graft docs have no separate title (P7: caption ≡ title)
     assert all(d["title"] is None for d in sdocs)
+
+
+def test_html_mode_favicon_link_rel_sequence(spark, tmp_path_factory):
+    """VERDICT r4 #5: the favicon fetch sequence over an html_mode web
+    whose heads declare link-rel icons — data: URIs decode without a
+    fetch, declared icon paths fetch url-unique, undeclared pages fall
+    back to /favicon.ico, and 404 hosts record missing=True
+    (FavIcon.extract, se/models.py:383-440)."""
+    from sosse_spark.sources.webgraph import DATA_URI_ICON, host_no
+
+    eng = _crawl(spark, str(tmp_path_factory.mktemp("favhtml")), WEB_H)
+    docs = eng.documents.read(spark).collect()
+    favs = {r["favicon_url"]: r for r in eng.favicons.read(spark).collect()}
+
+    # doc index from image_id (image_id_for(i) embeds i as the suffix)
+    crawled = {int(d["image_id"].split("-")[-1]) for d in docs}
+    assert crawled  # non-trivial crawl
+
+    data_uri_docs = [i for i in crawled if i % 7 == 0]
+    shortcut_docs = [i for i in crawled if i % 7 == 1]
+    sized_docs = [i for i in crawled if i % 7 == 2]
+    default_docs = [i for i in crawled if i % 7 > 2]
+
+    if data_uri_docs:
+        row = favs[DATA_URI_ICON]
+        assert not row["missing"] and row["mimetype"] == "image/png"
+        assert row["domain"] is None  # data: URIs have no host
+    for i in shortcut_docs:
+        h = host_no(i, WEB_H)
+        row = favs[f"http://img{h}.example.com/fav/classic.ico"]
+        # even hosts serve an icon; odd hosts 404 -> missing
+        assert row["missing"] == (h % 2 == 1)
+    for i in sized_docs:
+        h = host_no(i, WEB_H)
+        # sizes=32x32 preferred over the 16x16 declared first
+        assert f"http://img{h}.example.com/fav/big.png" in favs
+        assert f"http://img{h}.example.com/fav/small.png" not in favs
+    for i in default_docs:
+        h = host_no(i, WEB_H)
+        assert f"http://img{h}.example.com/favicon.ico" in favs
+
+    # url-unique: no favicon URL appears twice in the cache table
+    all_rows = eng.favicons.read(spark).groupBy("favicon_url").count().collect()
+    assert all(r["count"] == 1 for r in all_rows)
+    eng.close()

@@ -133,3 +133,67 @@ def test_rank_order_embeds_position_and_subsumes_tf(spark):
     got2 = fts_rank_order(docs2, "spark").collect()
     assert [(r["doc_id"], r["pos"]) for r in got2] == [(1, 1), (2, 2)]
     assert got2[0]["rank_lite"] == got2[1]["rank_lite"] == 0.5
+
+
+def test_pg_rank_or_exact_values(spark):
+    """pg_rank_or_col reproduces PG calc_rank_or exactly for unweighted
+    docs: w*H2(tf)/zeta(2) per present term, mean over query items
+    (tsrank.c) — values checked against a hand-computed table."""
+    from sosse_spark.operators.fts import fts_rank_order_pg
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark vector x"),
+            (2, "vector only here"),
+            (3, "nothing matches"),
+            (4, "spark spark spark spark"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in fts_rank_order_pg(docs, "spark or vector").collect()}
+    assert set(rows) == {1, 2, 4}
+
+    def h2(n):
+        return sum(1.0 / (j * j) for j in range(1, n + 1))
+
+    def rank(tfs):
+        return round(sum(0.1 * h2(tf) / 1.64493406685 for tf in tfs) / 2.0, 6)
+
+    assert rows[1]["rank_pg"] == rank([2, 1])
+    assert rows[2]["rank_pg"] == rank([0, 1])
+    assert rows[4]["rank_pg"] == rank([4, 0])
+    # order embedded in pos: doc1 > doc4 > doc2
+    assert (rows[1]["pos"], rows[4]["pos"], rows[2]["pos"]) == (1, 2, 3)
+
+
+def test_pg_rank_and_root_delta_golden(spark):
+    """DECLARED delta (fts_rank_order_pg docstring): an AND-rooted
+    query ranks through PG's calc_rank_and arm (pairwise position
+    distances), which the engine does not reproduce — it applies the
+    or-arm formula to AND matches.  This golden pins the divergence:
+    PG would rank doc 1 ("spark vector" adjacent) above doc 2 (terms
+    20 words apart); the engine's position-blind rank TIES them and
+    breaks by id.  If this test ever fails because the ranks differ,
+    the delta is gone — update the docstring and strengthen the
+    oracle."""
+    from sosse_spark.operators.fts import fts_rank_order_pg
+
+    far = "spark " + " ".join(f"w{i}" for i in range(20)) + " vector"
+    docs = spark.createDataFrame(
+        [(1, "spark vector"), (2, far)], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in fts_rank_order_pg(docs, "spark vector").collect()}
+    assert rows[1]["rank_pg"] == rows[2]["rank_pg"]  # position-blind tie
+    assert rows[1]["pos"] == 1 and rows[2]["pos"] == 2  # id tiebreak
+
+
+def test_fts_rank_order_pg_bounded(spark):
+    from sosse_spark.operators.fts import fts_rank_order_pg
+
+    docs = spark.createDataFrame(
+        [(i, "spark " * (i % 5 + 1)) for i in range(50)], "doc_id long, text string"
+    )
+    out = fts_rank_order_pg(docs, "spark", max_results=7)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert out.count() == 7

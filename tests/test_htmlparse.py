@@ -170,3 +170,93 @@ def test_dropped_candidates_consume_no_ordinal():
         (0, "http://h/ok"),
         (1, "http://h/two"),
     ]
+
+
+def test_favicon_selection_precedence():
+    """FavIcon._get_url (se/models.py:424-440): shortcut-icon beats
+    icon; among several, sizes=32x32 then 16x16 then first; no
+    declaration -> /favicon.ico default; data: URIs pass through."""
+    from sosse_spark.operators.htmlparse import parse_html
+
+    u = "http://h.example.com/a/page.html"
+
+    # no declaration -> default, absolutized against the DOC url
+    out = parse_html(u, "<html><head></head><body>x</body></html>")
+    assert out["favicon"] == "http://h.example.com/favicon.ico"
+
+    # rel="shortcut icon" wins over plain icon regardless of order
+    html = (
+        '<html><head><link rel="icon" href="/plain.png">'
+        '<link rel="shortcut icon" href="/shortcut.ico"></head><body>x</body></html>'
+    )
+    assert parse_html(u, html)["favicon"] == "http://h.example.com/shortcut.ico"
+
+    # several plain icons: sizes=32x32 preferred, then 16x16
+    html = (
+        '<html><head><link rel="icon" sizes="16x16" href="/s16.png">'
+        '<link rel="icon" sizes="32x32" href="/s32.png"></head><body>x</body></html>'
+    )
+    assert parse_html(u, html)["favicon"] == "http://h.example.com/s32.png"
+    html = (
+        '<html><head><link rel="icon" sizes="16x16" href="/s16.png">'
+        '<link rel="icon" sizes="64x64" href="/s64.png"></head><body>x</body></html>'
+    )
+    assert parse_html(u, html)["favicon"] == "http://h.example.com/s16.png"
+
+    # several with no preferred size: the first
+    html = (
+        '<html><head><link rel="icon" href="/first.png">'
+        '<link rel="icon" href="/second.png"></head><body>x</body></html>'
+    )
+    assert parse_html(u, html)["favicon"] == "http://h.example.com/first.png"
+
+    # apple-touch-icon is still rel~icon (the reference's loose
+    # re.compile("icon") matches it)
+    html = '<html><head><link rel="apple-touch-icon" href="/apple.png"></head><body>x</body></html>'
+    assert parse_html(u, html)["favicon"] == "http://h.example.com/apple.png"
+
+    # relative href resolves against the DOC url (not <base href> —
+    # FavIcon.extract passes doc.url, se/models.py:389)
+    html = (
+        '<html><head><base href="http://other.example.com/b/">'
+        '<link rel="icon" href="rel.png"></head><body>x</body></html>'
+    )
+    assert parse_html(u, html)["favicon"] == "http://h.example.com/a/rel.png"
+
+    # query string + fragment stripped (se/models.py:390-391)
+    html = '<html><head><link rel="icon" href="/i.png?v=3#f"></head><body>x</body></html>'
+    assert parse_html(u, html)["favicon"] == "http://h.example.com/i.png"
+
+    # data: URI passes through untouched
+    from sosse_spark.sources.webgraph import DATA_URI_ICON
+
+    html = f'<html><head><link rel="icon" href="{DATA_URI_ICON}"></head><body>x</body></html>'
+    assert parse_html(u, html)["favicon"] == DATA_URI_ICON
+
+
+def test_fetch_favicons_for_urls_arms(spark):
+    """fetch_favicons_for_urls: data:-URI decode (declared mimetype,
+    missing=False), bad-encoding data URI (missing=True), fetched icon
+    with magic image/* gate, 404 host (missing=True)."""
+    from sosse_spark.operators.fetch import fetch_favicons_for_urls
+    from sosse_spark.sources.webgraph import DATA_URI_ICON, WebConfig
+
+    cfg = WebConfig(n_docs=8, n_hosts=4, html_mode=True)
+    urls = spark.createDataFrame(
+        [
+            (DATA_URI_ICON,),
+            ("data:image/png;hex,deadbeef",),  # non-base64 encoding
+            ("data:image/png;base64,%%%not-base64%%%",),  # decode error
+            ("http://img0.example.com/favicon.ico",),  # host 0: has icon
+            ("http://img1.example.com/fav/classic.ico",),  # host 1: 404
+        ],
+        "favicon_url string",
+    )
+    rows = {r["favicon_url"]: r for r in fetch_favicons_for_urls(urls, cfg).collect()}
+    ok = rows[DATA_URI_ICON]
+    assert not ok["missing"] and ok["mimetype"] == "image/png" and ok["content_len"] == 70
+    assert rows["data:image/png;hex,deadbeef"]["missing"]
+    assert rows["data:image/png;base64,%%%not-base64%%%"]["missing"]
+    f0 = rows["http://img0.example.com/favicon.ico"]
+    assert not f0["missing"] and f0["mimetype"] == "image/png" and f0["domain"] == "img0.example.com"
+    assert rows["http://img1.example.com/fav/classic.ico"]["missing"]

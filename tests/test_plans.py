@@ -381,3 +381,31 @@ def test_stratified_sample_is_pure_filter(spark):
     )
     plan = _plan(stratified_sample(docs, "st", {"a": 0.5}))
     assert "Exchange" not in plan
+
+
+def test_fts_rank_order_bounded_topk(spark):
+    """fts_rank_order must compute its top slice via
+    TakeOrderedAndProject (parallel partial top-k), never a
+    single-partition global Sort of the full match set (round-4
+    verdict "what's wrong" #2).  The row_number window that assigns
+    `pos` may only ever see <= max_results rows, i.e. it must sit
+    ABOVE the limit in the plan."""
+    from sosse_spark.operators.fts import fts_rank_order
+
+    docs = spark.createDataFrame(
+        [(i, f"spark doc {i} spark") for i in range(200)], "doc_id long, text string"
+    )
+    out = fts_rank_order(docs, "spark", max_results=10)
+    plan = _plan(out)
+    assert "TakeOrderedAndProject" in plan
+    # the global window's sort must come AFTER (above) the bounded
+    # top-k, never directly over the unbounded filter output
+    take_pos = plan.index("TakeOrderedAndProject")
+    first_sort = plan.find("Sort ")
+    assert first_sort == -1 or first_sort < take_pos  # Sort above limit only
+    rows = out.collect()
+    assert len(rows) == 10
+    # order embedded in pos: top rank first, id tiebreak
+    by_pos = sorted(rows, key=lambda r: r.pos)
+    ranks = [r.rank_lite for r in by_pos]
+    assert ranks == sorted(ranks, reverse=True)
