@@ -556,6 +556,18 @@ def q_q1_fts_rank_pg(spark, sf_dir):
     return fts_rank_order_pg(_docs(spark, sf_dir), "spark or vector", max_results=1000)
 
 
+def q_q1_fts_rank_and_pg(spark, sf_dir):
+    """Q1 EXACT PG ts_rank for an AND-ROOTED query (round-5, VERDICT r4
+    #7 proximity half): websearch "spark vector" → 'spark & vector'
+    takes PG's calc_rank_and arm — noisy-or over
+    sqrt(w²·word_distance(|pos_i − pos_k|)) across all position pairs —
+    so PROXIMITY ordering matches PG, not just term frequency.  The
+    oracle folds the identical pair list in the identical order."""
+    from sosse_spark.operators.fts import fts_rank_order_pg
+
+    return fts_rank_order_pg(_docs(spark, sf_dir), "spark vector", max_results=1000)
+
+
 def q_p2_html_parse(spark, sf_dir):
     """P2 real-HTML DOM walk (operators/htmlparse, se/page.py:103-233)
     over synthetic pages built from the documents table: certifies text
@@ -1180,6 +1192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "img_decode_stats": q_img_decode_stats,
         # -- new in round 5 --
         "q1_fts_rank_pg": q_q1_fts_rank_pg,
+        "q1_fts_rank_and_pg": q_q1_fts_rank_and_pg,
         # -- r04 driver-green entries (greens on record) --
         "f15_eligibility": q_f15_eligibility,
         "f15_priority_order": q_f15_priority_order,
@@ -2034,6 +2047,40 @@ def oracle_sql() -> dict[str, str]:
                       ELSE 0.0 END) / 2.0 AS r
               FROM f
               WHERE list_contains(ftoks, 'spark') OR list_contains(ftoks, 'vector'))
+            SELECT doc_id, CAST(pos AS INT) AS pos, round(r, 6) AS rank_pg FROM (
+              SELECT doc_id, r, ROW_NUMBER() OVER (ORDER BY r DESC, doc_id ASC) AS pos FROM r)
+            WHERE pos <= 1000""",
+        # exact PG calc_rank_and for 'spark & vector': noisy-or over
+        # sqrt(w^2 * word_distance(|l - p|)) position pairs, l over the
+        # SECOND item's positions (PG pairs (i, k<i) in query order);
+        # 0.010000000000000002 is the double 0.1*0.1, matching Spark
+        "q1_fts_rank_and_pg": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+              FROM documents),
+            f AS (
+              SELECT doc_id,
+                     list_transform(toks, x ->
+                       regexp_replace(regexp_replace(regexp_replace(x, 'sses$', 'ss'), 'ies$', 'i'), '([^s])s$', '\\1')) AS ftoks
+              FROM t),
+            p AS (
+              SELECT doc_id,
+                list_filter(generate_series(1, len(ftoks)), j -> ftoks[j] = 'spark') AS pos_a,
+                list_filter(generate_series(1, len(ftoks)), j -> ftoks[j] = 'vector') AS pos_b
+              FROM f
+              WHERE list_contains(ftoks, 'spark') AND list_contains(ftoks, 'vector')),
+            d AS (
+              SELECT doc_id,
+                flatten(list_transform(pos_b, l -> list_transform(pos_a, q -> abs(l - q)))) AS dists
+              FROM p),
+            r AS (
+              SELECT doc_id,
+                1.0 - list_reduce(list_prepend(1.0, list_transform(dists, dd ->
+                  1.0 - sqrt(0.010000000000000002 * (CASE WHEN dd > 100 THEN 1e-30
+                    ELSE 1.0 / (1.005 + 0.05 * exp(CAST(dd AS DOUBLE) / 1.5 - 2.0)) END)))),
+                  (acc, x) -> acc * x) AS r
+              FROM d)
             SELECT doc_id, CAST(pos AS INT) AS pos, round(r, 6) AS rank_pg FROM (
               SELECT doc_id, r, ROW_NUMBER() OVER (ORDER BY r DESC, doc_id ASC) AS pos FROM r)
             WHERE pos <= 1000""",

@@ -51,6 +51,7 @@ __all__ = [
     "fts_rank_order",
     "fts_rank_order_pg",
     "pg_rank_or_col",
+    "pg_rank_and_col",
     "fts_build_index",
     "fts_query_index",
 ]
@@ -323,6 +324,72 @@ def pg_rank_or_col(ftoks: Column, terms: list[str], weight: float = _PG_WEIGHT_D
     return total / F.lit(float(len(terms)))
 
 
+def _pg_word_distance(d: Column) -> Column:
+    """PG word_distance (tsrank.c): 1/(1.005 + 0.05·e^(d/1.5 − 2)),
+    1e-30 beyond distance 100 — the proximity decay calc_rank_and
+    multiplies into every position-pair weight."""
+    return F.when(d > 100, F.lit(1e-30)).otherwise(
+        F.lit(1.0)
+        / (F.lit(1.005) + F.lit(0.05) * F.exp(d.cast("double") / F.lit(1.5) - F.lit(2.0)))
+    )
+
+
+def pg_rank_and_col(ftoks: Column, terms: list[str], weight: float = _PG_WEIGHT_D) -> Column:
+    """EXACT PostgreSQL ts_rank, calc_rank_and arm (tsrank.c — the path
+    SearchRank takes for AND-rooted tsqueries, e.g. websearch
+    "spark vector" → 'spark & vector'), for unweighted documents:
+
+        for items i > k, every position pair (l ∈ pos_i, p ∈ pos_k):
+            curw = sqrt(w · w · word_distance(|l − p|))
+            res  = 1 − (1 − res)·(1 − curw)        (noisy-or fold)
+
+    Positions are 1-based token indexes in the folded token stream
+    (PG counts pre-stopword-removal positions; this engine removes no
+    stopwords, so the streams align under the engine's declared
+    simplified-stemming config).  Arithmetic runs in double where PG
+    uses float4 — values can differ in the 7th significant digit,
+    which the 6-decimal output rounding absorbs except at exact
+    rounding boundaries; ordering is identical.
+
+    HOF caveat (CLAUDE.md): the position arrays are built per term and
+    referenced inside nested transform lambdas — the expression is
+    interpreted, O(|pos_i|·|pos_k|) per pair, fine for document-sized
+    token streams; do not lift this onto a 10^6-token column."""
+    pos = {
+        t: F.filter(
+            F.sequence(F.lit(1), F.size(ftoks)),
+            lambda j: F.element_at(ftoks, j) == F.lit(t),
+        )
+        for t in terms
+    }
+
+    def curw(d: Column) -> Column:
+        return F.sqrt(F.lit(weight * weight) * _pg_word_distance(d))
+
+    # PG iterates items in query order, pairs (i, k < i), l over pos_i
+    # OUTER, p over pos_k INNER — keep that order so the float fold
+    # matches the oracle's identically-ordered fold
+    pair_arrays = []
+    for i in range(1, len(terms)):
+        for k in range(i):
+            pair_arrays.append(
+                F.flatten(
+                    F.transform(
+                        pos[terms[i]],
+                        lambda l: F.transform(pos[terms[k]], lambda p: F.abs(l - p)),
+                    )
+                )
+            )
+    dists = pair_arrays[0] if len(pair_arrays) == 1 else F.concat(*pair_arrays)
+    keep = F.aggregate(
+        dists, F.lit(1.0), lambda acc, d: acc * (F.lit(1.0) - curw(d))
+    )
+    # no pair ever fired -> PG's res stays -1 and calc_rank clamps to
+    # 1e-20; with exact matching both terms have positions, so the only
+    # empty-dists case is an empty terms product upstream
+    return F.when(F.size(dists) > 0, F.lit(1.0) - keep).otherwise(F.lit(1e-20))
+
+
 def fts_rank_order_pg(
     docs: DataFrame,
     query: str,
@@ -337,11 +404,15 @@ def fts_rank_order_pg(
     ``ts_rank('{0.1,0.2,0.4,1.0}', vector, query, 0)`` on unweighted
     documents, and ``pos`` embeds the resulting order.
 
-    Declared remaining delta (documented, golden-tested): a tsquery
-    whose ROOT is AND or PHRASE ("spark vector", '"grey cat"') ranks
-    through PG's calc_rank_and arm — pairwise min-position-distance
-    products — which this operator does not reproduce; such queries
-    still match identically but rank through the same or-arm formula.
+    AND-ROOTED queries (a single AND group of ≥2 bare terms, e.g.
+    websearch "spark vector" → 'spark & vector') dispatch to
+    pg_rank_and_col — PG's calc_rank_and proximity arm (noisy-or over
+    word_distance-weighted position pairs) — so proximity ordering
+    matches PG too.  Declared remaining deltas: phrase operands and
+    negations inside an AND root fall back to the or-arm (PG feeds
+    phrase lexemes and absent negated items through calc_rank_and,
+    where a query with <2 present items degenerates to the 1e-20
+    clamp), and PG computes in float4 where this runs in double.
     Same top-k scale bound as fts_rank_order (TakeOrderedAndProject
     before the pos window)."""
     groups = parse_websearch(query)
@@ -369,8 +440,24 @@ def fts_rank_order_pg(
     else:
         cond = F.lit(False)
 
-    terms = _positive_terms(groups)
-    rank = pg_rank_or_col(F.col("_ftoks"), terms) if terms else F.lit(0.0)
+    and_root = (
+        len(groups) == 1
+        and len(groups[0].terms) >= 2
+        and not groups[0].phrases
+        and not groups[0].neg_terms
+        and not groups[0].neg_phrases
+    )
+    and_terms = (
+        list(dict.fromkeys(fold_suffix(t) for t in groups[0].terms)) if and_root else []
+    )
+    if len(and_terms) >= 2:
+        # query-order folded terms, first-occurrence dedup (PG's
+        # SortAndUniqItems keeps one QI_VAL per lexeme; size < 2 after
+        # dedup falls through to calc_rank_or exactly as PG does)
+        rank = pg_rank_and_col(F.col("_ftoks"), and_terms)
+    else:
+        terms = _positive_terms(groups)
+        rank = pg_rank_or_col(F.col("_ftoks"), terms) if terms else F.lit(0.0)
     ranked = staged.filter(cond).select(F.col(id_col), rank.alias("_r"))
     if max_results is not None:
         ranked = ranked.orderBy(F.col("_r").desc(), F.col(id_col).asc()).limit(

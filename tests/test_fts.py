@@ -166,25 +166,46 @@ def test_pg_rank_or_exact_values(spark):
     assert (rows[1]["pos"], rows[4]["pos"], rows[2]["pos"]) == (1, 2, 3)
 
 
-def test_pg_rank_and_root_delta_golden(spark):
-    """DECLARED delta (fts_rank_order_pg docstring): an AND-rooted
-    query ranks through PG's calc_rank_and arm (pairwise position
-    distances), which the engine does not reproduce — it applies the
-    or-arm formula to AND matches.  This golden pins the divergence:
-    PG would rank doc 1 ("spark vector" adjacent) above doc 2 (terms
-    20 words apart); the engine's position-blind rank TIES them and
-    breaks by id.  If this test ever fails because the ranks differ,
-    the delta is gone — update the docstring and strengthen the
-    oracle."""
+def test_pg_rank_and_root_proximity_exact(spark):
+    """AND-rooted queries take PG's calc_rank_and arm: noisy-or over
+    sqrt(w²·word_distance(dist)) position pairs (tsrank.c).  Values
+    checked against a double-precision replication of the PG formula;
+    proximity now orders like PG — adjacent terms beat distant ones."""
+    import math
+
     from sosse_spark.operators.fts import fts_rank_order_pg
 
     far = "spark " + " ".join(f"w{i}" for i in range(20)) + " vector"
     docs = spark.createDataFrame(
-        [(1, "spark vector"), (2, far)], "doc_id long, text string"
+        [(1, far), (2, "spark vector"), (3, "vector x spark y vector")],
+        "doc_id long, text string",
     )
     rows = {r["doc_id"]: r for r in fts_rank_order_pg(docs, "spark vector").collect()}
-    assert rows[1]["rank_pg"] == rows[2]["rank_pg"]  # position-blind tie
-    assert rows[1]["pos"] == 1 and rows[2]["pos"] == 2  # id tiebreak
+
+    def wd(d):
+        return 1e-30 if d > 100 else 1.0 / (1.005 + 0.05 * math.exp(d / 1.5 - 2.0))
+
+    def rank(pos_spark, pos_vector):
+        keep = 1.0
+        for l in pos_vector:  # second query item OUTER (PG pair order)
+            for q in pos_spark:
+                keep *= 1.0 - math.sqrt(0.1 * 0.1 * wd(abs(l - q)))
+        return round(1.0 - keep, 6)
+
+    assert rows[1]["rank_pg"] == rank([1], [22])
+    assert rows[2]["rank_pg"] == rank([1], [2])
+    assert rows[3]["rank_pg"] == rank([3], [1, 5])
+    # proximity ordering: the noisy-or ACCUMULATES pairs, so two
+    # distance-2 pairs (doc3, rank ~.187) beat one adjacent pair
+    # (doc2, ~.099), which beats the 21-apart pair (doc1) — exactly
+    # PG's behavior
+    assert (rows[3]["pos"], rows[2]["pos"], rows[1]["pos"]) == (1, 2, 3)
+    # word_distance saturation: beyond distance 100 the pair contributes
+    # ~nothing
+    wide = "spark " + " ".join(f"w{i}" for i in range(120)) + " vector"
+    docs2 = spark.createDataFrame([(1, wide)], "doc_id long, text string")
+    (r1,) = fts_rank_order_pg(docs2, "spark vector").collect()
+    assert r1["rank_pg"] == 0.0  # 1e-30-weighted pair rounds to zero
 
 
 def test_fts_rank_order_pg_bounded(spark):
