@@ -505,3 +505,81 @@ def archive_latest(documents: DataFrame, url: str) -> DataFrame:
         ),
         F.length("bytes").alias("filesize"),
     )
+
+
+# ---------------------------------------------------------------------------
+# /api/webhook router parity (WebhookViewSet, se/rest_api.py:470-537)
+# ---------------------------------------------------------------------------
+
+
+def example_doc() -> dict:
+    """The fixture document the test_trigger endpoint renders templates
+    against (se/document.py:53-60)."""
+    return {
+        "url": "https://example.com/",
+        "title": "Example Title",
+        "mimetype": "text/html",
+        "lang_iso_639_1": "en",
+        "content": "Example",
+    }
+
+
+def webhook_list(configs) -> list[dict]:
+    """WebhookSerializer list (se/rest_api.py:470-474, fields="__all__"):
+    the full config of every webhook as plain dicts, name-ordered like
+    the admin listing."""
+    from dataclasses import asdict
+
+    return [asdict(c) for c in sorted(configs, key=lambda c: c.name)]
+
+
+def webhook_test_trigger(config, transport=None) -> dict:
+    """POST /api/webhook/test_trigger (se/rest_api.py:487-505): send the
+    candidate config against the example document and return the raw
+    outcome dict — the reference's 4-key taxonomy on delivery, or
+    {"error": ...} (HTTP 400 arm) when the config itself is invalid
+    (unparseable body template -> ValueError, se/rest_api.py:495-499).
+
+    Driver-side single POST by design — the endpoint exists to let an
+    admin validate a config BEFORE attaching it to a collection; bulk
+    delivery stays in operators/webhooks.deliver_webhooks."""
+    import base64
+
+    from sosse_spark.operators.webhooks import _urllib_transport, render_body
+
+    tp = transport or _urllib_transport
+    try:
+        body = render_body(example_doc(), config.body_template)
+    except ValueError as e:
+        return {"error": str(e)}
+    headers = {"Accept": "application/json", "Content-Type": "application/json"}
+    headers.update(dict(config.headers))
+    if config.username and config.password:
+        cred = f"{config.username}:{config.password}".encode()
+        headers["Authorization"] = "Basic " + base64.b64encode(cred).decode()
+    try:
+        status, reason, text = tp(
+            config.method, config.url, headers, body, config.timeout
+        )
+        return {
+            "status_code": status,
+            "status_string": reason,
+            "response": text,
+            "error": None,
+        }
+    except Exception as e:
+        return {"status_code": None, "status_string": None, "response": None, "error": str(e)}
+
+
+def webhook_status_line(result: dict) -> tuple[bool, str]:
+    """The status half of webhook_html_status (se/webhook.py:58-73)
+    without the Django markup: (ok, "status\\nmessage") where ok mirrors
+    the yes/no icon choice (2xx status)."""
+    status_code = result.get("status_code")
+    ok = isinstance(status_code, int) and 200 <= status_code < 300
+    if result.get("status_code") is None or result.get("status_string") is None:
+        status = "Error"
+    else:
+        status = f"{result.get('status_code')} {result.get('status_string')}"
+    message = result.get("error") or result.get("response") or ""
+    return ok, f"{status}\n{message}"

@@ -505,3 +505,76 @@ def test_archive_latest_picks_newest_round(spark):
     assert r["filename"] == "page.html"
     assert r["filesize"] == 3
     assert archive_latest(docs, "http://h/missing").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# /api/webhook router parity (WebhookViewSet, se/rest_api.py:470-537)
+
+
+def test_webhook_list_serializes_configs_name_ordered():
+    from sosse_spark.api import webhook_list
+    from sosse_spark.operators.webhooks import WebhookConfig
+
+    cfgs = (
+        WebhookConfig(name="zeta", url="http://h/z"),
+        WebhookConfig(name="alpha", url="http://h/a", retries=2),
+    )
+    out = webhook_list(cfgs)
+    assert [c["name"] for c in out] == ["alpha", "zeta"]
+    assert out[0]["retries"] == 2 and out[0]["url"] == "http://h/a"
+    # full-field serialization (fields="__all__")
+    assert {"name", "url", "method", "body_template", "trigger_condition"} <= set(out[0])
+
+
+def test_webhook_test_trigger_arms():
+    """test_trigger sends the candidate config against example_doc and
+    returns the raw outcome; an invalid body template is the 400 arm
+    (se/rest_api.py:487-505)."""
+    import json
+
+    from sosse_spark.api import example_doc, webhook_test_trigger
+    from sosse_spark.operators.webhooks import WebhookConfig
+
+    seen = {}
+
+    def tp(method, url, headers, body, timeout):
+        seen.update(method=method, url=url, body=json.loads(body), auth=headers.get("Authorization"))
+        return 200, "OK", "fine"
+
+    cfg = WebhookConfig(
+        name="w", url="http://h/x", body_template='{"u": "${url}", "t": "${title}"}',
+        username="u", password="p",
+    )
+    res = webhook_test_trigger(cfg, transport=tp)
+    assert res == {"status_code": 200, "status_string": "OK", "response": "fine", "error": None}
+    assert seen["body"] == {"u": example_doc()["url"], "t": "Example Title"}
+    assert seen["auth"].startswith("Basic ")
+
+    # invalid template JSON -> config-error arm, no send happens
+    bad = WebhookConfig(name="w", url="http://h/x", body_template="{not json")
+    res = webhook_test_trigger(bad, transport=tp)
+    assert set(res) == {"error"} and res["error"]
+
+    # transport failure -> exception arm (reference 4-key shape)
+    def down(method, url, headers, body, timeout):
+        raise ConnectionError("refused")
+
+    res = webhook_test_trigger(cfg, transport=down)
+    assert res["status_code"] is None and "refused" in res["error"]
+
+
+def test_webhook_status_line():
+    from sosse_spark.api import webhook_status_line
+
+    ok, line = webhook_status_line(
+        {"status_code": 200, "status_string": "OK", "response": "body", "error": None}
+    )
+    assert ok and line == "200 OK\nbody"
+    ok, line = webhook_status_line(
+        {"status_code": 500, "status_string": "ISE", "response": "boom", "error": None}
+    )
+    assert not ok and line == "500 ISE\nboom"
+    ok, line = webhook_status_line(
+        {"status_code": None, "status_string": None, "response": None, "error": "timeout"}
+    )
+    assert not ok and line == "Error\ntimeout"
