@@ -48,7 +48,7 @@ def run_job(cpus: int, n_frontier: int, rounds: int = 2) -> dict:
         select_batch(wf, F.lit("2024-01-03 00:00:00").cast("timestamp"), 1000,
                      per_host_budget=50, salt_buckets=8, exact_global_order=False).count()
         urlseen_dedup(wc, ws.select("url", "collection_id"),
-                      bloom_build(ws, None, m_bits=1 << 22), m_bits=1 << 22).count()
+                      bloom_build(ws, None, m_bits=1 << 20, k=3), m_bits=1 << 20, k=3).count()
 
         frontier = synthetic_frontier(spark, n_frontier).cache()
         n = frontier.count()  # materialize input outside the timed section
@@ -95,16 +95,22 @@ def run_job(cpus: int, n_frontier: int, rounds: int = 2) -> dict:
             t_sched = time.time() - t0
             print(json.dumps({"phase": "schedule", "cpus": cpus, "round": rnd, "sec": round(t_sched, 2)}), file=sys.stderr)
 
-            # 2^22 bits/bucket × 256 buckets ≈ 10^9 bit capacity ⇒ ~0 FPR at
-            # 10^7-10^8 keys; at 10^10 scale m_bits and n_buckets grow
-            # together (see BASELINE.md extrapolation)
+            # word-table sizing: the sparse (bucket, word_no, word) table
+            # is cheapest DENSE — 2^20 bits/bucket × 256 buckets at 40M keys
+            # × k=3 probes ≈ 0.45 fill ⇒ 4.2M word rows on the probe-join
+            # side (vs 13M at 2^22, where most words carried ~2 set bits),
+            # FPR ≈ 0.45^3 ≈ 9% — false positives only inflate the thin
+            # suspect-hash set, never the exact anti-join's seen slice.
+            # k=3 vs the default 5 cuts the build's probe-shuffle rows (the
+            # bandwidth-dominant term of this stage) by 40%.  At 10^10
+            # scale m_bits and n_buckets grow together (see BASELINE.md).
             t1 = time.time()
-            bloom = bloom_build(seen, None, m_bits=1 << 22).cache()
+            bloom = bloom_build(seen, None, m_bits=1 << 20, k=3).cache()
             bloom.count()
             print(json.dumps({"phase": "bloom_build", "cpus": cpus, "round": rnd, "sec": round(time.time() - t1, 2)}), file=sys.stderr)
 
             t2 = time.time()
-            n_new = urlseen_dedup(cands, seen, bloom, m_bits=1 << 22).count()
+            n_new = urlseen_dedup(cands, seen, bloom, m_bits=1 << 20, k=3).count()
             print(json.dumps({"phase": "dedup", "cpus": cpus, "round": rnd, "sec": round(time.time() - t2, 2)}), file=sys.stderr)
             dt = time.time() - t0
             bloom.unpersist()

@@ -85,7 +85,16 @@ FRONTIER_SCHEMA = T.StructType(
 
 BLOOM_SCHEMA = "bucket int, word_no bigint, word bigint"
 
-_BLOOM_K = 5  # probes per key
+# Default probes per key.  k is a THROUGHPUT knob, not a correctness one:
+# a Bloom false positive only costs an exact-anti-join probe (never drops
+# a URL), so lowering k trades a slightly higher FP fall-through rate for
+# k/5 fewer probe rows through the build/probe shuffles — the dominant
+# bandwidth term of the URL-seen stage at bulk scale.  Build and probe of
+# one word table must use the SAME k; probing an existing table with a
+# SMALLER k than it was built with is also safe (the probed subset of
+# positions was set at build time — no false negatives, marginally more
+# FPs).
+_BLOOM_K = 5
 
 
 def frontier_row_defaults() -> dict:
@@ -134,7 +143,7 @@ def with_bucket(df: DataFrame, n_buckets: int, url_col: str = "url") -> DataFram
 # frontier, and the bit_or merge is a map-side-combining aggregation.
 
 
-def _probe_positions(df: DataFrame, m_bits: int) -> DataFrame:
+def _probe_positions(df: DataFrame, m_bits: int, k: int = _BLOOM_K) -> DataFrame:
     """Explode df(bucket, url_hash) to k probe rows with (word_no, mask):
     double hashing h1 + j·h2 over the int64 url_hash, all long algebra
     (h1, h2 < 2^32 and k ≤ 5, so h1 + j·h2 < 2^35 — no overflow)."""
@@ -149,7 +158,7 @@ def _probe_positions(df: DataFrame, m_bits: int) -> DataFrame:
         "url_hash",
         "_h1",
         "_h2",
-        F.explode(F.array(*[F.lit(j) for j in range(_BLOOM_K)])).alias("_j"),
+        F.explode(F.array(*[F.lit(j) for j in range(k)])).alias("_j"),
     )
     p = F.pmod(F.col("_h1") + F.col("_j").cast("long") * F.col("_h2"), F.lit(m_bits))
     return exploded.select(
@@ -166,6 +175,7 @@ def bloom_build(
     rows: DataFrame,
     prev_bloom: Optional[DataFrame],
     m_bits: int = 1 << 20,
+    k: int = _BLOOM_K,
 ) -> DataFrame:
     """(Re)build per-bucket bloom words from rows(bucket, url_hash),
     merging into prev_bloom when given (incremental per round).
@@ -176,7 +186,7 @@ def bloom_build(
     (map-side) combine, one shuffle keyed (bucket, word_no)."""
     hashes = rows.select("bucket", "url_hash")
     words = (
-        _probe_positions(hashes, m_bits)
+        _probe_positions(hashes, m_bits, k)
         .groupBy("bucket", "word_no")
         .agg(F.bit_or("mask").alias("word"))
     )
@@ -191,7 +201,12 @@ def bloom_build(
     return words
 
 
-def bloom_prefilter(links: DataFrame, bloom: Optional[DataFrame], m_bits: int = 1 << 20) -> DataFrame:
+def bloom_prefilter(
+    links: DataFrame,
+    bloom: Optional[DataFrame],
+    m_bits: int = 1 << 20,
+    k: int = _BLOOM_K,
+) -> DataFrame:
     """Append `maybe_seen`: False ⇒ definitively unseen (bloom negative).
 
     Probe shape: the candidate side thins to distinct (bucket,
@@ -206,7 +221,7 @@ def bloom_prefilter(links: DataFrame, bloom: Optional[DataFrame], m_bits: int = 
     # no pre-distinct: duplicate (bucket, url_hash) probe rows collapse
     # in the verdict groupBy below anyway — a distinct here would just
     # add a shuffle in front of the aggregation that already dedups
-    probes = _probe_positions(links.select("bucket", "url_hash"), m_bits)
+    probes = _probe_positions(links.select("bucket", "url_hash"), m_bits, k)
     words = bloom.select("bucket", "word_no", "word")
     verdict = (
         probes.join(words, ["bucket", "word_no"], "left")
@@ -231,6 +246,7 @@ def urlseen_dedup(
     frontier: Optional[DataFrame],
     bloom: Optional[DataFrame],
     m_bits: int = 1 << 20,
+    k: int = _BLOOM_K,
 ) -> DataFrame:
     """New-URL admission: batch-internal dedup (keep max crawl_recurse,
     min discovery order — se/document.py:692-693) → Bloom prefilter →
@@ -238,6 +254,24 @@ def urlseen_dedup(
 
     Requires columns: url, url_hash, bucket, collection_id,
     crawl_recurse, disc_order.
+
+    Anti-join shape (single pass): the Bloom verdict produces only the
+    thin SUSPECT-HASH set; the seen side is semi-filtered on those
+    8-byte hashes, and ONE exact anti-join runs over all deduped
+    candidates against that slice.  This is provably identical to the
+    split-and-union formulation (bloom-negatives are absent from the
+    frontier, so the anti-join keeps them; any seen row matching a
+    candidate on (url, collection_id) shares its url_hash, and every
+    hash-matched candidate is necessarily bloom-positive, so the slice
+    is complete) — but the probe DAG is traversed once instead of twice
+    (the old definitely_new/suspects split recomputed the verdict join
+    per branch; measured 2x the dedup phase).  At bulk scale the payoff
+    is that the frontier is SCANNED, never shuffled: suspect hashes flow
+    out of an aggregation, so AQE sees their runtime size and broadcasts
+    the semi join when they are small (the common crawl round); when
+    suspects are genuinely huge it degrades to an 8-byte-key shuffle —
+    still ~7x thinner than URL strings — and only the hash-matched slice
+    pays string bytes in the final anti-join.
     """
     deduped = candidates.groupBy("url", "url_hash", "bucket", "collection_id").agg(
         F.max("crawl_recurse").alias("crawl_recurse"),
@@ -245,24 +279,30 @@ def urlseen_dedup(
         F.first("url_domain").alias("url_domain"),
         F.first("url_path").alias("url_path"),
     )
+    if frontier is None:
+        return deduped
 
-    if bloom is None and frontier is not None:
-        # no filter info → everything must face the exact anti-join
-        flagged = deduped.withColumn("maybe_seen", F.lit(True))
+    if bloom is None:
+        # no filter info → every candidate hash is a suspect
+        skeys = deduped.select("url_hash").distinct()
     else:
-        flagged = bloom_prefilter(deduped, bloom, m_bits)
-    definitely_new = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
-    suspects = flagged.filter(F.col("maybe_seen")).drop("maybe_seen")
-
-    if frontier is not None:
-        # Bloom FPs fall through to the authoritative anti-join — the
-        # projection keeps the join payload to two thin columns.
-        seen = frontier.select("url", "collection_id")
-        survivors = suspects.join(seen, ["url", "collection_id"], "left_anti")
-    else:
-        survivors = suspects
-
-    return definitely_new.unionByName(survivors)
+        # Bloom FPs fall through to the authoritative anti-join — an FP
+        # only inflates the suspect-key set, never drops a URL
+        skeys = (
+            bloom_prefilter(deduped.select("bucket", "url_hash"), bloom, m_bits, k)
+            .filter(F.col("maybe_seen"))
+            .select("url_hash")
+            .distinct()
+        )
+    seen = frontier
+    if "url_hash" not in seen.columns:
+        seen = seen.withColumn("url_hash", F.xxhash64(F.col("url")))
+    seen_slice = (
+        seen.select("url", "collection_id", "url_hash")
+        .join(skeys, "url_hash", "left_semi")
+        .select("url", "collection_id")
+    )
+    return deduped.join(seen_slice, ["url", "collection_id"], "left_anti")
 
 
 def assign_ids(
