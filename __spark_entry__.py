@@ -568,6 +568,59 @@ def q_q1_fts_rank_and_pg(spark, sf_dir):
     return fts_rank_order_pg(_docs(spark, sf_dir), "spark vector", max_results=1000)
 
 
+def q_p17_webhook_select(spark, sf_dir):
+    """P17 webhook document SELECTION (operators/webhooks.match_webhooks ≙
+    trigger(), se/webhook.py:200-235): enabled flag + anchored multiline
+    url/mimetype/content regexes over synthesized doc fields, one
+    (doc × webhook) row per match, name-ordered configs.  Exercises the
+    multiline-pattern compile ('#' comment strip + OR-join,
+    se/utils.py:220-230), the re.match '^(?:…)' anchoring, and the
+    disabled-config arm; the oracle replays the compiled patterns
+    verbatim (Java regex and DuckDB RE2 agree on this alternation/dot
+    subset, '.' excludes newline in both ≙ re.match line semantics)."""
+    from sosse_spark.operators.webhooks import WebhookConfig, match_webhooks
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("http://"), F.col("source"), F.lit(".example.com/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("text/html"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("text/plain"))
+        .otherwise(F.lit("image/png"))
+        .alias("mimetype"),
+        F.substring("text", 1, 40).alias("title"),
+        F.col("text").alias("content"),
+    )
+    cfgs = (
+        WebhookConfig(
+            name="alpha",
+            url="http://hooks.example.com/a",
+            # multiline pattern: comment stripped, lines OR-joined
+            url_re="http://src1\\..*  # primary source\nhttp://src2\\..*",
+            mimetype_re="text/.*",
+        ),
+        WebhookConfig(
+            name="beta",
+            url="http://hooks.example.com/b",
+            content_re=".* the .*",
+        ),
+        WebhookConfig(
+            name="gamma",
+            url="http://hooks.example.com/c",
+            mimetype_re="image/.*",
+        ),
+        WebhookConfig(
+            name="off",
+            url="http://hooks.example.com/d",
+            enabled=False,
+        ),
+    )
+    out = match_webhooks(d, cfgs)
+    return out.select("doc_id", "webhook", "mimetype").orderBy("doc_id", "webhook")
+
+
 def q_p2_html_parse(spark, sf_dir):
     """P2 real-HTML DOM walk (operators/htmlparse, se/page.py:103-233)
     over synthetic pages built from the documents table: certifies text
@@ -1193,6 +1246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in round 5 --
         "q1_fts_rank_pg": q_q1_fts_rank_pg,
         "q1_fts_rank_and_pg": q_q1_fts_rank_and_pg,
+        "p17_webhook_select": q_p17_webhook_select,
         # -- r04 driver-green entries (greens on record) --
         "f15_eligibility": q_f15_eligibility,
         "f15_priority_order": q_f15_priority_order,
@@ -2084,6 +2138,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(pos AS INT) AS pos, round(r, 6) AS rank_pg FROM (
               SELECT doc_id, r, ROW_NUMBER() OVER (ORDER BY r DESC, doc_id ASC) AS pos FROM r)
             WHERE pos <= 1000""",
+        # webhook selection: each branch replays a compiled anchored
+        # pattern verbatim ('#' comment stripped, lines OR-joined, ^(?:…)
+        # prefix ≙ re.match); the disabled config contributes no branch;
+        # title/content '.*' defaults always match and are elided
+        "p17_webhook_select": """
+            WITH d AS (
+              SELECT doc_id,
+                     'http://' || source || '.example.com/doc/' || CAST(doc_id AS VARCHAR) AS url,
+                     CASE WHEN doc_id % 3 = 0 THEN 'text/html'
+                          WHEN doc_id % 3 = 1 THEN 'text/plain'
+                          ELSE 'image/png' END AS mimetype,
+                     text AS content
+              FROM documents)
+            SELECT doc_id, 'alpha' AS webhook, mimetype FROM d
+             WHERE regexp_matches(url, '^(?:(http://src1\\..*|http://src2\\..*))')
+               AND regexp_matches(mimetype, '^(?:text/.*)')
+            UNION ALL
+            SELECT doc_id, 'beta' AS webhook, mimetype FROM d
+             WHERE regexp_matches(content, '^(?:.* the .*)')
+            UNION ALL
+            SELECT doc_id, 'gamma' AS webhook, mimetype FROM d
+             WHERE regexp_matches(mimetype, '^(?:image/.*)')""",
         "sim_ann_lsh": """
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
             q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),

@@ -46,6 +46,15 @@ def host_control(seconds: float = 2.5) -> float:
 
 
 def make_spark(cpus: int) -> SparkSession:
+    # shuffle scratch MUST live on tmpfs: this host's disk throttles to
+    # single-digit MB/s sustained writes (measured 3.7 MB/s) while RAM
+    # and CPU stay normal — spark.local.dir on /tmp (ext4) silently
+    # serializes every shuffle behind the disk throttle, and it binds
+    # the wide-parallelism leg hardest (more bytes/sec demanded).  The
+    # test suite has done this via conftest since round 4; the bench
+    # sessions were still spilling to disk.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/sosse-bench")
+    os.makedirs(local_dir, exist_ok=True)
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("sosse-spark-bench")
@@ -53,6 +62,7 @@ def make_spark(cpus: int) -> SparkSession:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "16g")
+        .config("spark.local.dir", local_dir)
         # ContextCleaner frees cache/localCheckpoint/shuffle blocks only
         # on JVM GC — keep the interval short for long-lived sessions
         .config("spark.cleaner.periodicGC.interval", "1min")

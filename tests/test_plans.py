@@ -409,3 +409,73 @@ def test_fts_rank_order_bounded_topk(spark):
     by_pos = sorted(rows, key=lambda r: r.pos)
     ranks = [r.rank_lite for r in by_pos]
     assert ranks == sorted(ranks, reverse=True)
+
+
+def test_urlseen_dedup_single_pass_semi_filtered(spark):
+    """The exact anti-join's seen side must be the hash-SEMI-FILTERED
+    slice of the frontier, and the whole dedup must be a single pass:
+    exactly one LeftAnti (the old definitely-new/suspects split ran the
+    bloom-probe DAG twice and shuffled the full frontier's URL strings
+    per round), with a LeftSemi on url_hash feeding its right side."""
+    from sosse_spark.operators.frontier import bloom_build, urlseen_dedup, with_bucket
+
+    cands = with_bucket(
+        spark.createDataFrame(
+            [(f"http://h/{i}", 1, 0, i, "h", "/p") for i in range(50)],
+            "url string, collection_id int, crawl_recurse int, disc_order long, "
+            "url_domain string, url_path string",
+        ),
+        4,
+    )
+    frontier = with_bucket(
+        spark.createDataFrame(
+            [(f"http://h/{i}", 1, "FATPAYLOAD") for i in range(0, 50, 2)],
+            "url string, collection_id int, fat string",
+        ),
+        4,
+    )
+    bloom = bloom_build(frontier, None, m_bits=1 << 16)
+    out = urlseen_dedup(cands, frontier, bloom, m_bits=1 << 16)
+    plan = _plan(out)
+    assert plan.count("LeftAnti") == 1
+    assert "LeftSemi" in plan
+    # the seen slice ships only (url, collection_id): payload columns
+    # never ride the anti-join
+    anti_section = plan[plan.find("LeftAnti") - 2000 : plan.find("LeftAnti") + 2000]
+    assert "fat" not in anti_section
+    # correctness of the slice: evens are seen, odds admitted
+    urls = {r.url for r in out.collect()}
+    assert urls == {f"http://h/{i}" for i in range(1, 50, 2)}
+
+
+def test_select_batch_thin_rank_keeps_payload_off_windows(spark):
+    """thin_rank: the politeness windows must sort only the thin
+    (id, host, priority) projection — the frontier's wide payload joins
+    back by id via broadcast AFTER ranking (never rides the window
+    shuffles)."""
+    from sosse_spark.operators.scheduler import select_batch
+
+    frontier = spark.createDataFrame(
+        [
+            (i, f"u{i}", f"h{i % 3}", None, None, False, None, 0, "X" * 10)
+            for i in range(30)
+        ],
+        "id long, url string, url_domain string, crawl_last timestamp, "
+        "crawl_next timestamp, manual_crawl boolean, worker_no int, "
+        "retries int, fat string",
+    )
+    now = F.lit("2024-01-03 00:00:00").cast("timestamp")
+    out = select_batch(frontier, now, batch_size=9, per_host_budget=5)
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan
+    # every Window/Sort below the join must not reference url or fat
+    for marker in ("Window",):
+        idx = plan.find(marker)
+        assert idx != -1
+        section = plan[idx : idx + 1500]
+        assert "fat" not in section
+    rows = out.collect()
+    assert len(rows) == 9
+    # same rows as the full-width path
+    wide = select_batch(frontier, now, batch_size=9, per_host_budget=5, thin_rank=False)
+    assert {r.id for r in rows} == {r.id for r in wide.collect()}
