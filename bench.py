@@ -61,7 +61,10 @@ def make_spark(cpus: int) -> SparkSession:
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", "16g")
+        # local-mode executors share the driver JVM; scaling runs that
+        # cache a 10^8-row frontier override this (first session in a
+        # process wins — the JVM persists across spark.stop())
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.local.dir", local_dir)
         # ContextCleaner frees cache/localCheckpoint/shuffle blocks only
         # on JVM GC — keep the interval short for long-lived sessions

@@ -163,3 +163,133 @@ def fingerprint_expr(text_field: str, window: int = 8) -> Column:
         f"array_min(transform(sequence(1, greatest(length({text_field}) - {window - 1}, 1)), "
         f"i -> md5(substring({text_field}, i, {window}))))"
     )
+
+
+# Gopher repetition thresholds (Rae et al. 2021, Table A1 — public):
+# {n: max top-n-gram char fraction} and {n: max duplicate-n-gram char
+# fraction}; line rules 0.30 (fraction) / 0.20 (char fraction)
+_GOPHER_TOP_NGRAM = {2: 0.20, 3: 0.18, 4: 0.16}
+_GOPHER_DUP_NGRAM = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+
+
+def gopher_repetition(df, id_col: str = "doc_id", text_col: str = "text"):
+    """Gopher repetition-removal signals (Rae et al. 2021, §A1.1 /
+    Table A1 — the *other* half of the Gopher filter next to
+    gopher_quality_flags): per document
+
+      * dup_line_frac       duplicate lines / lines
+      * dup_line_char_frac  chars in duplicate line occurrences / line chars
+      * top{2,3,4}_frac     chars covered by the single most
+                            character-covering n-gram / non-space chars
+      * dup{5..10}_frac     chars in n-grams occurring >= 2 times /
+                            chars in all n-grams
+
+    plus per-rule booleans against the Table-A1 thresholds and a
+    composite `rep_pass`.  Declared deterministic variants: "top"
+    means max over grams of count*len (the most character-covering
+    gram — tie-free where PG-style arg-max would need a tiebreak), and
+    duplicate-gram char fractions are overlap-agnostic (every
+    occurrence weighted by its full char length).  The newline-less
+    document model makes paragraph rules coincide with line rules.
+
+    100 TB shape: line metrics are per-row array algebra (no shuffle);
+    gram metrics explode to (doc, n, gram) rows — linear in corpus
+    size — then ONE hash aggregation keyed by (doc, n, gram) with
+    map-side combine and ONE conditional re-aggregation keyed by doc.
+    All JVM; no UDF, no window, no driver loop."""
+    w = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != F.lit(""))
+    lines = F.filter(
+        F.split(F.col(text_col), "\n"), lambda l: F.trim(l) != F.lit("")
+    )
+    n_lines = F.size(lines)
+    d_lines = F.array_distinct(lines)
+    sum_len = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0), lambda acc, x: acc + F.length(x)
+    )
+    line_chars = sum_len(lines)
+    dup_line_frac = F.when(
+        n_lines > 0, (n_lines - F.size(d_lines)) / n_lines
+    ).otherwise(F.lit(0.0))
+    dup_line_char_frac = F.when(
+        line_chars > 0, (line_chars - sum_len(d_lines)) / line_chars
+    ).otherwise(F.lit(0.0))
+
+    def _gram_builder(n):
+        # bind n OUTSIDE the HOF lambda: a default-arg lambda would gain
+        # a second signature parameter and PySpark would call it with
+        # (element, index), silently binding n to the index column
+        return lambda i: F.struct(
+            F.lit(n).alias("n"),
+            F.concat_ws(" ", F.slice(w, i, n)).alias("gram"),
+        )
+
+    gram_arrays = []
+    for n in sorted({*_GOPHER_TOP_NGRAM, *_GOPHER_DUP_NGRAM}):
+        grams_n = F.when(
+            F.size(w) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - n + 1), _gram_builder(n)
+            ),
+        ).otherwise(F.array().cast("array<struct<n:int,gram:string>>"))
+        gram_arrays.append(grams_n)
+
+    base = df.select(
+        F.col(id_col),
+        F.round(dup_line_frac, 6).alias("dup_line_frac"),
+        F.round(dup_line_char_frac, 6).alias("dup_line_char_frac"),
+        sum_len(w).alias("_doc_chars"),
+        F.flatten(F.array(*gram_arrays)).alias("_grams"),
+    )
+
+    counts = (
+        base.select(F.col(id_col), F.explode("_grams").alias("s"))
+        .select(F.col(id_col), F.col("s.n").alias("n"), F.col("s.gram").alias("gram"))
+        .groupBy(id_col, "n", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("chars", F.col("cnt") * F.length("gram"))
+    )
+    aggs = []
+    for n in _GOPHER_TOP_NGRAM:
+        aggs.append(
+            F.coalesce(
+                F.max(F.when(F.col("n") == n, F.col("chars"))), F.lit(0)
+            ).alias(f"_top{n}")
+        )
+    for n in _GOPHER_DUP_NGRAM:
+        aggs.append(
+            F.coalesce(
+                F.sum(F.when((F.col("n") == n) & (F.col("cnt") >= 2), F.col("chars"))),
+                F.lit(0),
+            ).alias(f"_dup{n}")
+        )
+        aggs.append(
+            F.coalesce(
+                F.sum(F.when(F.col("n") == n, F.col("chars"))), F.lit(0)
+            ).alias(f"_tot{n}")
+        )
+    per_doc = counts.groupBy(id_col).agg(*aggs)
+
+    out = base.drop("_grams").join(per_doc, id_col, "left")
+    cols = [F.col(id_col), F.col("dup_line_frac"), F.col("dup_line_char_frac")]
+    flag_cols = [
+        (F.col("dup_line_frac") <= 0.30).alias("r_dup_line"),
+        (F.col("dup_line_char_frac") <= 0.20).alias("r_dup_line_char"),
+    ]
+    for n, thr in _GOPHER_TOP_NGRAM.items():
+        frac = F.when(
+            F.col("_doc_chars") > 0,
+            F.coalesce(F.col(f"_top{n}"), F.lit(0)) / F.col("_doc_chars"),
+        ).otherwise(F.lit(0.0))
+        cols.append(F.round(frac, 6).alias(f"top{n}_frac"))
+        flag_cols.append((F.round(frac, 6) <= thr).alias(f"r_top{n}"))
+    for n, thr in _GOPHER_DUP_NGRAM.items():
+        frac = F.when(
+            F.coalesce(F.col(f"_tot{n}"), F.lit(0)) > 0,
+            F.coalesce(F.col(f"_dup{n}"), F.lit(0)) / F.col(f"_tot{n}"),
+        ).otherwise(F.lit(0.0))
+        cols.append(F.round(frac, 6).alias(f"dup{n}_frac"))
+        flag_cols.append((F.round(frac, 6) <= thr).alias(f"r_dup{n}"))
+    composite = flag_cols[0]
+    for fc in flag_cols[1:]:
+        composite = composite & fc
+    return out.select(*cols, *flag_cols, composite.alias("rep_pass"))

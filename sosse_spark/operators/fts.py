@@ -86,6 +86,28 @@ def _positive_terms(groups: list[WebsearchGroup]) -> list[str]:
     return sorted({fold_suffix(t) for g in groups for t in g.terms})
 
 
+def _query_items(groups: list[WebsearchGroup]) -> list[str]:
+    """ALL QI_VAL lexemes of the equivalent tsquery, sorted and deduped
+    — PG's SortAndUniqItems(q) view that BOTH ts_rank arms rank over
+    (tsrank.c): phrase operands contribute their individual lexemes
+    (websearch '"a b"' → 'a <-> b' = two items), and NEGATED lexemes
+    are items too (they rank when present — a doc can match 'x -"a b"'
+    while containing 'a' and 'b' non-adjacently, and PG then counts
+    their positions).  Bare negated terms can never be present in a
+    matching doc, so keeping them only adds empty position arrays."""
+    items: set[str] = set()
+    for g in groups:
+        for t in g.terms:
+            items.add(fold_suffix(t))
+        for t in g.neg_terms:
+            items.add(fold_suffix(t))
+        for p in g.phrases + g.neg_phrases:
+            for w in re.split(r"[^a-z0-9]+", p.lower()):
+                if w:
+                    items.add(fold_suffix(w))
+    return sorted(items)
+
+
 def parse_websearch(query: str) -> list[WebsearchGroup]:
     """websearch_to_tsquery grammar → OR-list of AND-groups.
 
@@ -336,13 +358,20 @@ def _pg_word_distance(d: Column) -> Column:
 
 def pg_rank_and_col(ftoks: Column, terms: list[str], weight: float = _PG_WEIGHT_D) -> Column:
     """EXACT PostgreSQL ts_rank, calc_rank_and arm (tsrank.c — the path
-    SearchRank takes for AND-rooted tsqueries, e.g. websearch
+    SearchRank takes for AND/PHRASE-rooted tsqueries, e.g. websearch
     "spark vector" → 'spark & vector'), for unweighted documents:
 
         for items i > k, every position pair (l ∈ pos_i, p ∈ pos_k):
+            if |l − p| == 0: skip              (PG's `if (dist ...)`)
             curw = sqrt(w · w · word_distance(|l − p|))
             res  = 1 − (1 − res)·(1 − curw)        (noisy-or fold)
+        no pair fired → res stays −1 → calc_rank clamps to 1e-20
 
+    `terms` must be PG's SortAndUniqItems view: ALL QI_VAL lexemes of
+    the query — including phrase operands' words and negated lexemes —
+    sorted and deduped (_query_items builds it).  Items absent from the
+    document (e.g. a bare negated term) have empty position arrays and
+    contribute no pairs, exactly as find_wordentry returning NULL does.
     Positions are 1-based token indexes in the folded token stream
     (PG counts pre-stopword-removal positions; this engine removes no
     stopwords, so the streams align under the engine's declared
@@ -381,12 +410,17 @@ def pg_rank_and_col(ftoks: Column, terms: list[str], weight: float = _PG_WEIGHT_
                 )
             )
     dists = pair_arrays[0] if len(pair_arrays) == 1 else F.concat(*pair_arrays)
+    # PG skips dist==0 pairs for positioned entries (`if (dist || ...)`,
+    # the POSNULL arm never fires here — every present lexeme carries
+    # real positions); distinct lexemes can't share a token index, so
+    # this only matters if a caller bypasses the SortAndUniqItems dedup
+    dists = F.filter(dists, lambda d: d != 0)
     keep = F.aggregate(
         dists, F.lit(1.0), lambda acc, d: acc * (F.lit(1.0) - curw(d))
     )
     # no pair ever fired -> PG's res stays -1 and calc_rank clamps to
-    # 1e-20; with exact matching both terms have positions, so the only
-    # empty-dists case is an empty terms product upstream
+    # 1e-20 (reachable: 'spark -vector' matches leave 'vector' with no
+    # positions, so the single item pair list is empty)
     return F.when(F.size(dists) > 0, F.lit(1.0) - keep).otherwise(F.lit(1e-20))
 
 
@@ -396,6 +430,7 @@ def fts_rank_order_pg(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_results: int | None = 1000,
+    rank_floor: float | None = None,
 ) -> DataFrame:
     """Q1 ordering with the EXACT PG ts_rank value (pg_rank_or_col) —
     the round-5 strengthening of fts_rank_order's ts_rank-lite
@@ -404,17 +439,20 @@ def fts_rank_order_pg(
     ``ts_rank('{0.1,0.2,0.4,1.0}', vector, query, 0)`` on unweighted
     documents, and ``pos`` embeds the resulting order.
 
-    AND-ROOTED queries (a single AND group of ≥2 bare terms, e.g.
-    websearch "spark vector" → 'spark & vector') dispatch to
-    pg_rank_and_col — PG's calc_rank_and proximity arm (noisy-or over
-    word_distance-weighted position pairs) — so proximity ordering
-    matches PG too.  Declared remaining deltas: phrase operands and
-    negations inside an AND root fall back to the or-arm (PG feeds
-    phrase lexemes and absent negated items through calc_rank_and,
-    where a query with <2 present items degenerates to the 1e-20
-    clamp), and PG computes in float4 where this runs in double.
-    Same top-k scale bound as fts_rank_order (TakeOrderedAndProject
-    before the pos window)."""
+    AND/PHRASE-ROOTED queries (a single group whose SortAndUniqItems
+    view — _query_items: bare terms + phrase words + negated lexemes,
+    sorted/deduped — has ≥2 entries) dispatch to pg_rank_and_col, PG's
+    calc_rank_and proximity arm (noisy-or over word_distance-weighted
+    position pairs), so proximity ordering matches PG too; phrase
+    operands rank through their individual lexemes and negated items
+    rank when present (tsrank.c ranks the items of the query tree, not
+    its boolean structure), both exactly as PG does.  OR-rooted /
+    single-item queries take calc_rank_or over the same item view.
+    Declared remaining deltas: the engine's phrase FILTER is substring
+    containment where PG requires exact consecutive lexemes (the
+    engine-wide declared phrase semantics), and PG computes in float4
+    where this runs in double.  Same top-k scale bound as
+    fts_rank_order (TakeOrderedAndProject before the pos window)."""
     groups = parse_websearch(query)
     staged = docs.withColumn("_toks", fts_tokens(F.col(text_col))).withColumn(
         "_ftoks", fts_fold(F.col("_toks"))
@@ -440,25 +478,30 @@ def fts_rank_order_pg(
     else:
         cond = F.lit(False)
 
-    and_root = (
-        len(groups) == 1
-        and len(groups[0].terms) >= 2
-        and not groups[0].phrases
-        and not groups[0].neg_terms
-        and not groups[0].neg_phrases
-    )
-    and_terms = (
-        list(dict.fromkeys(fold_suffix(t) for t in groups[0].terms)) if and_root else []
-    )
-    if len(and_terms) >= 2:
-        # query-order folded terms, first-occurrence dedup (PG's
-        # SortAndUniqItems keeps one QI_VAL per lexeme; size < 2 after
-        # dedup falls through to calc_rank_or exactly as PG does)
-        rank = pg_rank_and_col(F.col("_ftoks"), and_terms)
+    # SortAndUniqItems view of the whole query: sorted distinct QI_VAL
+    # lexemes incl. phrase words and negated items (_query_items); a
+    # single group is an AND/PHRASE-rooted tsquery -> calc_rank_and
+    # when it has >= 2 unique items (PG: `if (size < 2) return
+    # calc_rank_or`), everything else -> calc_rank_or over the items
+    items = _query_items(groups)
+    if len(groups) == 1 and len(items) >= 2:
+        rank = pg_rank_and_col(F.col("_ftoks"), items)
     else:
-        terms = _positive_terms(groups)
-        rank = pg_rank_or_col(F.col("_ftoks"), terms) if terms else F.lit(0.0)
+        rank = pg_rank_or_col(F.col("_ftoks"), items) if items else F.lit(0.0)
     ranked = staged.filter(cond).select(F.col(id_col), rank.alias("_r"))
+    if rank_floor is not None:
+        # se/search.py:115-118: exclude(rank__lte=floor), falling back
+        # to ALL matches when that empties the set.  Equivalent set
+        # algebra without a second pass: keep a row iff its rank clears
+        # the floor OR no row does (corpus max <= floor).  The max is a
+        # 1-row aggregate broadcast into the filter — no extra shuffle
+        # of the result set, no driver round-trip.
+        mx = ranked.agg(F.max("_r").alias("_mx"))
+        ranked = (
+            ranked.crossJoin(F.broadcast(mx))
+            .filter((F.col("_r") > rank_floor) | (F.col("_mx") <= rank_floor))
+            .drop("_mx")
+        )
     if max_results is not None:
         ranked = ranked.orderBy(F.col("_r").desc(), F.col(id_col).asc()).limit(
             max_results
@@ -467,6 +510,36 @@ def fts_rank_order_pg(
     return (
         ranked.withColumn("pos", F.row_number().over(w))
         .select(id_col, "pos", F.round("_r", 6).alias("rank_pg"))
+    )
+
+
+def fts_words_view(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document tsvector word listing — the /words archive view
+    (se/words.py:26-33 splits Document.vector into (word, positions)
+    pairs; the folded token stream is this engine's vector analog), so
+    the listing is one row per (doc, word) with the 1-based positions
+    comma-joined exactly as PG prints them in the tsvector text form.
+
+    Pure-JVM shape: posexplode → one (id, word)-keyed aggregation with
+    map-side combine; no window, no driver work — at 10^10 tokens this
+    is a single hash shuffle whose keys are as fine-grained as the
+    data allows."""
+    t = docs.select(
+        F.col(id_col),
+        F.posexplode(fts_fold(fts_tokens(F.col(text_col)))).alias("_p", "word"),
+    )
+    return (
+        t.groupBy(id_col, "word")
+        .agg(F.sort_array(F.collect_list(F.col("_p") + 1)).alias("_pos"))
+        .select(
+            id_col,
+            "word",
+            F.concat_ws(
+                ",", F.transform(F.col("_pos"), lambda x: x.cast("string"))
+            ).alias("positions"),
+        )
     )
 
 

@@ -632,3 +632,60 @@ def test_bruteforce_ngram_refuses_big_corpus(spark, docs):
 
     with _pytest.raises(ValueError, match="max_rows"):
         ngram_jaccard_bruteforce(docs, "text", "doc_id", max_rows=3)
+
+
+def test_gopher_repetition_rules(spark):
+    """Gopher Table-A1 repetition signals (functions/text.py
+    gopher_repetition): dup-line fractions, top-n-gram char coverage,
+    duplicate-n-gram char fraction — hand-computed goldens."""
+    from sosse_spark.functions.text import gopher_repetition
+
+    docs = spark.createDataFrame(
+        [
+            # 3 lines, one duplicated: dup_line_frac 1/3; line chars
+            # 3+3+5=11, distinct 3+5=8 -> char frac 3/11
+            (1, "aaa\naaa\nbbbbb"),
+            # 'x y' bigram repeated 3x in 6 words: top2 = 3*len('x y')=9
+            # over doc_chars 6 -> capped at >1 is fine (coverage metric)
+            (2, "x y x y x y"),
+            # no repetition at all
+            (3, "one two three four five six seven eight nine ten eleven"),
+            # single word: no grams, no lines dup
+            (4, "solo"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r.asDict() for r in gopher_repetition(docs).collect()}
+
+    assert rows[1]["dup_line_frac"] == round(1 / 3, 6)
+    assert rows[1]["dup_line_char_frac"] == round(3 / 11, 6)
+    assert rows[3]["dup_line_frac"] == 0.0
+
+    # doc2: words = [x,y]*3 (6 words, doc_chars=6).  2-grams: 'x y' x3
+    # (len 3), 'y x' x2 -> top2 = 9/6; 5-grams: 'x y x y x' and
+    # 'y x y x y' each once -> dup5 = 0
+    assert rows[2]["top2_frac"] == round(9 / 6, 6)
+    assert rows[2]["dup5_frac"] == 0.0
+    assert rows[2]["r_top2"] is False and rows[2]["rep_pass"] is False
+
+    # doc3: all grams unique -> top2 = max bigram chars/doc_chars,
+    # dup fractions 0, everything passes except possibly top rules
+    assert rows[3]["dup5_frac"] == 0.0 and rows[3]["dup10_frac"] == 0.0
+
+    # doc4: no grams at all -> all gram fractions 0, passes
+    assert rows[4]["top2_frac"] == 0.0 and rows[4]["rep_pass"] is True
+
+
+def test_gopher_repetition_dup_ngram_arm(spark):
+    """A 5-gram repeated verbatim drives dup5_frac above threshold."""
+    from sosse_spark.functions.text import gopher_repetition
+
+    phrase = "alpha beta gamma delta epsilon"
+    text = (phrase + " ") * 4 + "zeta eta theta iota kappa"
+    (row,) = gopher_repetition(
+        spark.createDataFrame([(1, text)], "doc_id long, text string")
+    ).collect()
+    # the repeated phrase makes many 5-grams recur (period 5 in a
+    # 25-word prefix); the rule must trip
+    assert row["dup5_frac"] > 0.15 and row["r_dup5"] is False
+    assert row["rep_pass"] is False

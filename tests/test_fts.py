@@ -208,6 +208,145 @@ def test_pg_rank_and_root_proximity_exact(spark):
     assert r1["rank_pg"] == 0.0  # 1e-30-weighted pair rounds to zero
 
 
+def _wd(d):
+    import math
+
+    return 1e-30 if d > 100 else 1.0 / (1.005 + 0.05 * math.exp(d / 1.5 - 2.0))
+
+
+def _rank_and(dists):
+    """Double-precision replication of PG calc_rank_and over an ordered
+    pair-distance list (dist==0 pairs already skipped)."""
+    import math
+
+    if not dists:
+        return round(1e-20, 6)
+    keep = 1.0
+    for d in dists:
+        keep *= 1.0 - math.sqrt(0.1 * 0.1 * _wd(d))
+    return round(1.0 - keep, 6)
+
+
+def test_pg_rank_phrase_operand_items(spark):
+    """A phrase operand inside an AND root ranks through its individual
+    lexemes (tsrank.c ranks SortAndUniqItems, not the boolean tree):
+    'index "spark vector"' -> items {index, spark, vector}, pairs in
+    sorted-item order (spark,index), (vector,index), (vector,spark),
+    l over the LATER item's positions outer."""
+    from sosse_spark.operators.fts import fts_rank_order_pg
+
+    docs = spark.createDataFrame(
+        [
+            (1, "index spark vector"),
+            (2, "spark vector stuff index"),
+            (3, "index vector spark"),  # no 'spark vector' substring
+            (4, "spark vector"),  # no 'index'
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in fts_rank_order_pg(docs, 'index "spark vector"').collect()
+    }
+    assert set(rows) == {1, 2}
+    # doc1: index@1 spark@2 vector@3 -> pairs |2-1|, |3-1|, |3-2|
+    assert rows[1]["rank_pg"] == _rank_and([1, 2, 1])
+    # doc2: spark@1 vector@2 index@4 -> |1-4|, |2-4|, |2-1|
+    assert rows[2]["rank_pg"] == _rank_and([3, 2, 1])
+    assert (rows[1]["pos"], rows[2]["pos"]) == (1, 2)
+
+
+def test_pg_rank_negated_phrase_and_clamp(spark):
+    """Negated lexemes are still rank items when present (a doc can
+    match 'spark -"vector index"' while containing 'vector' and 'index'
+    non-adjacently), and a doc with only one present item hits PG's
+    1e-20 no-pair clamp regardless of term frequency."""
+    from sosse_spark.operators.fts import fts_rank_order_pg
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark x vector y index"),
+            (2, "spark only spark spark"),
+            (3, "spark vector index"),  # contains the negated phrase
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in fts_rank_order_pg(docs, 'spark -"vector index"').collect()
+    }
+    assert set(rows) == {1, 2}
+    # doc1: spark@1 vector@3 index@5 -> pairs (spark,index)=|1-5|,
+    # (vector,index)=|3-5|, (vector,spark)=|3-1|
+    assert rows[1]["rank_pg"] == _rank_and([4, 2, 2])
+    # doc2: only 'spark' present among {index, spark, vector} -> no
+    # cross-item pair -> 1e-20 clamp -> rounds to 0.0, sorts last
+    assert rows[2]["rank_pg"] == 0.0
+    assert (rows[1]["pos"], rows[2]["pos"]) == (1, 2)
+
+
+def test_pg_rank_or_root_includes_phrase_lexemes(spark):
+    """OR-rooted queries rank via calc_rank_or over ALL items including
+    phrase words: 'index OR "spark vector"' -> 3 items, mean divisor 3,
+    each present lexeme contributing w*H2(tf)/zeta(2)."""
+    from sosse_spark.operators.fts import fts_rank_order_pg
+
+    docs = spark.createDataFrame(
+        [(1, "spark vector z"), (2, "index z")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in fts_rank_order_pg(docs, 'index OR "spark vector"').collect()
+    }
+    assert set(rows) == {1, 2}
+    one = 0.1 * 1.0 / 1.64493406685
+    assert rows[1]["rank_pg"] == round(2 * one / 3.0, 6)
+    assert rows[2]["rank_pg"] == round(one / 3.0, 6)
+
+
+def test_pg_rank_floor_and_fallback(spark):
+    """The reference excludes rank <= 0.01 results but falls back to
+    ALL matches when the exclusion empties the set
+    (se/search.py:115-118)."""
+    from sosse_spark.operators.fts import fts_rank_order_pg
+
+    near = "spark vector"
+    far = "spark " + " ".join(f"w{i}" for i in range(120)) + " vector"
+    docs = spark.createDataFrame(
+        [(1, near), (2, far)], "doc_id long, text string"
+    )
+    got = fts_rank_order_pg(docs, "spark vector", rank_floor=0.01).collect()
+    assert [r["doc_id"] for r in got] == [1]  # far pair ranks ~1e-16
+
+    # fallback: every match under the floor -> keep them all
+    docs2 = spark.createDataFrame([(2, far)], "doc_id long, text string")
+    got2 = fts_rank_order_pg(docs2, "spark vector", rank_floor=0.01).collect()
+    assert [r["doc_id"] for r in got2] == [2]
+
+
+def test_fts_words_view(spark):
+    """The /words archive view (se/words.py:26-33): one row per
+    (doc, word) with 1-based positions comma-joined ascending — the
+    tsvector text form the reference splits for display.  Folding
+    applies before position assignment."""
+    from sosse_spark.operators.fts import fts_words_view
+
+    docs = spark.createDataFrame(
+        [(1, "Tables table, batches batch"), (2, ""), (3, "x")],
+        "doc_id long, text string",
+    )
+    rows = {(r["doc_id"], r["word"]): r["positions"] for r in fts_words_view(docs).collect()}
+    # 'tables'/'table' fold together; 'batches' folds to 'batche'
+    # ([^s])s$ strips one trailing s), 'batch' stays
+    assert rows == {
+        (1, "table"): "1,2",
+        (1, "batche"): "3",
+        (1, "batch"): "4",
+        (3, "x"): "1",
+    }
+
+
 def test_fts_rank_order_pg_bounded(spark):
     from sosse_spark.operators.fts import fts_rank_order_pg
 
