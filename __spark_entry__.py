@@ -646,6 +646,26 @@ def q_q13_words_view(spark, sf_dir):
     return fts_words_view(_docs(spark, sf_dir))
 
 
+def q_q1_fts_phrase_lexeme(spark, sf_dir):
+    """Q1 phrase FILTER with EXACT PG semantics (phrase_mode='lexeme',
+    round-5 closing of the last declared Q1 delta): '"table hash"'
+    matches iff the folded lexemes occur at CONSECUTIVE token positions
+    (tsquery <-> distance 1), not as a substring of lower(text) — so
+    'Tables, hash!' matches (fold + punctuation-insensitive adjacency)
+    while 'table hashing' does not.  Ranking is the same calc_rank_and
+    item view as q1_fts_rank_phrase_pg; only the filter arm differs.
+    Per-row array algebra (one EXISTS over a position sequence), no
+    shuffle before the bounded top-k."""
+    from sosse_spark.operators.fts import fts_rank_order_pg
+
+    return fts_rank_order_pg(
+        _docs(spark, sf_dir),
+        'index "table hash"',
+        max_results=1000,
+        phrase_mode="lexeme",
+    )
+
+
 def q_p17_webhook_select(spark, sf_dir):
     """P17 webhook document SELECTION (operators/webhooks.match_webhooks ≙
     trigger(), se/webhook.py:200-235): enabled flag + anchored multiline
@@ -1325,6 +1345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_fts_rank_pg": q_q1_fts_rank_pg,
         "q1_fts_rank_and_pg": q_q1_fts_rank_and_pg,
         "q1_fts_rank_phrase_pg": q_q1_fts_rank_phrase_pg,
+        "q1_fts_phrase_lexeme": q_q1_fts_phrase_lexeme,
         "q1_fts_rank_negphrase_pg": q_q1_fts_rank_negphrase_pg,
         "q1_fts_rank_floor_pg": q_q1_fts_rank_floor_pg,
         "q13_words_view": q_q13_words_view,
@@ -2245,6 +2266,49 @@ def oracle_sql() -> dict[str, str]:
                 list_filter(generate_series(1, len(ftoks)), j -> ftoks[j] = 'table') AS pos_c
               FROM f
               WHERE list_contains(ftoks, 'query') AND contains(lower(text), 'table hash')),
+            d AS (
+              SELECT doc_id,
+                list_filter(list_concat(list_concat(
+                  flatten(list_transform(pos_b, l -> list_transform(pos_a, q -> abs(l - q)))),
+                  flatten(list_transform(pos_c, l -> list_transform(pos_a, q -> abs(l - q))))),
+                  flatten(list_transform(pos_c, l -> list_transform(pos_b, q -> abs(l - q))))),
+                  dd -> dd <> 0) AS dists
+              FROM p),
+            r AS (
+              SELECT doc_id,
+                CASE WHEN len(dists) = 0 THEN 1e-20 ELSE
+                  1.0 - list_reduce(list_prepend(1.0, list_transform(dists, dd ->
+                    1.0 - sqrt(0.010000000000000002 * (CASE WHEN dd > 100 THEN 1e-30
+                      ELSE 1.0 / (1.005 + 0.05 * exp(CAST(dd AS DOUBLE) / 1.5 - 2.0)) END)))),
+                    (acc, x) -> acc * x) END AS r
+              FROM d)
+            SELECT doc_id, CAST(pos AS INT) AS pos, round(r, 6) AS rank_pg FROM (
+              SELECT doc_id, r, ROW_NUMBER() OVER (ORDER BY r DESC, doc_id ASC) AS pos FROM r)
+            WHERE pos <= 1000""",
+        # EXACT PG phrase semantics (phrase_mode='lexeme'): the phrase
+        # filter is consecutive-position folded-lexeme adjacency
+        # (tsquery <->, distance 1), not substring containment; ranking
+        # is the same calc_rank_and over sorted items {hash,index,table}
+        "q1_fts_phrase_lexeme": """
+            WITH t AS (
+              SELECT doc_id, text,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+              FROM documents),
+            f AS (
+              SELECT doc_id, text,
+                     list_transform(toks, x ->
+                       regexp_replace(regexp_replace(regexp_replace(x, 'sses$', 'ss'), 'ies$', 'i'), '([^s])s$', '\\1')) AS ftoks
+              FROM t),
+            p AS (
+              SELECT doc_id,
+                list_filter(generate_series(1, len(ftoks)), j -> ftoks[j] = 'hash') AS pos_a,
+                list_filter(generate_series(1, len(ftoks)), j -> ftoks[j] = 'index') AS pos_b,
+                list_filter(generate_series(1, len(ftoks)), j -> ftoks[j] = 'table') AS pos_c
+              FROM f
+              WHERE list_contains(ftoks, 'index')
+                AND len(ftoks) >= 2
+                AND len(list_filter(generate_series(1, len(ftoks) - 1),
+                        i -> ftoks[i] = 'table' AND ftoks[i + 1] = 'hash')) > 0),
             d AS (
               SELECT doc_id,
                 list_filter(list_concat(list_concat(

@@ -50,6 +50,9 @@ __all__ = [
     "fts_match_rank",
     "fts_rank_order",
     "fts_rank_order_pg",
+    "fts_words_view",
+    "phrase_lexeme_cond",
+    "phrase_words",
     "pg_rank_or_col",
     "pg_rank_and_col",
     "fts_build_index",
@@ -163,6 +166,52 @@ def fts_fold(tokens: Column) -> Column:
             "$1",
         ),
     )
+
+
+def phrase_words(phrase: str) -> list[str]:
+    """Folded lexeme sequence of a quoted phrase — what PG's
+    websearch_to_tsquery turns '"a b"' into ('a <-> b', consecutive
+    positions; the config here removes no stopwords, so positions are
+    contiguous)."""
+    return [
+        fold_suffix(w) for w in re.split(r"[^a-z0-9]+", phrase.lower()) if w
+    ]
+
+
+def phrase_lexeme_cond(ftoks: Column, phrase: str) -> Column:
+    """EXACT PG phrase-match semantics over the folded token stream:
+    '"a b"' matches iff lexeme a appears at some position i AND lexeme
+    b at i+1 (tsquery's <-> operator with distance 1 — TS_phrase_execute
+    over consecutive positions; the engine removes no stopwords so
+    websearch phrase distances are always 1).  This is the lexeme-true
+    alternative to the engine's declared substring phrase semantics:
+    'tables, hash!' matches '"table hash"' here (folded adjacency) but
+    not by substring; 'table hashing' matches by substring but not here.
+
+    Pure per-row array algebra (one EXISTS over a position sequence,
+    k cheap element_at comparisons per candidate) — no shuffle, no UDF;
+    an empty phrase (no alnum word) matches everything, as PG's empty
+    tsquery arm does."""
+    ws = phrase_words(phrase)
+    if not ws:
+        return F.lit(True)
+    if len(ws) == 1:
+        return F.array_contains(ftoks, ws[0])
+    k = len(ws)
+
+    def _at(i: Column, j: int, w: str) -> Column:
+        return F.element_at(ftoks, i + F.lit(j)) == F.lit(w)
+
+    def _pred(i: Column) -> Column:
+        c = _at(i, 0, ws[0])
+        for j, w in enumerate(ws[1:], start=1):
+            c = c & _at(i, j, w)
+        return c
+
+    return F.when(
+        F.size(ftoks) >= k,
+        F.exists(F.sequence(F.lit(1), F.size(ftoks) - k + 1), _pred),
+    ).otherwise(F.lit(False))
 
 
 def fts_match_rank(
@@ -431,6 +480,7 @@ def fts_rank_order_pg(
     text_col: str = "text",
     max_results: int | None = 1000,
     rank_floor: float | None = None,
+    phrase_mode: str = "substring",
 ) -> DataFrame:
     """Q1 ordering with the EXACT PG ts_rank value (pg_rank_or_col) —
     the round-5 strengthening of fts_rank_order's ts_rank-lite
@@ -448,27 +498,39 @@ def fts_rank_order_pg(
     rank when present (tsrank.c ranks the items of the query tree, not
     its boolean structure), both exactly as PG does.  OR-rooted /
     single-item queries take calc_rank_or over the same item view.
-    Declared remaining deltas: the engine's phrase FILTER is substring
-    containment where PG requires exact consecutive lexemes (the
-    engine-wide declared phrase semantics), and PG computes in float4
-    where this runs in double.  Same top-k scale bound as
-    fts_rank_order (TakeOrderedAndProject before the pos window)."""
+
+    phrase_mode selects the phrase FILTER semantics:
+      * "substring" (default — the engine-wide declared semantics):
+        quoted phrases must appear as substrings of lower(text)
+      * "lexeme" — EXACT PG semantics: phrase lexemes must occur at
+        consecutive positions of the folded token stream
+        (phrase_lexeme_cond; tsquery <-> with distance 1)
+    With "lexeme" the only remaining declared delta is PG's float4 vs
+    this engine's double.  Same top-k scale bound as fts_rank_order
+    (TakeOrderedAndProject before the pos window)."""
+    if phrase_mode not in ("substring", "lexeme"):
+        raise ValueError(f"phrase_mode must be substring|lexeme, got {phrase_mode!r}")
     groups = parse_websearch(query)
     staged = docs.withColumn("_toks", fts_tokens(F.col(text_col))).withColumn(
         "_ftoks", fts_fold(F.col("_toks"))
     )
     low = F.lower(F.col(text_col))
 
+    def phrase_cond(p: str) -> Column:
+        if phrase_mode == "lexeme":
+            return phrase_lexeme_cond(F.col("_ftoks"), p)
+        return low.contains(p)
+
     def group_cond(g: WebsearchGroup) -> Column:
         cond = F.lit(True)
         for t in g.terms:
             cond = cond & F.array_contains("_ftoks", fold_suffix(t))
         for p in g.phrases:
-            cond = cond & low.contains(p)
+            cond = cond & phrase_cond(p)
         for t in g.neg_terms:
             cond = cond & ~F.array_contains("_ftoks", fold_suffix(t))
         for p in g.neg_phrases:
-            cond = cond & ~low.contains(p)
+            cond = cond & ~phrase_cond(p)
         return cond
 
     if groups:

@@ -357,3 +357,70 @@ def test_fts_rank_order_pg_bounded(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert out.count() == 7
+
+
+def test_phrase_lexeme_mode_pg_exact(spark):
+    """phrase_mode='lexeme' reproduces PG's <-> semantics: folded
+    lexemes at consecutive positions — punctuation/casing between words
+    is irrelevant, plural folding applies, substring overlap into a
+    LONGER token does not match (PG: 'hashing' is a different lexeme
+    than 'hash' under this engine's fold)."""
+    from sosse_spark.operators.fts import fts_rank_order_pg
+
+    docs = spark.createDataFrame(
+        [
+            (1, "index Tables, hash!"),     # lexeme-adjacent via fold+punct
+            (2, "index table hashing"),      # substring 'table hash' yes, lexeme no
+            (3, "index hash table"),         # reversed order: neither
+            (4, "index table x hash"),       # gap: neither
+            (5, "index table hash"),         # both
+        ],
+        "doc_id long, text string",
+    )
+    lex = {
+        r["doc_id"]
+        for r in fts_rank_order_pg(
+            docs, 'index "table hash"', phrase_mode="lexeme"
+        ).collect()
+    }
+    sub = {
+        r["doc_id"]
+        for r in fts_rank_order_pg(docs, 'index "table hash"').collect()
+    }
+    assert lex == {1, 5}
+    assert sub == {2, 5}
+
+    # negated phrase under lexeme mode: doc2 no longer excluded (its
+    # lexemes are not adjacent), doc1 now IS excluded
+    neg = {
+        r["doc_id"]
+        for r in fts_rank_order_pg(
+            docs, 'index -"table hash"', phrase_mode="lexeme"
+        ).collect()
+    }
+    assert neg == {2, 3, 4}
+
+
+def test_phrase_lexeme_edge_cases(spark):
+    """Single-word and longer-than-doc phrases; empty phrase matches
+    all (PG's empty tsquery arm)."""
+    from sosse_spark.operators.fts import fts_rank_order_pg
+
+    docs = spark.createDataFrame(
+        [(1, "spark"), (2, "a b"), (3, "")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]
+        for r in fts_rank_order_pg(docs, '"sparks"', phrase_mode="lexeme").collect()
+    }
+    assert got == {1}  # single-word phrase folds and matches
+    got3 = {
+        r["doc_id"]
+        for r in fts_rank_order_pg(docs, '"a b c"', phrase_mode="lexeme").collect()
+    }
+    assert got3 == set()  # phrase longer than every doc
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="phrase_mode"):
+        fts_rank_order_pg(docs, '"a"', phrase_mode="bogus")
