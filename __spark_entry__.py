@@ -634,6 +634,51 @@ def q_text_gopher_rep(spark, sf_dir):
     return gopher_repetition(_docs(spark, sf_dir))
 
 
+def q_text_pii_scrub(spark, sf_dir):
+    """PII redaction (the regex-scrub stage of public LLM cleaning
+    pipelines, BigScience-ROOTS/FineWeb-style): emails, IPv4 addresses,
+    and phone numbers replaced by typed tokens with per-category
+    counts; rules apply in order on their own stage input so nested
+    matches are not double-counted.  Per-row regexp algebra, no
+    shuffle; patterns are Java-regex/RE2 equivalent so the DuckDB
+    oracle certifies match-for-match parity.
+
+    The driver corpus contains no natural PII, so the entry SEEDS
+    deterministic PII derived from doc_id (an email every 7th doc, an
+    IPv4 every 11th, a phone every 13th — overlaps exercise multi-
+    category rows) before scrubbing; the oracle builds the identical
+    input, so all three positive arms are value-certified."""
+    from pyspark.sql import functions as F
+
+    from sosse_spark.functions.text import pii_scrub
+
+    d = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    seeded = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(i % 7 == 0, F.concat(F.lit(" contact user"), i.cast("string"), F.lit("@example.com"))).otherwise(F.lit("")),
+            F.when(i % 11 == 0, F.concat(F.lit(" from 10."), (i % 256).cast("string"), F.lit(".0."), (i % 200).cast("string"))).otherwise(F.lit("")),
+            F.when(i % 13 == 0, F.concat(F.lit(" call 555-"), F.lpad((i % 1000).cast("string"), 3, "0"), F.lit("-"), F.lpad((i % 10000).cast("string"), 4, "0"))).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return pii_scrub(seeded)
+
+
+def q_text_unigram_lm(spark, sf_dir):
+    """Corpus-trained unigram LM quality score — the deterministic
+    proxy for CCNet's KenLM perplexity filter (Wenzek et al. 2020):
+    per-doc mean negative log-probability of its tokens under corpus
+    unigram frequencies + the exp'd perplexity.  One map-side-
+    combinable (token → count) agg, top-V via TakeOrderedAndProject,
+    vocab + scalar total broadcast into the scoring join, one per-doc
+    agg — no global sort, no UDF, nothing unbounded on the driver."""
+    from sosse_spark.functions.text import unigram_logprob
+
+    return unigram_logprob(_docs(spark, sf_dir))
+
+
 def q_q13_words_view(spark, sf_dir):
     """Q13 /words archive view (se/words.py:26-33): the reference
     splits Document.vector — PG's tsvector text form — into
@@ -1350,6 +1395,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_fts_rank_floor_pg": q_q1_fts_rank_floor_pg,
         "q13_words_view": q_q13_words_view,
         "text_gopher_rep": q_text_gopher_rep,
+        "text_pii_scrub": q_text_pii_scrub,
+        "text_unigram_lm": q_text_unigram_lm,
         "p17_webhook_select": q_p17_webhook_select,
         # -- r04 driver-green entries (greens on record) --
         "f15_eligibility": q_f15_eligibility,
@@ -2408,6 +2455,59 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(pos AS INT) AS pos, round(r, 6) AS rank_pg FROM (
               SELECT doc_id, r, ROW_NUMBER() OVER (ORDER BY r DESC, doc_id ASC) AS pos FROM fl)
             WHERE pos <= 1000""",
+        # PII scrub: identical rule order (email -> ipv4 -> phone), each
+        # rule counting on its own stage input; patterns are
+        # Java-regex/RE2 equivalent (ASCII \d \b, no lookaround)
+        "text_pii_scrub": """
+            WITH seeded AS (
+              SELECT doc_id,
+                text
+                || CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+                || CASE WHEN doc_id % 11 = 0 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 200 AS VARCHAR) ELSE '' END
+                || CASE WHEN doc_id % 13 = 0 THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+                AS text
+              FROM documents),
+            s1 AS (
+              SELECT doc_id,
+                len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
+                regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+              FROM seeded),
+            s2 AS (
+              SELECT doc_id, n_emails,
+                len(regexp_extract_all(t1, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS n_ipv4,
+                regexp_replace(t1, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g') AS t2
+              FROM s1),
+            s3 AS (
+              SELECT doc_id, n_emails, n_ipv4,
+                len(regexp_extract_all(t2, '\\+\\d{7,15}|\\b\\d{3}-\\d{3}-\\d{4}\\b')) AS n_phones,
+                regexp_replace(t2, '\\+\\d{7,15}|\\b\\d{3}-\\d{3}-\\d{4}\\b', '<PHONE>', 'g') AS text_scrubbed
+              FROM s2)
+            SELECT doc_id, text_scrubbed,
+                   CAST(n_emails AS INT) AS n_emails,
+                   CAST(n_ipv4 AS INT) AS n_ipv4,
+                   CAST(n_phones AS INT) AS n_phones,
+                   (n_emails + n_ipv4 + n_phones) > 0 AS has_pii
+            FROM s3""",
+        # unigram LM: corpus token counts, top-V vocab (ties by token),
+        # add-one OOV floor, per-doc mean negative logprob + exp
+        "text_unigram_lm": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+              FROM documents),
+            x AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+            c AS (SELECT tok, count(*) AS cnt FROM x GROUP BY tok),
+            tot AS (SELECT sum(cnt) AS total FROM c),
+            v AS (SELECT tok, cnt FROM c ORDER BY cnt DESC, tok ASC LIMIT 65536),
+            s AS (
+              SELECT x.doc_id,
+                     ln(CAST((SELECT total FROM tot) AS DOUBLE))
+                       - ln(CAST(coalesce(v.cnt, 1) AS DOUBLE)) AS nll
+              FROM x LEFT JOIN v USING (tok))
+            SELECT doc_id, CAST(count(*) AS INT) AS n_tokens,
+                   round(avg(nll), 6) AS avg_nll,
+                   round(exp(avg(nll)), 4) AS ppl
+            FROM s GROUP BY doc_id""",
         # /words archive view: one row per (doc, word) with 1-based
         # positions comma-joined in ascending order — the tsvector text
         # form se/words.py splits for display

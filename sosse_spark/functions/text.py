@@ -30,7 +30,10 @@ __all__ = [
     "token_count_expr",
     "bpe_ish_token_count_expr",
     "gopher_quality_flags",
+    "gopher_repetition",
     "fingerprint_expr",
+    "pii_scrub",
+    "unigram_logprob",
 ]
 
 # Tiny deterministic stopword lists for the lang-ID heuristic.  Scoring is
@@ -293,3 +296,98 @@ def gopher_repetition(df, id_col: str = "doc_id", text_col: str = "text"):
     for fc in flag_cols[1:]:
         composite = composite & fc
     return out.select(*cols, *flag_cols, composite.alias("rep_pass"))
+
+
+# PII patterns (the regex-scrub stage of public cleaning pipelines —
+# BigScience ROOTS / FineWeb-style redaction).  Each pattern is valid
+# and equivalent under BOTH Java regex (Spark) and RE2 (DuckDB oracle):
+# ASCII \d / \b, greedy leftmost-first, no backrefs or lookaround.
+_PII_RULES = (
+    # (name, pattern, replacement)
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    # international +NNNNNNN... and US-style NNN-NNN-NNNN (dash only —
+    # a dotted phone form would collide with the IPv4 rule)
+    ("phone", r"\+\d{7,15}|\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+)
+
+
+def pii_scrub(df, id_col: str = "doc_id", text_col: str = "text"):
+    """PII redaction (the regex-scrub stage of public LLM data
+    pipelines): replaces emails, IPv4 addresses, and phone numbers with
+    <EMAIL>/<IP>/<PHONE> tokens and counts each category.
+
+    Rules apply IN ORDER (email, then IPv4, then phone), each counting
+    matches on its own stage input — so an IPv4 inside an already
+    scrubbed email local-part is not double-counted.  Output:
+    (id, text_scrubbed, n_emails, n_ipv4, n_phones, has_pii).
+
+    100 TB shape: per-row regexp algebra inside one projection — no
+    shuffle, no UDF, whole-stage codegen end to end."""
+    stage = F.col(text_col)
+    counts = []
+    for name, pat, repl in _PII_RULES:
+        counts.append(F.regexp_count(stage, F.lit(pat)).alias(f"_n_{name}"))
+        stage = F.regexp_replace(stage, pat, repl)
+    staged = df.select(F.col(id_col), stage.alias("text_scrubbed"), *counts)
+    total = (
+        F.col("_n_email") + F.col("_n_ipv4") + F.col("_n_phone")
+    )
+    return staged.select(
+        id_col,
+        "text_scrubbed",
+        F.col("_n_email").cast("int").alias("n_emails"),
+        F.col("_n_ipv4").cast("int").alias("n_ipv4"),
+        F.col("_n_phone").cast("int").alias("n_phones"),
+        (total > 0).alias("has_pii"),
+    )
+
+
+def unigram_logprob(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 65536,
+):
+    """Corpus-trained unigram language-model quality score — the
+    deterministic proxy for CCNet's KenLM perplexity filter (Wenzek et
+    al. 2020 train a 5-gram LM and keep low-perplexity docs; this
+    engine trains a unigram LM on the corpus itself, no external
+    model): per document the mean negative log-probability of its
+    tokens under corpus unigram frequencies, and its exp (a
+    perplexity).  Common-word documents score LOW avg_nll (keep);
+    rare-token noise scores HIGH.
+
+    The vocabulary keeps the top `vocab_size` tokens by corpus count
+    (ties by token ascending — deterministic); out-of-vocabulary
+    tokens take the add-one floor count 1.  Output: (id, n_tokens,
+    avg_nll, ppl), docs with no tokens drop out.
+
+    100 TB shape: two linear passes over the token stream — ONE
+    map-side-combinable (token → count) aggregation, a top-V cut via
+    orderBy().limit() (TakeOrderedAndProject — parallel partial
+    top-k, never a global sort), the V-row vocab + 1-row total
+    BROADCAST into the scoring join, then ONE per-doc aggregation.
+    No UDF, no driver loop; the only all-reduce objects are the
+    bounded vocab and a scalar."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda t: t != F.lit("")
+    )
+    tok_rows = df.select(F.col(id_col), F.explode(toks).alias("tok"))
+    counts = tok_rows.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("_total"))
+    vocab = counts.orderBy(F.col("cnt").desc(), F.col("tok").asc()).limit(vocab_size)
+    scored = (
+        tok_rows.join(F.broadcast(vocab), "tok", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            (F.log(F.col("_total").cast("double"))
+             - F.log(F.coalesce(F.col("cnt"), F.lit(1)).cast("double"))).alias("_nll"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_tokens"),
+        F.round(F.avg("_nll"), 6).alias("avg_nll"),
+        F.round(F.exp(F.avg("_nll")), 4).alias("ppl"),
+    )

@@ -689,3 +689,74 @@ def test_gopher_repetition_dup_ngram_arm(spark):
     # 25-word prefix); the rule must trip
     assert row["dup5_frac"] > 0.15 and row["r_dup5"] is False
     assert row["rep_pass"] is False
+
+
+def test_pii_scrub(spark):
+    """Regex PII redaction: email / IPv4 / phone replaced with typed
+    tokens, per-category counts, rule order prevents double counting."""
+    from sosse_spark.functions.text import pii_scrub
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail me at bob.smith+x@example.co.uk or call 555-123-4567"),
+            (2, "server at 10.0.255.3 and backup 192.168.1.1"),
+            (3, "intl +4915112345678 done"),
+            (4, "clean text, no pii; version 1.2 and 1.2.3 stay"),
+            (5, "a@b.io at 1.2.3.4"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r.asDict() for r in pii_scrub(docs).collect()}
+    assert rows[1]["text_scrubbed"] == "mail me at <EMAIL> or call <PHONE>"
+    assert (rows[1]["n_emails"], rows[1]["n_phones"]) == (1, 1)
+    assert rows[2]["text_scrubbed"] == "server at <IP> and backup <IP>"
+    assert rows[2]["n_ipv4"] == 2
+    assert rows[3]["text_scrubbed"] == "intl <PHONE> done"
+    # dotted version numbers: 1.2.3 has only three groups -> not an IP
+    assert rows[4] == {
+        "doc_id": 4,
+        "text_scrubbed": "clean text, no pii; version 1.2 and 1.2.3 stay",
+        "n_emails": 0,
+        "n_ipv4": 0,
+        "n_phones": 0,
+        "has_pii": False,
+    }
+    assert rows[5]["text_scrubbed"] == "<EMAIL> at <IP>"
+    assert rows[5]["has_pii"] is True
+
+
+def test_unigram_logprob(spark):
+    """Corpus-unigram LM scoring: common-word docs score lower avg_nll
+    than rare-word docs; OOV floor applies under a tight vocab cap."""
+    import math
+
+    from sosse_spark.functions.text import unigram_logprob
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the the the cat"),
+            (2, "zyzzyva qwerty"),
+            (3, "the cat"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r.asDict() for r in unigram_logprob(docs).collect()}
+    assert 4 not in rows  # no tokens -> drops out
+    # corpus counts: the=4, cat=2, zyzzyva=1, qwerty=1, total=8
+    t = 8.0
+    nll = lambda c: math.log(t) - math.log(c)  # noqa: E731
+    exp1 = round((3 * nll(4) + nll(2)) / 4, 6)
+    assert rows[1]["avg_nll"] == exp1
+    assert rows[2]["avg_nll"] == round(nll(1), 6)
+    assert rows[1]["avg_nll"] < rows[3]["avg_nll"] < rows[2]["avg_nll"]
+    assert rows[1]["n_tokens"] == 4
+
+    # vocab cap 2 keeps {the, cat} (top counts); zyzzyva/qwerty take the
+    # add-one floor cnt=1 — same here since their true count IS 1
+    capped = {
+        r["doc_id"]: r["avg_nll"]
+        for r in unigram_logprob(docs, vocab_size=2).collect()
+    }
+    assert capped[2] == round(nll(1), 6)
+    assert capped[1] == exp1
