@@ -479,3 +479,99 @@ def test_select_batch_thin_rank_keeps_payload_off_windows(spark):
     # same rows as the full-width path
     wide = select_batch(frontier, now, batch_size=9, per_host_budget=5, thin_rank=False)
     assert {r.id for r in rows} == {r.id for r in wide.collect()}
+
+
+def test_pii_scrub_zero_exchange(spark):
+    """PII scrub is one codegen'd projection — no shuffle, no UDF, no
+    python boundary anywhere in the plan."""
+    from sosse_spark.functions.text import pii_scrub
+
+    docs = spark.range(50).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("a@b.io x"), F.col("id").cast("string")).alias("text"),
+    )
+    plan = _plan(pii_scrub(docs))
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "ArrowEval" not in plan
+    assert "*(1)" in plan  # whole-stage codegen'd single stage
+
+
+def test_unigram_logprob_broadcast_vocab_topk(spark):
+    """The unigram-LM scoring join must BROADCAST the bounded vocab
+    (never shuffle the token stream against it), the top-V cut must be
+    TakeOrderedAndProject (parallel partial top-k, no global sort of
+    the vocabulary), and both aggregations must have map-side partial
+    phases."""
+    from sosse_spark.functions.text import unigram_logprob
+
+    docs = spark.range(50).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("the cat sat w"), F.col("id").cast("string")).alias("text"),
+    )
+    plan = _plan(unigram_logprob(docs, vocab_size=10))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    # partial_count before the exchange = map-side combine
+    assert "partial_count" in plan
+
+
+def test_gopher_repetition_two_hash_aggs(spark):
+    """Gopher repetition is (doc,n,gram)-keyed then doc-keyed hash
+    aggregation — no window, no python stage, and map-side partial
+    aggregation on the gram counts."""
+    from sosse_spark.functions.text import gopher_repetition
+
+    docs = spark.range(20).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("a b a b c"), F.col("id").cast("string")).alias("text"),
+    )
+    root = gopher_repetition(docs)._jdf.queryExecution().executedPlan()
+
+    def walk(node):
+        yield node
+        ch = node.children()
+        for i in range(ch.size()):
+            yield from walk(ch.apply(i))
+
+    kinds = [n.getClass().getSimpleName() for n in walk(root)]
+    assert not any("Window" in k for k in kinds)
+    assert not any("Python" in k or "ArrowEval" in k for k in kinds)
+    # map-side partial phases double the HashAggregate count: the
+    # (doc,n,gram) count agg and the per-doc conditional agg each plan
+    # as partial+final (4 HashAggregates total, no sort-based agg)
+    assert sum(k == "HashAggregateExec" for k in kinds) >= 4
+    assert not any("SortAggregate" in k for k in kinds)
+
+
+def test_fts_words_view_single_agg_no_window(spark):
+    """/words is ONE (doc,word)-keyed aggregation with a map-side
+    partial phase — no window, no second exchange above the agg."""
+    from sosse_spark.operators.fts import fts_words_view
+
+    docs = spark.range(20).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("a b a"), F.col("id").cast("string")).alias("text"),
+    )
+    plan = _plan(fts_words_view(docs))
+    assert "Window" not in plan
+    assert "partial_" in plan
+    assert plan.count("Exchange") <= 2  # one shuffle (+AQE wrapper variance)
+
+
+def test_phrase_lexeme_filter_zero_exchange(spark):
+    """The lexeme phrase filter stays a per-row predicate: filtering a
+    corpus by phrase adds no exchange before the bounded top-k."""
+    from sosse_spark.operators.fts import fts_rank_order_pg
+
+    docs = spark.range(50).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("table hash x"), F.col("id").cast("string")).alias("text"),
+    )
+    out = fts_rank_order_pg(docs, '"table hash"', id_col="doc_id",
+                            max_results=10, phrase_mode="lexeme")
+    plan = _plan(out)
+    assert "TakeOrderedAndProject" in plan
+    take_pos = plan.index("TakeOrderedAndProject")
+    first_sort = plan.find("Sort ")
+    assert first_sort == -1 or first_sort < take_pos
