@@ -128,6 +128,12 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> dict[str, float]:
         "text_quality",
         "text_fingerprint",
         "img_decode_stats",
+        # round-5 additions
+        "q1_fts_rank_pg",
+        "text_gopher_rep",
+        "text_pii_scrub",
+        "text_unigram_lm",
+        "q13_words_view",
     ]
     qs = e.queries()
     out: dict[str, float] = {}
