@@ -1198,6 +1198,46 @@ def q_img_decode_check(spark, sf_dir):
     return stats.select("image_id", "fmt", "decode_ok", "width", "height", "phash_match")
 
 
+def _media_df(spark, sf_dir):
+    """Synthetic multimodal rows: media bytes derived as unhex(md5(doc_id))
+    so both engines can recompute the fake decoders' seed arithmetic."""
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            F.concat(F.lit("m"), F.col("doc_id").cast("string")).alias("media_id"),
+            F.unhex(F.md5(F.col("doc_id").cast("string"))).alias("bytes"),
+        )
+        .repartition(8)
+    )
+
+
+def q_mm_video_schedule(spark, sf_dir):
+    """Video frame-sampling fan-out (multimodal stub plumbing,
+    operators/multimodal.py:213; reference media handling
+    se/document.py:526-577): the mapInPandas kernel reads the seed from
+    the first 4 payload bytes and fans one row out per sampled frame.
+    With bytes = unhex(md5(doc_id)) the schedule (seed -> duration ->
+    frame grid) is SQL-recomputable, so the oracle certifies the Arrow
+    batch plumbing, the fan-out shape, and the schedule arithmetic
+    end-to-end.  Frame pixels stay pytest-pinned (test_dataops)."""
+    from sosse_spark.operators.multimodal import video_frame_sample
+
+    frames = video_frame_sample(_media_df(spark, sf_dir), every_ms=1000, allow_fake=True)
+    return frames.select("media_id", "frame_no", "ts_ms")
+
+
+def q_mm_audio_duration(spark, sf_dir):
+    """Audio feature-extraction stub (operators/multimodal.py:174): the
+    kernel derives sample count n = 1600 + seed % 800 from the first 8
+    payload bytes and reports duration_ms = n*1000/16000 truncated.
+    With bytes = unhex(md5(doc_id)) that schedule is SQL-recomputable;
+    rms / zero_crossings (the LCG-generated PCM) stay pytest-pinned."""
+    from sosse_spark.operators.multimodal import audio_features
+
+    feats = audio_features(_media_df(spark, sf_dir), allow_fake=True)
+    return feats.select("media_id", "duration_ms")
+
+
 def q_cookie_match(spark, sf_dir):
     """Cookie-jar URL matching (Cookie.get_from_url, se/cookie.py:58-104):
     exact vs subdomain domains, secure-over-https, trailing-slash path
@@ -1398,6 +1438,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_scrub": q_text_pii_scrub,
         "text_unigram_lm": q_text_unigram_lm,
         "p17_webhook_select": q_p17_webhook_select,
+        "mm_video_schedule": q_mm_video_schedule,
+        "mm_audio_duration": q_mm_audio_duration,
         # -- r04 driver-green entries (greens on record) --
         "f15_eligibility": q_f15_eligibility,
         "f15_priority_order": q_f15_priority_order,
@@ -1801,6 +1843,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST([16, 24, 48][CAST((i // 3) % 3 AS INT) + 1] AS INT) AS height,
                    true AS phash_match
             FROM range(120) t(i)""",
+        "mm_video_schedule": """
+            WITH h AS (
+              SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_id,
+                     md5(CAST(doc_id AS VARCHAR)) AS hx
+              FROM documents),
+            s AS (
+              -- little-endian uint32 of the first 4 digest bytes
+              SELECT media_id,
+                     CAST(concat('0x', substr(hx, 7, 2), substr(hx, 5, 2),
+                                 substr(hx, 3, 2), substr(hx, 1, 2)) AS BIGINT) AS seed
+              FROM h),
+            d AS (SELECT media_id, 2000 + seed % 3000 AS duration_ms FROM s),
+            grid AS (SELECT unnest(range(0, 5)) AS f)
+            SELECT media_id, CAST(f AS INT) AS frame_no, CAST(f * 1000 AS INT) AS ts_ms
+            FROM d CROSS JOIN grid
+            WHERE f * 1000 < duration_ms""",
+        "mm_audio_duration": """
+            WITH h AS (
+              SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_id,
+                     md5(CAST(doc_id AS VARCHAR)) AS hx
+              FROM documents),
+            s AS (
+              -- little-endian uint64 of the first 8 digest bytes
+              SELECT media_id,
+                     CAST(concat('0x', substr(hx, 15, 2), substr(hx, 13, 2),
+                                 substr(hx, 11, 2), substr(hx, 9, 2),
+                                 substr(hx, 7, 2), substr(hx, 5, 2),
+                                 substr(hx, 3, 2), substr(hx, 1, 2)) AS UBIGINT) AS seed
+              FROM h)
+            SELECT media_id, CAST((1600 + seed % 800) // 16 AS INT) AS duration_ms
+            FROM s""",
         "cookie_match": """
             WITH jar AS (
               SELECT 'site' || CAST(n_nationkey % 12 AS VARCHAR) || '.example.com' AS domain,

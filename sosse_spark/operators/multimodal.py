@@ -191,9 +191,10 @@ def audio_features(df: DataFrame, allow_fake: bool = False) -> DataFrame:
                 n = 1600 + seed % 800
                 state = np.uint64(seed | 1)
                 pcm = np.empty(n, dtype=np.float64)
-                for k in range(n):
-                    state = state * np.uint64(6364136223846793005) + np.uint64(1442695040888963407)
-                    pcm[k] = (int(state >> np.uint64(33)) / float(1 << 30)) - 1.0
+                with np.errstate(over="ignore"):  # uint64 wrap-around IS the LCG
+                    for k in range(n):
+                        state = state * np.uint64(6364136223846793005) + np.uint64(1442695040888963407)
+                        pcm[k] = (int(state >> np.uint64(33)) / float(1 << 30)) - 1.0
                 rows.append(
                     {
                         "media_id": media_id,
