@@ -1145,6 +1145,35 @@ def q_sim_embedding_neardup(spark, sf_dir):
     )
 
 
+def q_dedup_semantic(spark, sf_dir):
+    """SemDeDup-lite semantic dedup (Abbas et al. 2023: cluster the
+    embedding space, dedup only within clusters — operators/
+    similarity.py semantic_dedup).  Centroids are the 8 lowest-vec_id
+    vectors (deterministic, SQL-recomputable); near-dup twins are
+    planted deterministically: vec_id%10==0 gets a pure-scale twin
+    (cosine exactly 1 → always dropped), vec_id%10==5 gets a
+    first-component-negated twin (high-but-not-1 cosine → threshold
+    actually discriminates).  Both arms value-certified by the oracle."""
+    from sosse_spark.operators.similarity import semantic_dedup
+
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    scale_twins = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.5)).alias("embedding"),
+    )
+    neg_twins = emb.filter(F.col("vec_id") % 10 == 5).select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.concat(
+            F.array(-F.element_at("embedding", 1)), F.slice("embedding", 2, 63)
+        ).alias("embedding"),
+    )
+    aug = emb.unionByName(scale_twins).unionByName(neg_twins)
+    cents = [r["embedding"] for r in emb.orderBy("vec_id").limit(8).collect()]
+    return semantic_dedup(aug, cents, threshold=0.9)
+
+
 def q_text_langid(spark, sf_dir):
     from sosse_spark.functions.text import lang_id_expr
 
@@ -1440,6 +1469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p17_webhook_select": q_p17_webhook_select,
         "mm_video_schedule": q_mm_video_schedule,
         "mm_audio_duration": q_mm_audio_duration,
+        "dedup_semantic": q_dedup_semantic,
         # -- r04 driver-green entries (greens on record) --
         "f15_eligibility": q_f15_eligibility,
         "f15_priority_order": q_f15_priority_order,
@@ -2755,6 +2785,38 @@ def oracle_sql() -> dict[str, str]:
               SELECT query_id, vec_id, cos_sim,
                      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
               FROM scored) WHERE rank <= 5""",
+        "dedup_semantic": """
+            WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            aug AS (
+              SELECT vec_id, v FROM base
+              UNION ALL
+              SELECT vec_id + 1000, list_transform(v, x -> x * 1.5) FROM base WHERE vec_id % 10 = 0
+              UNION ALL
+              SELECT vec_id + 1000, list_concat([-v[1]], v[2:]) FROM base WHERE vec_id % 10 = 5),
+            c AS (
+              SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cidx, v AS cv
+              FROM (SELECT vec_id, v FROM base ORDER BY vec_id LIMIT 8)),
+            scored AS (
+              SELECT a.vec_id, c.cidx,
+                     round(list_dot_product(a.v, c.cv)
+                           / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) AS cs
+              FROM aug a CROSS JOIN c),
+            assign AS (
+              SELECT vec_id, cidx AS cell FROM (
+                SELECT vec_id, cidx,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, cidx ASC) AS rn
+                FROM scored) WHERE rn = 1),
+            pairs AS (
+              SELECT x.vec_id AS id_a, y.vec_id AS id_b
+              FROM assign x JOIN assign y ON x.cell = y.cell AND x.vec_id < y.vec_id),
+            sim AS (
+              SELECT p.id_b, p.id_a
+              FROM pairs p JOIN aug ea ON ea.vec_id = p.id_a JOIN aug eb ON eb.vec_id = p.id_b
+              WHERE round(list_dot_product(ea.v, eb.v)
+                          / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 6) >= 0.9),
+            d AS (SELECT id_b, min(id_a) AS dup_of FROM sim GROUP BY id_b)
+            SELECT a.vec_id, a.cell, d.dup_of, d.dup_of IS NOT NULL AS is_dup
+            FROM assign a LEFT JOIN d ON d.id_b = a.vec_id""",
         "sim_ann_bruteforce": """
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
             q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),

@@ -29,6 +29,7 @@ __all__ = [
     "banded_signatures",
     "lsh_topk",
     "embedding_near_dup_pairs",
+    "semantic_dedup",
     "ivf_train",
     "ivf_assign",
     "ivf_topk",
@@ -422,6 +423,82 @@ def embedding_near_dup_pairs(
         )
     )
     return pairs.filter(F.col("cos_sim") >= threshold)
+
+
+def _semantic_cell_udf(centroids: list[list[float]]):
+    """pandas UDF: vector → nearest-centroid index by cosine (ONE BLAS
+    matmul per Arrow batch).  Scores are rounded to 6 decimals before
+    the argmax and ties break to the LOWEST centroid index, so the
+    assignment is reproducible by any engine that computes round-6
+    cosine (the DuckDB oracle does exactly that)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    c = np.array(centroids, dtype=np.float64)
+    c /= np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+
+    def _cells(vecs):
+        v = np.stack(vecs.to_numpy()).astype(np.float64)
+        v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+        scores = np.round(v @ c.T, 6)
+        return pd.Series(np.argmax(scores, axis=1).astype(np.int32))
+
+    return pandas_udf(_cells, T.IntegerType(), PandasUDFType.SCALAR)
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540 — cluster, then dedup only WITHIN clusters):
+    assign every vector to its nearest centroid, self-join the thin
+    (id, cell) table on cell, exact-rescore candidate pairs, and mark
+    every row that has a lower-id cluster-mate at cosine >= threshold
+    as a duplicate of the smallest such id (min-id representative wins
+    — deterministic, like dedup.py's exact/minhash keep rules).
+
+    → (id_col, cell, dup_of, is_dup): one row per input row; dup_of is
+    NULL for kept representatives.
+
+    Scale shape: the quadratic term is bounded per cluster — cost is
+    Σ|cell|², never n² (the clustering IS the blocking key, which is
+    the SemDeDup recipe's point).  The self-join carries only (id,
+    cell) scalars; vectors join back once for the exact verify.
+    Centroids come from `ivf_train` (bounded-sample Lloyd) or any
+    deterministic rule; they ride inside the UDF closure (broadcast).
+    """
+    cells = corpus.select(
+        F.col(id_col).alias("_id"),
+        _semantic_cell_udf(centroids)(F.col(vec_col)).alias("cell"),
+    )
+    a = cells.select(F.col("_id").alias("id_a"), "cell")
+    b = cells.select(F.col("_id").alias("id_b"), "cell")
+    cand = a.join(b, "cell").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+    va = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    dup = (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", F.round(cosine_sim(F.col("_va"), F.col("_vb")), 6).alias("cs"))
+        .filter(F.col("cs") >= threshold)
+        .groupBy("id_b")
+        .agg(F.min("id_a").alias("dup_of"))
+    )
+    return (
+        cells.join(dup, cells["_id"] == dup["id_b"], "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "cell",
+            "dup_of",
+            F.col("dup_of").isNotNull().alias("is_dup"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

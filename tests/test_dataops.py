@@ -760,3 +760,32 @@ def test_unigram_logprob(spark):
     }
     assert capped[2] == round(nll(1), 6)
     assert capped[1] == exp1
+
+
+def test_semantic_dedup_min_id_wins_within_cluster(spark):
+    """SemDeDup-lite: same-direction vectors in one cluster collapse to
+    the lowest id; cross-cluster vectors never pair; below-threshold
+    cluster-mates are kept."""
+    from sosse_spark.operators.similarity import semantic_dedup
+
+    vecs = spark.createDataFrame(
+        [
+            (1, [2.0, 0.0]),
+            (2, [4.0, 0.0]),      # dup of 1 (cos 1)
+            (3, [0.0, 3.0]),      # other cluster
+            (4, [0.0, 1.0]),      # dup of 3 (cos 1)
+            (5, [1.0, 0.9]),      # cell 0 but cos(5,1) = 0.743 < 0.95 -> kept
+            (6, [2.0, 0.0]),      # dup of BOTH 1 and 2 -> dup_of = min = 1
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r["vec_id"]: r.asDict() for r in semantic_dedup(
+        vecs, [[1.0, 0.0], [0.0, 1.0]], threshold=0.95).collect()}
+    assert len(got) == 6
+    assert got[1]["is_dup"] is False and got[1]["dup_of"] is None
+    assert got[2]["dup_of"] == 1 and got[2]["is_dup"] is True
+    assert got[3]["is_dup"] is False
+    assert got[4]["dup_of"] == 3
+    assert got[5]["is_dup"] is False and got[5]["cell"] == 0
+    assert got[6]["dup_of"] == 1
+    assert got[1]["cell"] == got[2]["cell"] == 0 and got[3]["cell"] == got[4]["cell"] == 1

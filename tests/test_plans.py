@@ -575,3 +575,47 @@ def test_phrase_lexeme_filter_zero_exchange(spark):
     take_pos = plan.index("TakeOrderedAndProject")
     first_sort = plan.find("Sort ")
     assert first_sort == -1 or first_sort < take_pos
+
+
+def test_semantic_dedup_cell_exchange_is_thin(spark):
+    """The within-cluster self-join must shuffle only (id, cell)
+    scalars — at corpus scale the vectors ARE the data; they join back
+    once for the exact verify (same rule as the minhash/ngram bands)."""
+    from sosse_spark.operators.similarity import semantic_dedup
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 7 + 1), float(i % 5 + 1), 1.0]) for i in range(12)],
+        "vec_id long, embedding array<double>",
+    )
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        out = semantic_dedup(vecs, [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]], threshold=0.99)
+        root = out._jdf.queryExecution().executedPlan()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+
+    def walk(node):
+        yield node
+        ch = node.children()
+        for i in range(ch.size()):
+            yield from walk(ch.apply(i))
+
+    cell_exchanges = 0
+    for node in walk(root):
+        name = node.getClass().getSimpleName()
+        assert "CartesianProduct" not in name and "BroadcastNestedLoopJoin" not in name
+        if "ShuffleExchange" not in name:
+            continue
+        if "cell" not in node.outputPartitioning().toString():
+            continue
+        cell_exchanges += 1
+        cols = node.child().output()
+        names = [cols.apply(i).name() for i in range(cols.size())]
+        assert "embedding" not in names and "_va" not in names and "_vb" not in names, (
+            f"vector column rides the cell exchange: {names}"
+        )
+    assert cell_exchanges >= 1
