@@ -1174,6 +1174,21 @@ def q_dedup_semantic(spark, sf_dir):
     return semantic_dedup(aug, cents, threshold=0.9)
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Token-budget sequence packing (training batch prep: lay docs into
+    fixed-budget bins without splitting — operators/sampling.py
+    pack_sequences).  Grouped by md5 so bin assignment is
+    engine-reproducible; the whole schedule (group, bin, offset) is
+    value-certified."""
+    from sosse_spark.functions.text import token_count_expr
+    from sosse_spark.operators.sampling import pack_sequences
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", token_count_expr(F.col("text")).alias("n_tokens")
+    )
+    return pack_sequences(docs, budget=1024, n_groups=8)
+
+
 def q_text_langid(spark, sf_dir):
     from sosse_spark.functions.text import lang_id_expr
 
@@ -1470,6 +1485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_video_schedule": q_mm_video_schedule,
         "mm_audio_duration": q_mm_audio_duration,
         "dedup_semantic": q_dedup_semantic,
+        "pack_sequences": q_pack_sequences,
         # -- r04 driver-green entries (greens on record) --
         "f15_eligibility": q_f15_eligibility,
         "f15_priority_order": q_f15_priority_order,
@@ -2785,6 +2801,27 @@ def oracle_sql() -> dict[str, str]:
               SELECT query_id, vec_id, cos_sim,
                      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
               FROM scored) WHERE rank <= 5""",
+        "pack_sequences": """
+            WITH toks AS (
+              SELECT doc_id,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+              FROM documents),
+            g AS (
+              SELECT doc_id, n_tokens,
+                     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT % 8 AS INT) AS pack_group
+              FROM toks),
+            c AS (
+              SELECT doc_id, n_tokens, pack_group,
+                     CAST(COALESCE(SUM(n_tokens) OVER (
+                       PARTITION BY pack_group ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tokens_before
+              FROM g)
+            SELECT doc_id, n_tokens, pack_group,
+                   CAST(floor(tokens_before / 1024.0) AS BIGINT) AS bin_no,
+                   tokens_before,
+                   n_tokens > 1024 AS oversize
+            FROM c""",
         "dedup_semantic": """
             WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
             aug AS (

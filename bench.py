@@ -134,6 +134,9 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> dict[str, float]:
         "text_pii_scrub",
         "text_unigram_lm",
         "q13_words_view",
+        "dedup_semantic",
+        "mm_video_schedule",
+        "pack_sequences",
     ]
     qs = e.queries()
     out: dict[str, float] = {}

@@ -16,10 +16,10 @@ sampling is a pure filter that pushes down to the scan.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["deterministic_uniform", "stratified_sample"]
+__all__ = ["deterministic_uniform", "stratified_sample", "pack_sequences"]
 
 
 def deterministic_uniform(id_col: Column) -> Column:
@@ -47,3 +47,51 @@ def stratified_sample(
     for key, f in sorted(fractions.items()):
         frac = F.when(F.col(strata_col) == key, F.lit(float(f))).otherwise(frac)
     return docs.filter(deterministic_uniform(F.col(id_col)) < frac)
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int,
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    n_groups: int = 256,
+) -> DataFrame:
+    """GPT-style sequence packing for training batch prep: lay documents
+    out (in deterministic id order) into fixed token-budget bins without
+    splitting documents.  A doc belongs to the bin where it STARTS
+    (bin_no = floor(tokens_before / budget)), so a bin overruns by at
+    most one document — the standard streaming-packing tradeoff (the
+    alternative, break-before-overflow, is inherently sequential).
+
+    Scale shape: packing runs independently inside `n_groups` md5-derived
+    groups — ONE hash exchange on pack_group, per-group window cumsum,
+    no global sort (a single global cumsum would funnel the corpus
+    through one task).  md5 (not xxhash64) so the grouping is
+    engine-reproducible; bins are identified by (pack_group, bin_no).
+
+    → (id_col, token_col, pack_group, bin_no, tokens_before, oversize),
+    one row per input doc.
+    """
+    grp = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % n_groups
+    )
+    w = (
+        Window.partitionBy("pack_group")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum(token_col).over(w), F.lit(0)).cast("long")
+    return (
+        docs.select(id_col, token_col, grp.alias("pack_group"))
+        .withColumn("tokens_before", before)
+        .select(
+            id_col,
+            token_col,
+            "pack_group",
+            F.floor(F.col("tokens_before") / budget).alias("bin_no"),
+            "tokens_before",
+            (F.col(token_col) > budget).alias("oversize"),
+        )
+    )

@@ -789,3 +789,28 @@ def test_semantic_dedup_min_id_wins_within_cluster(spark):
     assert got[5]["is_dup"] is False and got[5]["cell"] == 0
     assert got[6]["dup_of"] == 1
     assert got[1]["cell"] == got[2]["cell"] == 0 and got[3]["cell"] == got[4]["cell"] == 1
+
+
+def test_pack_sequences_contiguous_bins_and_overflow(spark):
+    """Packing: per-group cumsum binning in id order; a doc belongs to
+    the bin where it starts; bins overrun by at most one doc; docs over
+    the budget are flagged oversize."""
+    from sosse_spark.operators.sampling import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate([40, 40, 40, 250, 40, 40])],
+        "doc_id long, n_tokens int",
+    )
+    got = {r["doc_id"]: r.asDict() for r in pack_sequences(
+        docs, budget=100, n_groups=1).collect()}
+    assert len(got) == 6
+    # single group: cumsum order is doc_id order
+    befores = [got[i]["tokens_before"] for i in range(6)]
+    assert befores == [0, 40, 80, 120, 370, 410]
+    assert [got[i]["bin_no"] for i in range(6)] == [0, 0, 0, 1, 3, 4]
+    # doc 2 starts at 80 and overruns bin 0 by 20 — allowed (<= 1 doc)
+    assert got[3]["oversize"] is True and got[0]["oversize"] is False
+    # grouped run: same ids split across groups still cover every doc once
+    multi = pack_sequences(docs, budget=100, n_groups=4).collect()
+    assert sorted(r["doc_id"] for r in multi) == list(range(6))
+    assert all(0 <= r["pack_group"] < 4 for r in multi)

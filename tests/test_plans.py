@@ -619,3 +619,19 @@ def test_semantic_dedup_cell_exchange_is_thin(spark):
             f"vector column rides the cell exchange: {names}"
         )
     assert cell_exchanges >= 1
+
+
+def test_pack_sequences_no_global_window(spark):
+    """Packing must not funnel the corpus through one task: every window
+    is partitioned by pack_group (one hash exchange, per-group cumsum)."""
+    from sosse_spark.operators.sampling import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, (i * 13) % 300 + 1) for i in range(100)], "doc_id long, n_tokens int"
+    )
+    out = pack_sequences(docs, budget=256, n_groups=16)
+    plan = _plan(out)
+    for line in plan.splitlines():
+        if "windowspecdefinition(" in line:
+            assert "pack_group" in line
+    assert "SinglePartition" not in plan
