@@ -814,3 +814,24 @@ def test_pack_sequences_contiguous_bins_and_overflow(spark):
     multi = pack_sequences(docs, budget=100, n_groups=4).collect()
     assert sorted(r["doc_id"] for r in multi) == list(range(6))
     assert all(0 <= r["pack_group"] < 4 for r in multi)
+
+
+def test_semantic_dedup_with_trained_centroids(spark):
+    """Production path: ivf_train (bounded-sample Lloyd) centroids feed
+    semantic_dedup.  Planted same-direction twins share their base's
+    cell by construction (identical normalized vector) so they are
+    dropped regardless of which cells training converges to."""
+    from sosse_spark.operators.similarity import ivf_train, semantic_dedup
+
+    base = [[float(((i * 7 + j * 13) % 17) - 8) for j in range(8)] for i in range(15)]
+    rows = [(i, base[i]) for i in range(15)] + [
+        (100 + i, [2.0 * x for x in base[i]]) for i in range(0, 15, 5)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = ivf_train(df, n_centroids=4, iters=4, seed=7)
+    got = {r["vec_id"]: r.asDict() for r in semantic_dedup(df, cents, threshold=0.9999).collect()}
+    assert len(got) == 18
+    for i in (0, 5, 10):
+        assert got[100 + i]["is_dup"] is True and got[100 + i]["dup_of"] == i
+        assert got[100 + i]["cell"] == got[i]["cell"]
+        assert got[i]["is_dup"] is False
