@@ -1189,6 +1189,16 @@ def q_pack_sequences(spark, sf_dir):
     return pack_sequences(docs, budget=1024, n_groups=8)
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Context-window chunking (operators/sampling.py chunk_documents):
+    sliding 24-token windows with 8-token overlap over `documents` —
+    pure JVM split/sequence/explode/slice algebra, whole schedule AND
+    reassembled chunk text value-certified."""
+    from sosse_spark.operators.sampling import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir), max_tokens=24, overlap=8)
+
+
 def q_text_langid(spark, sf_dir):
     from sosse_spark.functions.text import lang_id_expr
 
@@ -1486,6 +1496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_audio_duration": q_mm_audio_duration,
         "dedup_semantic": q_dedup_semantic,
         "pack_sequences": q_pack_sequences,
+        "chunk_documents": q_chunk_documents,
         # -- r04 driver-green entries (greens on record) --
         "f15_eligibility": q_f15_eligibility,
         "f15_priority_order": q_f15_priority_order,
@@ -2801,6 +2812,25 @@ def oracle_sql() -> dict[str, str]:
               SELECT query_id, vec_id, cos_sim,
                      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
               FROM scored) WHERE rank <= 5""",
+        "chunk_documents": """
+            -- stride = 24 - 8 = 16; grid bound 16 > max K at this data
+            -- (docs cap at ~100 ws-tokens -> K <= ceil(92/16) = 6)
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text), '\\s+')) END AS n,
+                     string_split_regex(trim(text), '\\s+') AS toks
+              FROM documents),
+            k AS (
+              SELECT doc_id, n, toks,
+                     CAST(floor((greatest(n - 8, 1) + 15) / 16.0) AS INT) AS n_chunks
+              FROM t WHERE n > 0),
+            grid AS (SELECT unnest(range(0, 16)) AS c)
+            SELECT doc_id, CAST(c AS INT) AS chunk_no,
+                   CAST(c * 16 AS INT) AS start_token,
+                   CAST(least(24, n - c * 16) AS INT) AS n_chunk_tokens,
+                   array_to_string(list_slice(toks, c * 16 + 1, c * 16 + 24), ' ') AS chunk_text
+            FROM k CROSS JOIN grid WHERE c < n_chunks""",
         "pack_sequences": """
             WITH toks AS (
               SELECT doc_id,

@@ -137,6 +137,7 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> dict[str, float]:
         "dedup_semantic",
         "mm_video_schedule",
         "pack_sequences",
+        "chunk_documents",
     ]
     qs = e.queries()
     out: dict[str, float] = {}

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["deterministic_uniform", "stratified_sample", "pack_sequences"]
+__all__ = ["deterministic_uniform", "stratified_sample", "pack_sequences", "chunk_documents"]
 
 
 def deterministic_uniform(id_col: Column) -> Column:
@@ -94,4 +94,46 @@ def pack_sequences(
             "tokens_before",
             (F.col(token_col) > budget).alias("oversize"),
         )
+    )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    max_tokens: int,
+    overlap: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Context-window chunking: split each document into sliding windows
+    of at most `max_tokens` whitespace tokens, consecutive windows
+    sharing `overlap` tokens (the standard prep step before embedding /
+    training when documents exceed the model context).  Chunk k starts
+    at token k*(max_tokens-overlap); the last chunk always reaches the
+    final token; empty documents produce no rows.
+
+    Pure JVM column algebra (split → sequence → explode → slice/join):
+    no UDF, no shuffle — a narrow Generate the optimizer pipelines with
+    the scan, so chunking N docs costs one pass regardless of
+    parallelism.
+
+    → (id_col, chunk_no, start_token, n_chunk_tokens, chunk_text).
+    """
+    if overlap >= max_tokens:
+        raise ValueError(f"overlap={overlap} must be smaller than max_tokens={max_tokens}")
+    stride = max_tokens - overlap
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0)).otherwise(F.size(toks))
+    n_chunks = F.floor((F.greatest(n - overlap, F.lit(1)) + stride - 1) / stride).cast("int")
+    staged = docs.select(
+        F.col(id_col), toks.alias("_toks"), n.alias("_n"), n_chunks.alias("_k")
+    ).filter(F.col("_n") > 0)
+    k = F.explode(F.sequence(F.lit(0), F.col("_k") - 1)).alias("chunk_no")
+    exploded = staged.select(id_col, "_toks", "_n", k)
+    start = F.col("chunk_no") * stride
+    return exploded.select(
+        id_col,
+        "chunk_no",
+        start.cast("int").alias("start_token"),
+        F.least(F.lit(max_tokens), F.col("_n") - start).cast("int").alias("n_chunk_tokens"),
+        F.array_join(F.slice("_toks", start + 1, max_tokens), " ").alias("chunk_text"),
     )

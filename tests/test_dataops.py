@@ -835,3 +835,32 @@ def test_semantic_dedup_with_trained_centroids(spark):
         assert got[100 + i]["is_dup"] is True and got[100 + i]["dup_of"] == i
         assert got[100 + i]["cell"] == got[i]["cell"]
         assert got[i]["is_dup"] is False
+
+
+def test_chunk_documents_sliding_windows(spark):
+    """Chunking: stride = max - overlap; last chunk reaches the final
+    token; short docs yield one chunk; empty docs yield none."""
+    from sosse_spark.operators.sampling import chunk_documents
+
+    ten = " ".join(f"t{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [(1, ten), (2, "a b"), (3, "   "), (4, "solo")],
+        "doc_id long, text string",
+    )
+    got = {}
+    for r in chunk_documents(docs, max_tokens=5, overlap=2).collect():
+        got.setdefault(r["doc_id"], []).append(r.asDict())
+    for chunks in got.values():
+        chunks.sort(key=lambda c: c["chunk_no"])
+    assert 3 not in got
+    assert [c["start_token"] for c in got[1]] == [0, 3, 6]
+    assert [c["n_chunk_tokens"] for c in got[1]] == [5, 5, 4]
+    assert got[1][0]["chunk_text"] == "t0 t1 t2 t3 t4"
+    assert got[1][1]["chunk_text"] == "t3 t4 t5 t6 t7"
+    assert got[1][2]["chunk_text"] == "t6 t7 t8 t9"
+    assert len(got[2]) == 1 and got[2][0]["chunk_text"] == "a b"
+    assert len(got[4]) == 1 and got[4][0]["n_chunk_tokens"] == 1
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, max_tokens=4, overlap=4)

@@ -635,3 +635,18 @@ def test_pack_sequences_no_global_window(spark):
         if "windowspecdefinition(" in line:
             assert "pack_group" in line
     assert "SinglePartition" not in plan
+
+
+def test_chunk_documents_zero_exchange(spark):
+    """Chunking must stay a narrow Generate pipelined with the scan —
+    no shuffle, no UDF boundary."""
+    from sosse_spark.operators.sampling import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta {i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    plan = _plan(chunk_documents(docs, max_tokens=4, overlap=1))
+    assert "Exchange" not in plan
+    assert "Generate" in plan
+    assert "Python" not in plan  # no UDF boundary
