@@ -864,3 +864,44 @@ def test_chunk_documents_sliding_windows(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         chunk_documents(docs, max_tokens=4, overlap=4)
+
+
+def test_pack_and_chunk_exhaustive_micro_grid(spark):
+    """Every n_tokens in 0..40 through pack_sequences (budget 7) and
+    chunk_documents (5/2) in one job each, checked against pure-Python
+    replicas — exhausts the boundary cases (empty, ==budget, ==window,
+    one-past, oversize) that example tests sample."""
+    from sosse_spark.operators.sampling import chunk_documents, pack_sequences
+
+    rows = [(i, i) for i in range(41)]
+    packed = {r["doc_id"]: r.asDict() for r in pack_sequences(
+        spark.createDataFrame(rows, "doc_id long, n_tokens int"),
+        budget=7, n_groups=1).collect()}
+    before = 0
+    for i in range(41):
+        assert packed[i]["tokens_before"] == before
+        assert packed[i]["bin_no"] == before // 7
+        assert packed[i]["oversize"] is (i > 7)
+        before += i
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(i))) for i in range(41)],
+        "doc_id long, text string",
+    )
+    got = {}
+    for r in chunk_documents(docs, max_tokens=5, overlap=2).collect():
+        got.setdefault(r["doc_id"], []).append(r.asDict())
+    assert 0 not in got  # empty doc -> no rows
+    stride = 3
+    for n in range(1, 41):
+        toks = [f"w{j}" for j in range(n)]
+        exp_k = max((max(n - 2, 1) + stride - 1) // stride, 1)
+        chunks = sorted(got[n], key=lambda c: c["chunk_no"])
+        assert len(chunks) == exp_k, (n, len(chunks), exp_k)
+        for k, c in enumerate(chunks):
+            s = k * stride
+            assert c["start_token"] == s
+            assert c["chunk_text"] == " ".join(toks[s:s + 5])
+            assert c["n_chunk_tokens"] == min(5, n - s)
+        # coverage: last chunk reaches the final token
+        assert chunks[-1]["start_token"] + chunks[-1]["n_chunk_tokens"] == n
