@@ -1199,6 +1199,20 @@ def q_chunk_documents(spark, sf_dir):
     return chunk_documents(_docs(spark, sf_dir), max_tokens=24, overlap=8)
 
 
+def q_p6_accent_strip(spark, sf_dir):
+    """P6 accent strip (remove_accents NFD kernel, se/document.py:63-66
+    parity — functions/text.py).  The testdata is pure ASCII, so the
+    entry INJECTS accents deterministically (translate aeinouc ->
+    áéíñóüç) and runs the real NFD pandas UDF; a correct strip restores
+    the original text exactly, which is the oracle."""
+    from sosse_spark.functions.text import remove_accents_udf
+
+    accented = _docs(spark, sf_dir).select(
+        "doc_id", F.translate(F.col("text"), "aeinouc", "áéíñóüç").alias("accented")
+    )
+    return accented.select("doc_id", remove_accents_udf(F.col("accented")).alias("stripped"))
+
+
 def q_text_langid(spark, sf_dir):
     from sosse_spark.functions.text import lang_id_expr
 
@@ -1497,6 +1511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic": q_dedup_semantic,
         "pack_sequences": q_pack_sequences,
         "chunk_documents": q_chunk_documents,
+        "p6_accent_strip": q_p6_accent_strip,
         # -- r04 driver-green entries (greens on record) --
         "f15_eligibility": q_f15_eligibility,
         "f15_priority_order": q_f15_priority_order,
@@ -2812,6 +2827,10 @@ def oracle_sql() -> dict[str, str]:
               SELECT query_id, vec_id, cos_sim,
                      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
               FROM scored) WHERE rank <= 5""",
+        "p6_accent_strip": """
+            -- the entry injects accents then NFD-strips them; a correct
+            -- kernel restores the original ASCII text exactly
+            SELECT doc_id, text AS stripped FROM documents""",
         "chunk_documents": """
             -- stride = 24 - 8 = 16; grid bound 16 > max K at this data
             -- (docs cap at ~100 ws-tokens -> K <= ceil(92/16) = 6)
