@@ -1213,6 +1213,61 @@ def q_p6_accent_strip(spark, sf_dir):
     return accented.select("doc_id", remove_accents_udf(F.col("accented")).alias("stripped"))
 
 
+def q_p4_feed_entries(spark, sf_dir):
+    """Feed-entry ingest parse (P4 second half — operators/feedparse.py,
+    se/document.py:327-345 parity).  Feeds are SYNTHESIZED from document
+    arithmetic (doc_id%2 picks RSS vs Atom, doc_id%3+1 entries) as XML
+    strings in pure column algebra, then parsed by the real ElementTree
+    mapInPandas kernel; the oracle recomputes the expected entry rows
+    directly, so the XML build→parse round trip is value-certified for
+    BOTH grammars."""
+    from sosse_spark.operators.feedparse import feed_entries_batch
+
+    did = F.col("doc_id")
+    n = did % 3 + 1
+    fid = (did % 7).cast("string")
+    ds = did.cast("string")
+    base = F.concat(F.lit("http://feed"), fid, F.lit(".example.com/"))
+
+    def rss_item(k):
+        return F.when(
+            n > k,
+            F.concat(
+                F.lit("<item><title>t"), ds, F.lit(f"_{k}</title><link>"),
+                base, F.lit("item/"), (did * 10 + k).cast("string"),
+                F.lit(f"</link><pubDate>2024-01-0{k + 1}T00:00:00Z</pubDate></item>"),
+            ),
+        ).otherwise(F.lit(""))
+
+    def atom_entry(k):
+        return F.when(
+            n > k,
+            F.concat(
+                F.lit("<entry><title>t"), ds, F.lit(f"_{k}</title><link href=\""),
+                base, F.lit("item/"), (did * 10 + k).cast("string"),
+                F.lit(f"\"/><updated>2024-01-0{k + 1}T00:00:00Z</updated></entry>"),
+            ),
+        ).otherwise(F.lit(""))
+
+    rss = F.concat(
+        F.lit("<rss version=\"2.0\"><channel><title>Feed "), ds,
+        F.lit("</title><link>"), base, F.lit("</link><description>d"), ds,
+        F.lit("</description>"), rss_item(0), rss_item(1), rss_item(2),
+        F.lit("</channel></rss>"),
+    )
+    atom = F.concat(
+        F.lit("<feed xmlns=\"http://www.w3.org/2005/Atom\"><title>Feed "), ds,
+        F.lit("</title><link href=\""), base, F.lit("\"/><subtitle>d"), ds,
+        F.lit("</subtitle>"), atom_entry(0), atom_entry(1), atom_entry(2),
+        F.lit("</feed>"),
+    )
+    feeds = _docs(spark, sf_dir).select(
+        F.concat(base, F.lit("feed"), ds, F.lit(".xml")).alias("url"),
+        F.when(did % 2 == 0, rss).otherwise(atom).alias("content"),
+    ).repartition(8)
+    return feed_entries_batch(feeds)
+
+
 def q_text_langid(spark, sf_dir):
     from sosse_spark.functions.text import lang_id_expr
 
@@ -1512,6 +1567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "chunk_documents": q_chunk_documents,
         "p6_accent_strip": q_p6_accent_strip,
+        "p4_feed_entries": q_p4_feed_entries,
         # -- r04 driver-green entries (greens on record) --
         "f15_eligibility": q_f15_eligibility,
         "f15_priority_order": q_f15_priority_order,
@@ -2827,6 +2883,21 @@ def oracle_sql() -> dict[str, str]:
               SELECT query_id, vec_id, cos_sim,
                      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
               FROM scored) WHERE rank <= 5""",
+        "p4_feed_entries": """
+            WITH g AS (SELECT unnest(range(0, 3)) AS k),
+            d AS (
+              SELECT doc_id, doc_id % 3 + 1 AS n,
+                     CAST(doc_id % 7 AS VARCHAR) AS fid,
+                     CAST(doc_id AS VARCHAR) AS ds
+              FROM documents)
+            SELECT 'http://feed' || fid || '.example.com/feed' || ds || '.xml' AS url,
+                   CASE WHEN doc_id % 2 = 0 THEN 'rss' ELSE 'atom' END AS feed_kind,
+                   'Feed ' || ds AS feed_title,
+                   CAST(k AS INT) AS entry_no,
+                   't' || ds || '_' || CAST(k AS VARCHAR) AS entry_title,
+                   'http://feed' || fid || '.example.com/item/' || CAST(doc_id * 10 + k AS VARCHAR) AS entry_url,
+                   '2024-01-0' || CAST(k + 1 AS VARCHAR) || 'T00:00:00Z' AS updated
+            FROM d CROSS JOIN g WHERE k < n""",
         "p6_accent_strip": """
             -- the entry injects accents then NFD-strips them; a correct
             -- kernel restores the original ASCII text exactly
