@@ -86,9 +86,23 @@ def _fetch_row(url: str, cfg: WebConfig, cookie: str | None) -> dict:
             # anchor text included), title from <title>, links already
             # base-resolved (se/page.py:88-95) so the downstream
             # absolutize vs final_url is an identity pass
+            from sosse_spark.operators.feedparse import feed_html, parse_feed
             from sosse_spark.operators.htmlparse import parse_html
+            from sosse_spark.sources.webgraph import feed_page, serves_feed
 
-            html = html_page(i, cfg, caption_for(i))
+            html = (
+                feed_page(i, cfg, caption_for(i))
+                if serves_feed(i, cfg)
+                else html_page(i, cfg, caption_for(i))
+            )
+            # content-sniffed feed routing (se/document.py:327-345,463):
+            # a parseable feed with >=1 entry re-renders as the
+            # template-shaped page BEFORE the DOM walk; everything else
+            # (including an empty feed — the reference's early return)
+            # flows through the HTML path unchanged
+            parsed_feed = parse_feed(html)
+            if parsed_feed is not None:
+                html = feed_html(parsed_feed)
             parsed = parse_html(res.final_url, html)
             row.update(
                 image_id=image_id_for(i),

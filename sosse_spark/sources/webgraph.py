@@ -59,6 +59,11 @@ class WebConfig:
     # stage then runs the P2 DOM-walk kernel (operators/htmlparse) for
     # text + links instead of the synthetic out-link function
     html_mode: bool = False
+    # html_mode only: docs with i % feed_every == 0 serve an RSS/Atom
+    # feed whose entries carry the SAME out-links — the fetch stage
+    # routes them through the feedparse kernel and re-renders before
+    # the DOM walk (se/document.py:327-345).  0 disables feeds.
+    feed_every: int = 0
 
 
 def _uniform(i: int) -> float:
@@ -164,6 +169,47 @@ def html_page(i: int, cfg: WebConfig, title: str) -> str:
     return (
         f"<html><head><title>{title}</title>{base}{icon}</head>"
         f"<body>{nav}<div>{title}</div><p>{anchors}</p></body></html>"
+    )
+
+
+def serves_feed(i: int, cfg: WebConfig) -> bool:
+    return cfg.html_mode and cfg.feed_every > 0 and i % cfg.feed_every == 0
+
+
+def feed_page(i: int, cfg: WebConfig, title: str) -> str:
+    """RSS (even i) / Atom (odd i) rendering of doc i: the SAME
+    out-links as the synthetic graph become feed entries with the SAME
+    anchor text the html anchors carry ("link {j}"), and the feed-level
+    link is the page's own path — it renders as the template's <h2>
+    anchor, which (like html_page's nav self-anchor) is a self-link and
+    stores no link row.  A zero-out-link doc yields a feed with no
+    entries, which the parser rejects (the reference's early return) —
+    the raw XML then falls through the normal HTML path, still
+    producing no links."""
+    from xml.sax.saxutils import escape, quoteattr
+
+    links = out_links(i, cfg)
+    self_link = _path_of(i, cfg)
+    if i % 2 == 0:
+        items = "".join(
+            f"<item><title>link {j}</title><link>{escape(h)}</link>"
+            f"<pubDate>2024-01-01T00:00:0{j}Z</pubDate></item>"
+            for j, h in enumerate(links)
+        )
+        return (
+            f'<rss version="2.0"><channel><title>{escape(title)}</title>'
+            f"<link>{escape(self_link)}</link>"
+            f"<description>feed for doc {i}</description>{items}</channel></rss>"
+        )
+    entries = "".join(
+        f"<entry><title>link {j}</title><link href={quoteattr(h)}/>"
+        f"<updated>2024-01-01T00:00:0{j}Z</updated></entry>"
+        for j, h in enumerate(links)
+    )
+    return (
+        f'<feed xmlns="http://www.w3.org/2005/Atom"><title>{escape(title)}</title>'
+        f"<link href={quoteattr(self_link)}/><subtitle>feed for doc {i}</subtitle>"
+        f"{entries}</feed>"
     )
 
 
