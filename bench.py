@@ -138,6 +138,7 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> dict[str, float]:
         "mm_video_schedule",
         "pack_sequences",
         "chunk_documents",
+        "p4_feed_entries",
     ]
     qs = e.queries()
     out: dict[str, float] = {}
