@@ -460,6 +460,51 @@ def q_q14_bang_redirect(spark, sf_dir):
     return bang_redirect(qs, engines)
 
 
+_Q14_ARMS_ENGINES = [
+    # one engine per get_search_url arm (se/models.py:287-343), plus a
+    # disabled twin of 'f' that must be shadowed (se/test_search.py:394)
+    ("f", "disabled-f", "http://off.example/?q={searchTerms}", False),
+    ("f", "fake", "http://test.example/?q={searchTerms}", True),
+    ("p", "pathy", "http://p.example/search/{searchTerms}/hits", True),
+    ("pb", "pathy64", "http://p.example/b/{searchTermsBase64}", True),
+    ("h", "fraggy", "http://h.example/app#q={searchTerms}", True),
+    ("hb", "fraggy64", "http://h.example/app#b={searchTermsBase64}", True),
+    ("qb", "query64", "http://q.example/?b={searchTermsBase64}&l=en", True),
+    ("q2", "query2", "http://q.example/?l=en&q={searchTerms}", True),
+]
+
+
+def q_q14_search_url_arms(spark, sf_dir):
+    """Q14 FULL parity (se/models.py:287-374): should_redirect's in-order
+    word scan (shortcut anywhere in the query, unresolved shortcuts
+    skipped, resolving word removed from the terms, disabled engines
+    shadowed) + get_search_url's template arms — path/fragment/query ×
+    {searchTerms}/{searchTermsBase64} with the reference's per-arm
+    quote_plus/raw-base64 encodings.  The oracle recomputes the whole
+    pipeline in SQL, base64 included."""
+    from sosse_spark.operators.search import search_redirect
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    s = did.cast("string")
+    qs = d.select(
+        F.when(did % 8 == 0, F.concat(F.lit("!f "), F.col("source"), F.lit(" w"), s))
+        .when(did % 8 == 1, F.concat(F.lit("lead !p "), F.col("source"), F.lit(" t"), s))
+        .when(did % 8 == 2, F.concat(F.lit("!pb s"), s))
+        .when(did % 8 == 3, F.concat(F.lit("!hb w"), s, F.lit(" x")))
+        .when(did % 8 == 4, F.concat(F.lit("!h a"), s, F.lit(" b")))
+        .when(did % 8 == 5, F.concat(F.lit("!qb c"), s, F.lit(" d e")))
+        .when(did % 8 == 6, F.concat(F.lit("!zz miss !q2 v"), s))
+        .otherwise(F.concat(F.lit("plain only "), s))
+        .alias("q")
+    )
+    engines = spark.createDataFrame(
+        _Q14_ARMS_ENGINES,
+        "shortcut string, short_name string, html_template string, enabled boolean",
+    )
+    return search_redirect(qs, engines)
+
+
 def q_dedup_phash_hamming(spark, sf_dir):
     # Image-payload near-dup over the input-table phash column
     # (BASELINE.json input_hint phash:int64).  The driver tables carry no
@@ -1568,6 +1613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "p6_accent_strip": q_p6_accent_strip,
         "p4_feed_entries": q_p4_feed_entries,
+        "q14_search_url_arms": q_q14_search_url_arms,
         # -- r04 driver-green entries (greens on record) --
         "f15_eligibility": q_f15_eligibility,
         "f15_priority_order": q_f15_priority_order,
@@ -2288,6 +2334,57 @@ def oracle_sql() -> dict[str, str]:
             SELECT q, replace(url_template, '%s', replace(terms, ' ', '+')) AS redirect_url
             FROM p JOIN e USING (shortcut)
             WHERE p.shortcut <> ''""",
+        "q14_search_url_arms": """
+            WITH qq AS (
+              SELECT CASE WHEN doc_id % 8 = 0 THEN '!f ' || source || ' w' || CAST(doc_id AS VARCHAR)
+                          WHEN doc_id % 8 = 1 THEN 'lead !p ' || source || ' t' || CAST(doc_id AS VARCHAR)
+                          WHEN doc_id % 8 = 2 THEN '!pb s' || CAST(doc_id AS VARCHAR)
+                          WHEN doc_id % 8 = 3 THEN '!hb w' || CAST(doc_id AS VARCHAR) || ' x'
+                          WHEN doc_id % 8 = 4 THEN '!h a' || CAST(doc_id AS VARCHAR) || ' b'
+                          WHEN doc_id % 8 = 5 THEN '!qb c' || CAST(doc_id AS VARCHAR) || ' d e'
+                          WHEN doc_id % 8 = 6 THEN '!zz miss !q2 v' || CAST(doc_id AS VARCHAR)
+                          ELSE 'plain only ' || CAST(doc_id AS VARCHAR) END AS q
+              FROM documents),
+            w AS (SELECT q, string_split(q, ' ') AS l FROM qq WHERE trim(q) <> ''),
+            tok AS (SELECT q, l, unnest(l) AS wd, generate_subscripts(l, 1) AS pos FROM w),
+            cand AS (SELECT q, l, pos, substr(wd, 2) AS se FROM tok WHERE starts_with(wd, '!')),
+            e(shortcut, html_template, enabled) AS (VALUES
+              ('f', 'http://off.example/?q={searchTerms}', false),
+              ('f', 'http://test.example/?q={searchTerms}', true),
+              ('p', 'http://p.example/search/{searchTerms}/hits', true),
+              ('pb', 'http://p.example/b/{searchTermsBase64}', true),
+              ('h', 'http://h.example/app#q={searchTerms}', true),
+              ('hb', 'http://h.example/app#b={searchTermsBase64}', true),
+              ('qb', 'http://q.example/?b={searchTermsBase64}&l=en', true),
+              ('q2', 'http://q.example/?l=en&q={searchTerms}', true)),
+            hit AS (SELECT q, l, pos, html_template,
+                           row_number() OVER (PARTITION BY q ORDER BY pos) AS rn
+                    FROM cand JOIN e ON e.shortcut = cand.se AND e.enabled),
+            fh AS (SELECT q, html_template AS t,
+                          array_to_string(list_concat(list_slice(l, 1, pos - 1),
+                                                      list_slice(l, pos + 1, len(l))), ' ') AS terms
+                   FROM hit WHERE rn = 1),
+            enc AS (SELECT q, t,
+                           replace(replace(replace(terms, '!', '%21'), '+', '%2B'), ' ', '+') AS qp,
+                           base64(encode(terms)) AS b64
+                    FROM fh),
+            enc2 AS (SELECT q, t, qp, b64,
+                            replace(replace(replace(b64, '+', '%2B'), '/', '%2F'), '=', '%3D') AS b64qp,
+                            strpos(t, '{searchTerms}') AS ppos,
+                            strpos(t, '{searchTermsBase64}') AS bpos,
+                            coalesce(least(nullif(strpos(t, '?'), 0), nullif(strpos(t, '#'), 0)),
+                                     length(t) + 1) AS path_end,
+                            nullif(strpos(t, '#'), 0) AS hpos
+                     FROM enc)
+            SELECT q,
+                   CASE WHEN ppos > 0 AND ppos < path_end THEN replace(t, '{searchTerms}', qp)
+                        WHEN bpos > 0 AND bpos < path_end THEN replace(t, '{searchTermsBase64}', b64qp)
+                        WHEN hpos IS NOT NULL AND ppos > hpos THEN replace(t, '{searchTerms}', qp)
+                        WHEN hpos IS NOT NULL AND bpos > hpos THEN replace(t, '{searchTermsBase64}', b64)
+                        WHEN ppos > 0 THEN replace(t, '{searchTerms}', qp)
+                        WHEN bpos > 0 THEN replace(t, '{searchTermsBase64}', b64qp)
+                   END AS redirect_url
+            FROM enc2""",
         "dedup_phash_hamming": """
             WITH p AS (
               SELECT doc_id,

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 __all__ = [
     "filter_predicate",
@@ -41,6 +42,7 @@ __all__ = [
     "snippet_headline",
     "atom_feed_entries",
     "bang_redirect",
+    "search_redirect",
 ]
 
 
@@ -256,6 +258,158 @@ def bang_redirect(queries: DataFrame, engines: DataFrame, query_col: str = "q") 
             F.col("url_template"), F.lit("%s"), F.replace(F.col("terms"), F.lit(" "), F.lit("+"))
         ).alias("redirect_url"),
     )
+
+
+def _template_search_url(template: Column, terms: Column) -> Column:
+    """SearchEngine.get_search_url (se/models.py:287-343) as column
+    algebra, for single-placeholder templates (every real OpenSearch
+    template carries exactly one `{searchTerms}` or
+    `{searchTermsBase64}`; the reference's four arms are mutually
+    exclusive then).
+
+    Arm selection mirrors the reference's check order — path, fragment,
+    query parameters — with the reference's per-arm encoding:
+
+      path     {searchTerms}        quote_plus(query)
+      path     {searchTermsBase64}  quote_plus(b64(query))
+      fragment {searchTerms}        quote_plus(query)
+      fragment {searchTermsBase64}  b64(query)           (RAW — the one
+                                    arm the reference does not quote,
+                                    se/models.py:312-317)
+      query    either               parse_qs + urlencode ≡ quote_plus
+                                    of the substituted value when the
+                                    placeholder is the whole value
+
+    quote_plus is exact here for the two alphabets that reach it: the
+    terms corpus is alnum + space + the shortcut chars '!'/'+' (an
+    unresolved shortcut word stays in the terms, se/models.py:357-358),
+    covered by the escape chain ! → %21, + → %2B, space → '+'; base64
+    output is fully covered by + → %2B, / → %2F, = → %3D."""
+    qp = F.replace(
+        F.replace(F.replace(terms, F.lit("!"), F.lit("%21")), F.lit("+"), F.lit("%2B")),
+        F.lit(" "),
+        F.lit("+"),
+    )
+    b64 = F.base64(F.encode(terms, "UTF-8"))
+    b64_qp = F.replace(
+        F.replace(F.replace(b64, F.lit("+"), F.lit("%2B")), F.lit("/"), F.lit("%2F")),
+        F.lit("="),
+        F.lit("%3D"),
+    )
+    plain = F.lit("{searchTerms}")
+    b64ph = F.lit("{searchTermsBase64}")
+    ppos = F.locate("{searchTerms}", template)
+    bpos = F.locate("{searchTermsBase64}", template)
+    qpos = F.locate("?", template)
+    hpos = F.locate("#", template)
+    path_end = F.least(
+        F.nullif(qpos, F.lit(0)), F.nullif(hpos, F.lit(0))
+    )
+    path_end = F.coalesce(path_end, F.length(template) + 1)
+    return (
+        F.when((ppos > 0) & (ppos < path_end), F.replace(template, plain, qp))
+        .when((bpos > 0) & (bpos < path_end), F.replace(template, b64ph, b64_qp))
+        .when((hpos > 0) & (ppos > hpos), F.replace(template, plain, qp))
+        .when((hpos > 0) & (bpos > hpos), F.replace(template, b64ph, b64))
+        .when(ppos > 0, F.replace(template, plain, qp))
+        .when(bpos > 0, F.replace(template, b64ph, b64_qp))
+    )
+
+
+def search_redirect(
+    queries: DataFrame,
+    engines: DataFrame,
+    query_col: str = "q",
+    shortcut_char: str = "!",
+    default_short_name: str | None = None,
+    sosse_shortcut: str = "sosse",
+) -> DataFrame:
+    """Q14 full parity: SearchEngine.should_redirect + get_search_url
+    (se/models.py:287-374).  Unlike the `bang_redirect` fast path
+    (leading `!x ` only, `%s` templates), this walks the reference's
+    actual algorithm:
+
+    - scan the query's WORDS in order; the first word starting with
+      `shortcut_char` that resolves decides (se/models.py:347-362):
+      resolving to `sosse_shortcut` (active only when
+      `default_short_name` is set, ≙ SOSSE_DEFAULT_SEARCH_REDIRECT
+      gating SOSSE_SOSSE_SHORTCUT) stops redirection; resolving to an
+      enabled engine redirects; unknown shortcuts are skipped and the
+      scan continues,
+    - the resolving word is REMOVED from the terms
+      (se/models.py:359-361 `del q[i]`),
+    - no word resolved → the `default_short_name` engine takes the
+      whole query, unless it is blank (se/models.py:368-372),
+    - disabled engines never match (filter(enabled=True)),
+    - URL construction per `_template_search_url`.
+
+    Output: one `(query_col, redirect_url)` row per redirected query;
+    non-redirecting queries emit nothing (the reference returns None).
+    Declared delta: terms are whitespace-normalized (`query.split()`
+    then `' '.join`) in BOTH arms, where the reference's default arm
+    passes the raw string — identical for single-spaced queries.
+
+    Scale shape: `engines` is a tiny dimension (broadcast, twice); the
+    word scan is one posexplode + one per-query min-pos window over
+    only the shortcut-prefixed words — O(words) rows, never O(words²).
+    Query text must be unique per row (it is the join-back key)."""
+    en = F.broadcast(engines.filter(F.col("enabled")))
+    q = F.col(query_col)
+    words = queries.select(
+        q, F.split(F.trim(q), r"\s+").alias("_words")
+    ).filter(F.trim(q) != "")
+    exploded = words.select(
+        q, "_words", F.posexplode("_words").alias("_pos", "_w")
+    ).filter(F.col("_w").startswith(shortcut_char))
+    cand = exploded.withColumn(
+        "_se", F.expr(f"substring(_w, {len(shortcut_char) + 1})")
+    )
+    joined = cand.join(en.select(F.col("shortcut").alias("_se"), "html_template"), "_se", "left")
+    # The sosse shortcut stops redirection BEFORE the engine lookup
+    # (se/models.py:352-354), so it wins even over an engine whose
+    # shortcut collides with it — and it is live only when the default
+    # redirect is configured.
+    stop = (
+        (F.col("_se") == sosse_shortcut)
+        if default_short_name is not None
+        else F.lit(False)
+    )
+    resolved = joined.withColumn("_stop", stop).filter(
+        F.col("_stop") | F.col("html_template").isNotNull()
+    )
+    w = Window.partitionBy(query_col).orderBy("_pos")
+    first_hit = (
+        resolved.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .filter(~F.col("_stop"))
+    )
+    n = F.size(F.col("_words"))
+    shortcut_terms = F.array_join(
+        F.concat(
+            F.slice(F.col("_words"), F.lit(1), F.col("_pos")),
+            F.when(F.col("_pos") + 2 <= n, F.slice(F.col("_words"), F.col("_pos") + 2, n)).otherwise(
+                F.array().cast("array<string>")
+            ),
+        ),
+        " ",
+    )
+    hits = first_hit.select(
+        q, _template_search_url(F.col("html_template"), shortcut_terms).alias("redirect_url")
+    )
+    if default_short_name is None:
+        return hits
+    default_engine = en.filter(F.col("short_name") == default_short_name).select("html_template")
+    fallback = (
+        words.join(resolved.select(query_col).distinct(), query_col, "left_anti")
+        .crossJoin(F.broadcast(default_engine))
+        .select(
+            q,
+            _template_search_url(
+                F.col("html_template"), F.array_join(F.col("_words"), " ")
+            ).alias("redirect_url"),
+        )
+    )
+    return hits.unionByName(fallback)
 
 
 def csv_export_order(docs: DataFrame, limit: int = 1000) -> DataFrame:
