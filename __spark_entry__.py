@@ -505,6 +505,67 @@ def q_q14_search_url_arms(spark, sf_dir):
     return search_redirect(qs, engines)
 
 
+def q_dedup_substring(spark, sf_dir):
+    """Exact-substring dedup (Lee et al. 2021 ExactSubstr, arXiv:
+    2107.06499): every duplicated 8-token window is cut from every
+    document; docs reassemble from surviving tokens.  Planted arms: a
+    constant passage on every 5th doc (corpus-wide duplicate) and a
+    3-group shared run on every 7th (group-wise duplicate); windows
+    straddling the doc-specific prefix stay unique.  The oracle
+    recomputes windows/coverage/reassembly in SQL over a fixed
+    range(0,128) grid (driver texts are <= 100 tokens + planted tails
+    — documented bound), value-certifying the cleaned TEXT."""
+    from sosse_spark.operators.dedup import dedup_substring
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    planted = F.concat(
+        F.col("text"),
+        F.when(
+            did % 5 == 0,
+            F.lit(" shared passage alpha beta gamma delta epsilon zeta eta theta"),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 7 == 0,
+            F.concat(
+                F.lit(" grp"),
+                (did % 3).cast("string"),
+                F.lit(" common run one two three four five six seven"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    corpus = d.select(did.alias("doc_id"), planted.alias("text"))
+    return dedup_substring(corpus, k=8)
+
+
+def q_delete_documents_select(spark, sf_dir):
+    """Mass-delete selection arms (sosse-admin delete_documents,
+    se/management/commands/delete_documents.py:46-56): url regex,
+    --ignore-case (iregex), --exclude under the same case mode.  The
+    synthesized corpus mixes upper- and lower-case hosts so the two
+    case modes select provably different sets."""
+    from sosse_spark.operators.admission import mass_delete_selection
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    urls = d.select(
+        did.alias("doc_id"),
+        F.concat(
+            F.when(did % 3 == 0, F.lit("http://ALPHA")).otherwise(F.lit("http://alpha")),
+            (did % 7).cast("string"),
+            F.lit(".example.com/p/"),
+            did.cast("string"),
+        ).alias("url"),
+    )
+    cs = mass_delete_selection(urls, r"^http://alpha[0-2]\.", exclude=r"0$").withColumn(
+        "arm", F.lit("cs")
+    )
+    ci = mass_delete_selection(
+        urls, r"^HTTP://ALPHA[3-4]\.", ignore_case=True, exclude=r"P/1[0-9]$"
+    ).withColumn("arm", F.lit("ci"))
+    return cs.unionByName(ci).select("arm", "doc_id", "url")
+
+
 def q_dedup_phash_hamming(spark, sf_dir):
     # Image-payload near-dup over the input-table phash column
     # (BASELINE.json input_hint phash:int64).  The driver tables carry no
@@ -1614,6 +1675,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p6_accent_strip": q_p6_accent_strip,
         "p4_feed_entries": q_p4_feed_entries,
         "q14_search_url_arms": q_q14_search_url_arms,
+        "delete_documents_select": q_delete_documents_select,
+        "dedup_substring": q_dedup_substring,
         # -- r04 driver-green entries (greens on record) --
         "f15_eligibility": q_f15_eligibility,
         "f15_priority_order": q_f15_priority_order,
@@ -2385,6 +2448,65 @@ def oracle_sql() -> dict[str, str]:
                         WHEN bpos > 0 THEN replace(t, '{searchTermsBase64}', b64qp)
                    END AS redirect_url
             FROM enc2""",
+        "dedup_substring": """
+            WITH corpus AS (
+              SELECT doc_id,
+                     text
+                       || (CASE WHEN doc_id % 5 = 0
+                                THEN ' shared passage alpha beta gamma delta epsilon zeta eta theta'
+                                ELSE '' END)
+                       || (CASE WHEN doc_id % 7 = 0
+                                THEN ' grp' || CAST(doc_id % 3 AS VARCHAR)
+                                     || ' common run one two three four five six seven'
+                                ELSE '' END) AS text
+              FROM documents),
+            toked AS (
+              SELECT doc_id AS _id,
+                     CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                          ELSE string_split_regex(trim(text), '\\s+') END AS l
+              FROM corpus),
+            -- windows via a fixed grid: driver texts are <= 100 tokens
+            -- (+ <= 21 planted) — range(0,128) documented bound
+            g AS (SELECT unnest(range(0, 128)) AS i),
+            wins AS (
+              SELECT _id, i AS wpos,
+                     md5(array_to_string(list_slice(l, i + 1, i + 8), ' ')) AS h
+              FROM toked CROSS JOIN g
+              WHERE i <= len(l) - 8),
+            duph AS (SELECT h FROM wins GROUP BY h HAVING count(*) >= 2),
+            dupw AS (SELECT _id, wpos FROM wins JOIN duph USING (h)),
+            k8 AS (SELECT unnest(range(0, 8)) AS o),
+            covered AS (
+              SELECT DISTINCT _id, wpos + o AS pos FROM dupw CROSS JOIN k8),
+            toks AS (
+              SELECT _id, unnest(l) AS tok, generate_subscripts(l, 1) - 1 AS pos
+              FROM toked),
+            surv AS (
+              SELECT t._id, t.tok, t.pos FROM toks t
+              LEFT JOIN covered c ON t._id = c._id AND t.pos = c.pos
+              WHERE c._id IS NULL),
+            re AS (
+              SELECT _id, string_agg(tok, ' ' ORDER BY pos) AS text,
+                     count(*) AS kept FROM surv GROUP BY _id)
+            SELECT t._id,
+                   coalesce(re.text, '') AS text,
+                   CAST(coalesce(re.kept, 0) AS INT) AS kept_tokens,
+                   CAST(len(t.l) - coalesce(re.kept, 0) AS INT) AS removed_tokens
+            FROM toked t LEFT JOIN re ON t._id = re._id""",
+        "delete_documents_select": """
+            WITH u AS (
+              SELECT doc_id,
+                     (CASE WHEN doc_id % 3 = 0 THEN 'http://ALPHA' ELSE 'http://alpha' END)
+                       || CAST(doc_id % 7 AS VARCHAR) || '.example.com/p/'
+                       || CAST(doc_id AS VARCHAR) AS url
+              FROM documents)
+            SELECT 'cs' AS arm, doc_id, url FROM u
+            WHERE regexp_matches(url, '^http://alpha[0-2]\\.')
+              AND NOT regexp_matches(url, '0$')
+            UNION ALL
+            SELECT 'ci' AS arm, doc_id, url FROM u
+            WHERE regexp_matches(url, '^HTTP://ALPHA[3-4]\\.', 'i')
+              AND NOT regexp_matches(url, 'P/1[0-9]$', 'i')""",
         "dedup_phash_hamming": """
             WITH p AS (
               SELECT doc_id,

@@ -33,6 +33,7 @@ __all__ = [
     "route_cross_collection",
     "policy_export",
     "policy_import",
+    "mass_delete_selection",
 ]
 
 
@@ -246,4 +247,26 @@ def policy_import(text: str) -> list[CollectionPolicy]:
                 for w in c["webhook_configs"]
             )
         out.append(CollectionPolicy(**c))
+    return out
+
+
+def mass_delete_selection(
+    df: DataFrame,
+    url_regex: str,
+    ignore_case: bool = False,
+    exclude: str | None = None,
+    url_col: str = "url",
+) -> DataFrame:
+    """Row selection of the mass-delete command (se/management/commands/
+    delete_documents.py:46-56): URLs matching `url_regex` (`iregex`
+    when `ignore_case`), minus URLs matching `exclude` under the SAME
+    case mode.  Java-regex dialect via rlike — patterns kept in the
+    PG/Java common subset (F13 rule); `(?i)` implements iregex.
+
+    Pure filter → predicate pushdown reaches the scan; no shuffle."""
+    pat = f"(?i)({url_regex})" if ignore_case else url_regex
+    out = df.filter(F.col(url_col).rlike(pat))
+    if exclude:
+        epat = f"(?i)({exclude})" if ignore_case else exclude
+        out = out.filter(~F.col(url_col).rlike(epat))
     return out

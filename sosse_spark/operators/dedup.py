@@ -40,6 +40,7 @@ __all__ = [
     "ngram_jaccard_bruteforce",
     "dedup_components",
     "dedup_canonical",
+    "dedup_substring",
 ]
 
 
@@ -662,4 +663,105 @@ def decontaminate(
         F.col("matches").isNotNull().alias("contaminated"),
         F.coalesce("matches", F.lit(0)).cast("int").alias("matches"),
         "first_gram",
+    )
+
+
+def dedup_substring(
+    docs: DataFrame,
+    k: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    policy: str = "remove_all",
+) -> DataFrame:
+    """Exact-substring deduplication (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better", arXiv:2107.06499
+    ExactSubstr): any k-token span whose text appears verbatim more than
+    once in the corpus is removed from every document; documents
+    reassemble from their surviving tokens.
+
+    Equivalence to the paper's suffix-array formulation, at token
+    granularity: every token inside a duplicated substring of >= k
+    tokens lies in at least one duplicated k-token window, and every
+    duplicated k-token window IS a duplicated substring — so the
+    per-token union of duplicated k-windows removes exactly the tokens
+    the suffix-array pass removes.  `policy` = 'remove_all' (the
+    paper's tool: all copies cut) or 'keep_first' (the lowest (id,
+    position) occurrence of each duplicated window survives).
+
+    Output: (_id, text, kept_tokens, removed_tokens).
+
+    Scale shape (why this beats a distributed suffix array here): the
+    window table is O(total_tokens) THIN rows (_id, wpos, 16-byte md5)
+    built by ONE staged HOF projection over the token array (the token
+    array column is referenced >= 2 times so CollapseProject cannot
+    inline the split into the lambda body — the measured 75x re-eval
+    trap); duplicate detection is one map-side-combinable groupBy on
+    the digest; the join back is a thin equi-join; coverage explode is
+    bounded by k x |duplicated windows|.  No pair join, no n^2 term
+    anywhere.
+    """
+    if policy not in ("remove_all", "keep_first"):
+        raise ValueError(f"unknown policy: {policy}")
+    toked = docs.select(
+        F.col(id_col).alias("_id"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("toks"),
+    ).select(
+        "_id",
+        # split('') -> [''] — normalize blank docs to a true empty array
+        F.when(
+            (F.size("toks") == 1) & (F.element_at("toks", 1) == ""),
+            F.array().cast("array<string>"),
+        )
+        .otherwise(F.col("toks"))
+        .alias("toks"),
+    )
+    n = F.size("toks")
+    # staged projection: `toks` referenced in BOTH the sequence bound and
+    # the lambda, keeping the split out of the interpreted HOF body
+    windows = toked.select(
+        "_id",
+        "toks",
+        F.when(
+            n >= k,
+            F.transform(
+                F.sequence(F.lit(0), n - k),
+                lambda i: F.struct(
+                    i.alias("wpos"),
+                    F.md5(F.array_join(F.slice("toks", i + 1, k), " ")).alias("h"),
+                ),
+            ),
+        )
+        .otherwise(F.array().cast("array<struct<wpos:int,h:string>>"))
+        .alias("wins"),
+    ).select("_id", F.explode("wins").alias("w")).select(
+        "_id", F.col("w.wpos").alias("wpos"), F.col("w.h").alias("h")
+    )
+    dup_h = windows.groupBy("h").count().filter(F.col("count") >= 2).select("h")
+    dup_wins = windows.join(dup_h, "h", "left_semi")
+    if policy == "keep_first":
+        wseq = Window.partitionBy("h").orderBy("_id", "wpos")
+        dup_wins = (
+            windows.join(dup_h, "h")
+            .withColumn("_rn", F.row_number().over(wseq))
+            .filter(F.col("_rn") > 1)
+            .drop("_rn")
+        )
+    covered = dup_wins.select(
+        "_id", F.explode(F.sequence(F.col("wpos"), F.col("wpos") + (k - 1))).alias("pos")
+    ).distinct()
+    tokens = toked.select("_id", F.posexplode("toks").alias("pos", "tok"))
+    survivors = tokens.join(covered, ["_id", "pos"], "left_anti")
+    reassembled = survivors.groupBy("_id").agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(F.struct("pos", "tok"))), lambda x: x["tok"]),
+            " ",
+        ).alias("text"),
+        F.count("*").alias("kept_tokens"),
+    )
+    totals = toked.select("_id", n.alias("_total"))
+    return totals.join(reassembled, "_id", "left").select(
+        "_id",
+        F.coalesce("text", F.lit("")).alias("text"),
+        F.coalesce("kept_tokens", F.lit(0)).cast("int").alias("kept_tokens"),
+        (F.col("_total") - F.coalesce("kept_tokens", F.lit(0))).cast("int").alias("removed_tokens"),
     )

@@ -258,14 +258,84 @@ class AppendTable(_TableBase):
         if m is None:
             return []
         live = {e["dir"] for e in self._entries(m)}
+        # a delete_where rewrite parent ("rewrite-NNNNNN") is live as
+        # long as any manifest entry points inside it
+        live_parents = {d.split("/", 1)[0] for d in live}
         deleted = []
         for name in sorted(os.listdir(self.dir)):
-            if name.startswith("snap-") and name not in live:
+            if name.startswith(("snap-", "rewrite-")) and name not in live and name not in live_parents:
                 shutil.rmtree(os.path.join(self.dir, name))
                 deleted.append(name)
             elif name.startswith("manifest-") and int(name.split("-")[1].split(".")[0]) < m["snapshot"]:
                 os.remove(os.path.join(self.dir, name))
         return deleted
+
+    def delete_where(self, spark: SparkSession, keys: DataFrame, key_cols: list[str]) -> dict:
+        """Physically remove rows matching `keys` (joined on `key_cols`)
+        — the append-log half of a mass delete (se/management/commands/
+        delete_documents.py + Document.delete cascade).
+
+        Partition-pruned compaction: ONE Spark job finds which append
+        dirs contain hits (input_file_name), then ONE job rewrites only
+        those dirs (left_anti join against the keys) via a partitionBy
+        write that keeps per-dir identity — untouched dirs (usually the
+        overwhelming majority of a long crawl's log) keep their files
+        byte-for-byte.  Rewritten entries keep their original round tag
+        so truncate_from crash repair stays correct.  The manifest swap
+        is atomic; a crash mid-rewrite leaves orphan dirs that vacuum()
+        removes.  Returns {"rows_deleted", "dirs_rewritten"}."""
+        import re as _re
+
+        from pyspark.sql import functions as F
+
+        m = self.manifest()
+        if m is None or not m["dirs"]:
+            return {"rows_deleted": 0, "dirs_rewritten": 0}
+        entries = self._entries(m)
+        # entry name of the dir a row came from = the input file's path
+        # relative to the table root, minus the file name — exact even
+        # for nested dirs left by a previous delete_where rewrite
+        abs_dir = os.path.abspath(self.dir)
+        # input_file_name() is a file: URI with a variable number of
+        # slashes — anchor on the absolute table path instead
+        rel_dir_of = F.regexp_extract(
+            F.input_file_name(), f"{_re.escape(abs_dir)}/(.+)/[^/]+$", 1
+        )
+        uniq = keys.select(*key_cols).distinct()
+        full = spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(self.dir, e["dir"]) for e in entries]
+        ).withColumn("_dir", rel_dir_of)
+        touched_rows = full.join(uniq, key_cols, "left_semi").groupBy("_dir").count().collect()
+        by_dir = {e["dir"]: e for e in entries}
+        touched = {r["_dir"]: r["count"] for r in touched_rows if r["_dir"] in by_dir}
+        n_deleted = sum(touched.values())
+        if not touched:
+            return {"rows_deleted": 0, "dirs_rewritten": 0}
+        snap = m["snapshot"] + 1
+        rw_parent = f"rewrite-{snap:06d}"
+        idx_of = {d: str(i) for i, d in enumerate(sorted(touched))}
+        idx_map = spark.createDataFrame(
+            [(d, i) for d, i in idx_of.items()], "_dir string, _idx string"
+        )
+        kept = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(*[os.path.join(self.dir, d) for d in sorted(touched)])
+            .withColumn("_dir", rel_dir_of)
+            .join(uniq, key_cols, "left_anti")
+            .join(F.broadcast(idx_map), "_dir")
+            .drop("_dir")
+        )
+        kept.write.mode("overwrite").partitionBy("_idx").parquet(os.path.join(self.dir, rw_parent))
+        new_entries = []
+        for e in entries:
+            if e["dir"] not in touched:
+                new_entries.append(e)
+                continue
+            sub = f"{rw_parent}/_idx={idx_of[e['dir']]}"
+            if os.path.isdir(os.path.join(self.dir, sub)):  # fully-deleted dirs vanish
+                new_entries.append({"dir": sub, "round": e["round"]})
+        self._commit_manifest(snap, {"round": m.get("round", 0), "dirs": new_entries})
+        return {"rows_deleted": n_deleted, "dirs_rewritten": len(touched)}
 
     def truncate_from(self, round_no: int) -> None:
         """Drop append dirs written by rounds >= round_no (crash repair:

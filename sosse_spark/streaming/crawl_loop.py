@@ -1222,6 +1222,82 @@ class CrawlEngine:
             df.unpersist()
         return counts
 
+    def delete_documents(
+        self,
+        url_regex: str,
+        ignore_case: bool = False,
+        exclude: str | None = None,
+        dry_run: bool = False,
+    ) -> dict:
+        """Mass delete by URL regex (sosse-admin delete_documents,
+        se/management/commands/delete_documents.py): frontier rows
+        matching `url_regex` (iregex when `ignore_case`) minus `exclude`
+        are removed, with the reference's Document.delete cascade:
+
+        - frontier: bucket-granular MERGE drop — the (url, collection)
+          identity is VACATED and re-queueable (the bloom is superset-
+          safe; the exact anti-join falls through, same argument as
+          move_to_collection),
+        - documents payload log: rows for fully-vacated urls physically
+          removed (AppendTable.delete_where partition-pruned compaction),
+        - links: rows INTO a deleted doc cascade away (Link.doc_to
+          on_delete=CASCADE, se/models.py:55-61) — admitted rows only;
+          extern rows are not FK'd.  Rows FROM a deleted doc are KEPT
+          (doc_from on_delete=SET_NULL "to keep its text to weight in
+          the ranking", se/models.py:43-46) — src_url stays as text,
+          matching the reference's kept-with-null-FK row.
+
+        Multi-collection delta (documented): the reference deletes one
+        Document row = one (url, collection); payload/link cascade here
+        applies only to urls whose LAST frontier row was removed, since
+        the engine's documents/links tables are url-keyed.
+
+        Not atomic across tables (neither is the reference's per-row
+        loop): frontier commits first, so a crash leaves payload rows
+        orphaned but re-admittable — re-running the same delete is
+        idempotent and completes the cascade.  `dry_run` only counts
+        (the command's --dry-run arm).  Returns the counters."""
+        from sosse_spark.operators.admission import mass_delete_selection
+
+        self._repair()
+        frontier = self._with_schema_defaults(self.frontier.read(self.spark))
+        out = {"selected": 0, "deleted": 0, "docs_deleted": 0, "links_deleted": 0}
+        if frontier is None:
+            return out
+        sel = mass_delete_selection(frontier, url_regex, ignore_case, exclude).cache()
+        out["selected"] = sel.count()
+        if dry_run or out["selected"] == 0:
+            sel.unpersist()
+            return out
+        drop_keys = sel.select("url", "collection_id").distinct()
+        buckets = self._touched_buckets(sel)
+        sliced = self._changed_bucket_slice(frontier, buckets).join(
+            drop_keys, ["url", "collection_id"], "left_anti"
+        )
+        self.frontier.commit(
+            self.spark, merge_frontier(sliced, None, None), self.round_no(), changed_buckets=buckets
+        )
+        out["deleted"] = out["selected"]
+        # urls with no surviving frontier row in ANY collection — the
+        # cascade set.  Computed against the pre-commit frame: survivors
+        # = rows outside the drop-key set.
+        survivors = frontier.join(drop_keys, ["url", "collection_id"], "left_anti").select("url")
+        vacated = sel.select("url").distinct().join(survivors, "url", "left_anti").cache()
+        if vacated.count() > 0:
+            out["docs_deleted"] = self.documents.delete_where(self.spark, vacated, ["url"])[
+                "rows_deleted"
+            ]
+            # ALL rows into a vacated url cascade: admitted rows ≙ the
+            # FK'd Link rows; an extern row for a vacated url is the
+            # pre-repoint artifact of a row the reference mutated into a
+            # FK row (se/document.py:789) and cascade-deleted with it.
+            out["links_deleted"] = self.links.delete_where(
+                self.spark, vacated.withColumnRenamed("url", "dst_url"), ["dst_url"]
+            )["rows_deleted"]
+        sel.unpersist()
+        vacated.unpersist()
+        return out
+
     def widen_scope(self, urls: list[str], t: datetime, manual: bool = True) -> None:
         """F32 bulk add-to-queue with scope widening (se/add_to_queue.py:
         59-89): append '^https?://{host}/.*' for each URL's host to the

@@ -650,3 +650,49 @@ def test_chunk_documents_zero_exchange(spark):
     assert "Exchange" not in plan
     assert "Generate" in plan
     assert "Python" not in plan  # no UDF boundary
+
+
+def test_dedup_substring_thin_window_exchanges(spark):
+    """Exact-substring dedup must never shuffle document text through
+    the window-digest plumbing: every exchange partitioned by the
+    window hash `h` or by (_id, pos) carries scalars only (no toks
+    array, no text), and no pair join exists anywhere."""
+    from sosse_spark.operators.dedup import dedup_substring
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta w{i} epsilon zeta eta theta common tail run here") for i in range(30)],
+        "doc_id long, text string",
+    )
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        out = dedup_substring(docs, k=4)
+        root = out._jdf.queryExecution().executedPlan()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+
+    def walk(node):
+        yield node
+        ch = node.children()
+        for i in range(ch.size()):
+            yield from walk(ch.apply(i))
+
+    h_exchanges = 0
+    for node in walk(root):
+        name = node.getClass().getSimpleName()
+        assert "CartesianProduct" not in name and "BroadcastNestedLoopJoin" not in name
+        if "ShuffleExchange" not in name:
+            continue
+        part = node.outputPartitioning().toString()
+        if "h#" not in part and "h " not in part:
+            continue
+        h_exchanges += 1
+        cols = node.child().output()
+        names = [cols.apply(i).name() for i in range(cols.size())]
+        assert "toks" not in names and "text" not in names, (
+            f"payload rides the window-hash exchange: {names}"
+        )
+    assert h_exchanges >= 1
