@@ -505,6 +505,68 @@ def q_q14_search_url_arms(spark, sf_dir):
     return search_redirect(qs, engines)
 
 
+def q_mixture_resample(spark, sf_dir):
+    """Temperature-based corpus mixing (Conneau & Lample 2019 §3.1 /
+    XLM-R; Pile-style mixture weights): p_i ∝ n_i^0.5 source
+    re-weighting, then the md5-keyed deterministic resampler — every
+    doc emits floor(factor) copies + a digest-fractional extra.  The
+    oracle recomputes the weights AND every copy row; copies fan out
+    over a fixed range(0,8) grid (factors at alpha=0.5 over the
+    driver's ~20 same-order sources are ~1 — documented bound)."""
+    from sosse_spark.operators.sampling import mixture_resample, temperature_weights
+
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    factors = temperature_weights(d, alpha=0.5)
+    return mixture_resample(d, factors, seed=42).select("doc_id", "source", "copy_no")
+
+
+def q_load_se_parse(spark, sf_dir):
+    """OpenSearch Description import parse (sosse-admin load_se +
+    SearchEngine.parse_odf, se/models.py:253-290): XML build→parse
+    round trip (the p4_feed_entries pattern) — arms cover LongName
+    defaulting, suggestion-Url presence, the ShortName-missing skip,
+    and the non-descriptor skip; the oracle reconstructs the expected
+    parsed fields from the same doc_id arithmetic."""
+    from sosse_spark.operators.opensearch import parse_opensearch_batch
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    s = did.cast("string")
+    ns = "http://a9.com/-/spec/opensearch/1.1/"
+    full = F.concat(
+        F.lit(f'<OpenSearchDescription xmlns="{ns}"><ShortName>Engine'),
+        s,
+        F.lit(" Search</ShortName>"),
+        F.when(
+            did % 4 == 0, F.concat(F.lit("<LongName>The Engine "), s, F.lit(" long</LongName>"))
+        ).otherwise(F.lit("")),
+        F.lit("<Description>desc "),
+        s,
+        F.lit("</Description>"),
+        F.lit('<Url type="text/html" template="http://e'),
+        s,
+        F.lit('.example.com/?q={searchTerms}"/>'),
+        F.when(
+            did % 4 == 0,
+            F.concat(
+                F.lit('<Url type="application/x-suggestions+json" template="http://e'),
+                s,
+                F.lit('.example.com/sug?q={searchTerms}"/>'),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</OpenSearchDescription>"),
+    )
+    xml = (
+        F.when(
+            did % 4 == 2,
+            F.lit(f'<OpenSearchDescription xmlns="{ns}"><Description>no name</Description></OpenSearchDescription>'),
+        )
+        .when(did % 4 == 3, F.lit("<html><body>not a descriptor</body></html>"))
+        .otherwise(full)
+    )
+    return parse_opensearch_batch(d.select(xml.alias("xml")))
+
+
 def q_dedup_substring(spark, sf_dir):
     """Exact-substring dedup (Lee et al. 2021 ExactSubstr, arXiv:
     2107.06499): every duplicated 8-token window is cut from every
@@ -1677,6 +1739,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_search_url_arms": q_q14_search_url_arms,
         "delete_documents_select": q_delete_documents_select,
         "dedup_substring": q_dedup_substring,
+        "load_se_parse": q_load_se_parse,
+        "mixture_resample": q_mixture_resample,
         # -- r04 driver-green entries (greens on record) --
         "f15_eligibility": q_f15_eligibility,
         "f15_priority_order": q_f15_priority_order,
@@ -2448,6 +2512,37 @@ def oracle_sql() -> dict[str, str]:
                         WHEN bpos > 0 THEN replace(t, '{searchTermsBase64}', b64qp)
                    END AS redirect_url
             FROM enc2""",
+        "mixture_resample": """
+            WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY source),
+            t AS (SELECT CAST(sum(n) AS DOUBLE) AS ntot, sum(power(CAST(n AS DOUBLE), 0.5)) AS z FROM c),
+            f AS (SELECT source, n, power(CAST(n AS DOUBLE), 0.5) / z * ntot / n AS factor
+                  FROM c CROSS JOIN t),
+            j AS (SELECT d.doc_id, d.source,
+                         CAST(floor(f.factor) AS INT) AS b,
+                         f.factor,
+                         CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':42'), 1, 8))::UBIGINT AS DOUBLE)
+                           / 4294967296.0 AS u
+                  FROM documents d JOIN f USING (source)),
+            r AS (SELECT doc_id, source,
+                         b + (CASE WHEN u < factor - b THEN 1 ELSE 0 END) AS reps
+                  FROM j),
+            g AS (SELECT CAST(unnest(range(0, 8)) AS INT) AS copy_no)
+            SELECT doc_id, source, copy_no
+            FROM r CROSS JOIN g
+            WHERE reps > 0 AND copy_no < reps""",
+        "load_se_parse": """
+            SELECT 'Engine' || CAST(doc_id AS VARCHAR) || ' Search' AS short_name,
+                   CASE WHEN doc_id % 4 = 0
+                        THEN 'The Engine ' || CAST(doc_id AS VARCHAR) || ' long'
+                        ELSE 'Engine' || CAST(doc_id AS VARCHAR) || ' Search' END AS long_name,
+                   'desc ' || CAST(doc_id AS VARCHAR) AS description,
+                   'http://e' || CAST(doc_id AS VARCHAR) || '.example.com/?q={searchTerms}' AS html_template,
+                   CASE WHEN doc_id % 4 = 0
+                        THEN 'http://e' || CAST(doc_id AS VARCHAR) || '.example.com/sug?q={searchTerms}'
+                        END AS suggestion_template,
+                   'engine' || CAST(doc_id AS VARCHAR) AS shortcut
+            FROM documents
+            WHERE doc_id % 4 IN (0, 1)""",
         "dedup_substring": """
             WITH corpus AS (
               SELECT doc_id,

@@ -139,6 +139,8 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> dict[str, float]:
         "pack_sequences",
         "chunk_documents",
         "p4_feed_entries",
+        "dedup_substring",
+        "q14_search_url_arms",
     ]
     qs = e.queries()
     out: dict[str, float] = {}

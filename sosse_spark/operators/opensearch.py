@@ -1,0 +1,132 @@
+"""OpenSearch Description import — sosse-admin load_se
+(se/management/commands/load_se.py) + SearchEngine.parse_odf
+(se/models.py:253-290).
+
+The reference reads an `OpenSearchDescription` XML file and
+update-or-creates a SearchEngine row keyed by ShortName:
+
+- ShortName missing → the file is silently skipped (parse_odf's early
+  return, se/models.py:258-260),
+- LongName defaults to ShortName (se/models.py:266-271),
+- `<Url type="text/html" template=...>` → html_template;
+  `type="application/x-suggestions+json"` → suggestion_template
+  (se/models.py:275-279),
+- shortcut = first word of the lower-cased ShortName
+  (se/models.py:281).
+
+Here the parse is an Arrow mapInPandas kernel over a DataFrame of
+descriptor payloads (stdlib ElementTree, the feedparse.py pattern), and
+the update-or-create is a latest-wins MERGE on short_name.  Declared
+delta: a descriptor without a Description element parses with
+description NULL where the reference raises AttributeError.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+from xml.etree import ElementTree
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["parse_odf", "parse_opensearch_batch", "load_search_engines", "OPENSEARCH_SCHEMA"]
+
+OPENSEARCH_SCHEMA = (
+    "short_name string, long_name string, description string, "
+    "html_template string, suggestion_template string, shortcut string"
+)
+
+_SUFFIX = "OpenSearchDescription"
+
+
+def parse_odf(content: str) -> Optional[dict]:
+    """Literal port of SearchEngine.parse_odf (se/models.py:253-283).
+    Returns the engine fields, or None for non-descriptors / missing
+    ShortName (the reference's skip arm)."""
+    try:
+        root = ElementTree.fromstring(content)
+    except ElementTree.ParseError:
+        return None
+    if not root.tag.endswith(_SUFFIX):
+        return None
+    ns = root.tag[: -len(_SUFFIX)]
+    short_name_elem = root.find(ns + "ShortName")
+    if short_name_elem is None:
+        return None
+    short_name = short_name_elem.text
+    long_name_elem = root.find(ns + "LongName")
+    long_name = short_name if long_name_elem is None else long_name_elem.text
+    desc_elem = root.find(ns + "Description")
+    description = None if desc_elem is None else desc_elem.text
+    html_template = None
+    suggestion_template = None
+    for elem in root.findall(ns + "Url"):
+        if elem.get("type") == "text/html":
+            html_template = elem.get("template")
+        elif elem.get("type") == "application/x-suggestions+json":
+            suggestion_template = elem.get("template")
+    return {
+        "short_name": short_name,
+        "long_name": long_name,
+        "description": description,
+        "html_template": html_template,
+        "suggestion_template": suggestion_template,
+        "shortcut": (short_name or "").lower().split(" ")[0],
+    }
+
+
+def parse_opensearch_batch(df: DataFrame, content_col: str = "xml") -> DataFrame:
+    """mapInPandas: descriptor payloads → one engine row each;
+    non-descriptors and ShortName-less files contribute no rows."""
+    import pandas as pd
+
+    cols = [
+        "short_name",
+        "long_name",
+        "description",
+        "html_template",
+        "suggestion_template",
+        "shortcut",
+    ]
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = []
+            for content in pdf[content_col]:
+                row = parse_odf(content)
+                if row is not None:
+                    out.append(row)
+            yield pd.DataFrame(out, columns=cols)
+
+    return df.select(content_col).mapInPandas(run, OPENSEARCH_SCHEMA)
+
+
+def load_search_engines(engines: Optional[DataFrame], parsed: DataFrame) -> DataFrame:
+    """update-or-create keyed by short_name (se/models.py:262-265 +
+    :283 se.save()): a parsed row overwrites the existing engine with
+    its ShortName, keeping the existing row's `enabled` flag; new names
+    insert enabled.  Within one import batch the LAST occurrence of a
+    short_name wins deterministically (ties broken by the full field
+    tuple, since file order is not a DataFrame notion)."""
+    w = Window.partitionBy("short_name").orderBy(
+        F.col("_pref").desc(),
+        F.col("html_template").desc_nulls_last(),
+        F.col("long_name").desc_nulls_last(),
+    )
+    new = parsed.withColumn("_pref", F.lit(1))
+    if engines is not None:
+        keep_enabled = engines.select("short_name", "enabled")
+        old = engines.drop("enabled").withColumn("_pref", F.lit(0))
+        new = new.unionByName(old, allowMissingColumns=True)
+    else:
+        keep_enabled = None
+    merged = (
+        new.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_pref")
+    )
+    if keep_enabled is None:
+        return merged.withColumn("enabled", F.lit(True))
+    return merged.join(keep_enabled, "short_name", "left").withColumn(
+        "enabled", F.coalesce(F.col("enabled"), F.lit(True))
+    )

@@ -19,7 +19,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["deterministic_uniform", "stratified_sample", "pack_sequences", "chunk_documents"]
+__all__ = [
+    "deterministic_uniform",
+    "stratified_sample",
+    "pack_sequences",
+    "chunk_documents",
+    "temperature_weights",
+    "mixture_resample",
+]
 
 
 def deterministic_uniform(id_col: Column) -> Column:
@@ -136,4 +143,72 @@ def chunk_documents(
         start.cast("int").alias("start_token"),
         F.least(F.lit(max_tokens), F.col("_n") - start).cast("int").alias("n_chunk_tokens"),
         F.array_join(F.slice("_toks", start + 1, max_tokens), " ").alias("chunk_text"),
+    )
+
+
+def temperature_weights(
+    docs: DataFrame, alpha: float = 0.5, source_col: str = "source"
+) -> DataFrame:
+    """Temperature-based source re-weighting for corpus mixing (the
+    multilingual-pretraining rule — Conneau & Lample 2019 §3.1 /
+    XLM-R, also the per-dataset mixture weights of The Pile, Gao et
+    al. 2021 Table 1): sampling probability p_i ∝ n_i^alpha flattens
+    the source distribution (alpha < 1 upsamples small sources).
+
+    Output per source: (source, n, factor) where `factor` = expected
+    copies per document = p_i * N / n_i, so a corpus resampled by
+    `factor` keeps its total size while matching the target mixture.
+
+    One map-side-combinable count agg + a 1-row broadcast of the
+    normalizers — nothing touches the documents themselves."""
+    counts = docs.groupBy(source_col).agg(F.count("*").alias("n"))
+    tot = counts.agg(
+        F.sum("n").alias("_N"), F.sum(F.pow(F.col("n").cast("double"), F.lit(alpha))).alias("_Z")
+    )
+    return counts.crossJoin(F.broadcast(tot)).select(
+        source_col,
+        "n",
+        (
+            F.pow(F.col("n").cast("double"), F.lit(alpha))
+            / F.col("_Z")
+            * F.col("_N")
+            / F.col("n")
+        ).alias("factor"),
+    )
+
+
+def mixture_resample(
+    docs: DataFrame,
+    factors: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic corpus resampling by per-source `factor` (from
+    temperature_weights or an explicit mixture): every document emits
+    floor(factor) copies plus one more when its md5-derived uniform
+    falls below frac(factor) — rerun/replay/engine-reproducible, the
+    same digest rule as stratified_sample.
+
+    Output: input columns + copy_no (0-based).  factor <= 0 sources
+    drop out; the fractional arm uses the top 32 bits of
+    md5(id || ':' || seed) as u ~ U[0, 1).
+
+    Scale shape: factors is a tiny dimension (broadcast); the copy
+    fan-out is a narrow Generate — no shuffle at all."""
+    j = docs.join(F.broadcast(factors.select(source_col, "factor")), source_col)
+    base = F.floor("factor").cast("int")
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}"))), 1, 8),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(1 << 32))
+    )
+    reps = (base + (u < (F.col("factor") - base)).cast("int")).alias("_reps")
+    staged = j.withColumn("_reps", reps).filter(F.col("_reps") > 0)
+    return staged.select(
+        *docs.columns,
+        F.explode(F.sequence(F.lit(0), F.col("_reps") - 1)).alias("copy_no"),
     )
