@@ -505,6 +505,94 @@ def q_q14_search_url_arms(spark, sf_dir):
     return search_redirect(qs, engines)
 
 
+def q_linkrank_pagerank(spark, sf_dir):
+    """Link-graph authority (PageRank, Page et al. 1999) over a
+    deterministic synthetic edge set: every doc with doc_id % 10 != 0
+    links to (doc_id*7+j) % (max_id+1) for j in 1..3; the % 10 == 0
+    docs dangle (mass redistributed uniformly).  The oracle unrolls
+    the same 3 power iterations as chained SQL CTEs."""
+    from sosse_spark.operators.graph import pagerank
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    nmod = d.agg((F.max("doc_id") + 1).alias("_nmod"))
+    e = (
+        d.filter(did % 10 != 0)
+        .crossJoin(F.broadcast(nmod))
+        .select(
+            did.alias("src"),
+            F.explode(
+                F.array(*[(did * 7 + F.lit(j)) % F.col("_nmod") for j in (1, 2, 3)])
+            ).alias("dst"),
+        )
+    )
+    return pagerank(e, iterations=3, damping=0.85)
+
+
+def _pagerank_oracle_sql(iters: int = 3, d: float = 0.85) -> str:
+    """Unrolled power-iteration PageRank as chained CTEs (the oracle
+    twin of q_linkrank_pagerank — same edges, same dangling rule)."""
+    sql = """
+        WITH nm AS (SELECT max(doc_id) + 1 AS nmod FROM documents),
+        e AS (
+          SELECT doc_id AS src,
+                 unnest([(doc_id*7+1) % nmod, (doc_id*7+2) % nmod, (doc_id*7+3) % nmod]) AS dst
+          FROM documents CROSS JOIN nm
+          WHERE doc_id % 10 <> 0),
+        nodes AS (
+          SELECT DISTINCT node FROM (
+            SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)),
+        nn AS (SELECT CAST(count(*) AS DOUBLE) AS nnodes FROM nodes),
+        od AS (SELECT src AS node, CAST(count(*) AS DOUBLE) AS deg FROM e GROUP BY src),
+        r0 AS (SELECT node, 1.0 / nnodes AS rank FROM nodes CROSS JOIN nn)"""
+    prev = "r0"
+    for k in range(1, iters + 1):
+        sql += f""",
+        c{k} AS (
+          SELECT e.dst AS node, sum({prev}.rank / od.deg) AS contrib
+          FROM e JOIN {prev} ON e.src = {prev}.node JOIN od ON e.src = od.node
+          GROUP BY e.dst),
+        dg{k} AS (
+          SELECT coalesce(sum(r.rank), 0.0) AS dang
+          FROM {prev} r LEFT JOIN od ON r.node = od.node
+          WHERE od.node IS NULL),
+        r{k} AS (
+          SELECT nodes.node,
+                 (1.0 - {d}) / nnodes + {d} * (coalesce(c{k}.contrib, 0.0) + dg{k}.dang / nnodes) AS rank
+          FROM nodes LEFT JOIN c{k} ON nodes.node = c{k}.node
+          CROSS JOIN nn CROSS JOIN dg{k})"""
+        prev = f"r{k}"
+    return sql + f"\n        SELECT node, round(rank, 9) AS rank FROM {prev}"
+
+
+def q_quality_classifier(spark, sf_dir):
+    """GPT-3 Appendix A document filtering (Brown et al. 2020): hashed
+    linear classifier score (md5 bucket → broadcast weight join →
+    sigmoid of the mean) + the deterministic Pareto keep rule
+    pareto(u) > 1 - score.  Weights are an md5-seeded 1024-bucket
+    table, so the oracle recomputes weights, buckets, score, draw AND
+    the keep decision exactly."""
+    from sosse_spark.functions.text import hashed_classifier_score, pareto_classifier_filter
+
+    d = _docs(spark, sf_dir)
+    bid = F.col("id").cast("string")
+    weights = spark.range(1024).select(
+        F.col("id").cast("long").alias("bucket"),
+        (
+            (
+                F.conv(F.substring(F.md5(F.concat(bid, F.lit("|w"))), 1, 8), 16, 10).cast("double")
+                / F.lit(float(1 << 32))
+                - 0.5
+            )
+            * 4.0
+        ).alias("w"),
+    )
+    scored = hashed_classifier_score(d, weights, n_buckets=1024)
+    return pareto_classifier_filter(scored, alpha=9.0, seed=42).select(
+        "doc_id", "n_tokens", "prob", "pareto_draw", "keep"
+    )
+
+
 def q_mixture_resample(spark, sf_dir):
     """Temperature-based corpus mixing (Conneau & Lample 2019 §3.1 /
     XLM-R; Pile-style mixture weights): p_i ∝ n_i^0.5 source
@@ -1741,6 +1829,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substring": q_dedup_substring,
         "load_se_parse": q_load_se_parse,
         "mixture_resample": q_mixture_resample,
+        "quality_classifier": q_quality_classifier,
+        "linkrank_pagerank": q_linkrank_pagerank,
         # -- r04 driver-green entries (greens on record) --
         "f15_eligibility": q_f15_eligibility,
         "f15_priority_order": q_f15_priority_order,
@@ -2512,6 +2602,39 @@ def oracle_sql() -> dict[str, str]:
                         WHEN bpos > 0 THEN replace(t, '{searchTermsBase64}', b64qp)
                    END AS redirect_url
             FROM enc2""",
+        "linkrank_pagerank": _pagerank_oracle_sql(3, 0.85),
+        "quality_classifier": """
+            WITH wt AS (
+              SELECT CAST(i AS BIGINT) AS bucket,
+                     (CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || '|w'), 1, 8))::UBIGINT AS DOUBLE)
+                        / 4294967296.0 - 0.5) * 4.0 AS w
+              FROM (SELECT unnest(range(0, 1024)) AS i)),
+            tok AS (
+              SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS tok
+              FROM documents),
+            tok2 AS (SELECT doc_id, tok FROM tok WHERE tok <> ''),
+            b AS (
+              SELECT doc_id,
+                     CAST(('0x' || substr(md5(tok), 1, 8))::UBIGINT % 1024 AS BIGINT) AS bucket
+              FROM tok2),
+            s AS (
+              SELECT doc_id, CAST(count(*) AS INT) AS n_tokens,
+                     avg(coalesce(wt.w, 0.0)) AS m
+              FROM b LEFT JOIN wt USING (bucket) GROUP BY doc_id),
+            p AS (
+              SELECT doc_id, n_tokens,
+                     1.0 / (1.0 + exp(-m)) AS prob_raw,
+                     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|42'), 1, 8))::UBIGINT AS DOUBLE)
+                       / 4294967296.0 AS u
+              FROM s),
+            d AS (
+              SELECT doc_id, n_tokens, round(prob_raw, 9) AS prob,
+                     power(1.0 - u, -1.0 / 9.0) - 1.0 AS draw
+              FROM p)
+            SELECT doc_id, n_tokens, prob,
+                   round(draw, 9) AS pareto_draw,
+                   draw > (1.0 - prob) AS keep
+            FROM d""",
         "mixture_resample": """
             WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY source),
             t AS (SELECT CAST(sum(n) AS DOUBLE) AS ntot, sum(power(CAST(n AS DOUBLE), 0.5)) AS z FROM c),

@@ -141,6 +141,9 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> dict[str, float]:
         "p4_feed_entries",
         "dedup_substring",
         "q14_search_url_arms",
+        "quality_classifier",
+        "linkrank_pagerank",
+        "mixture_resample",
     ]
     qs = e.queries()
     out: dict[str, float] = {}

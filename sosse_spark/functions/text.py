@@ -34,6 +34,8 @@ __all__ = [
     "fingerprint_expr",
     "pii_scrub",
     "unigram_logprob",
+    "hashed_classifier_score",
+    "pareto_classifier_filter",
 ]
 
 # Tiny deterministic stopword lists for the lang-ID heuristic.  Scoring is
@@ -390,4 +392,72 @@ def unigram_logprob(
         F.count(F.lit(1)).cast("int").alias("n_tokens"),
         F.round(F.avg("_nll"), 6).alias("avg_nll"),
         F.round(F.exp(F.avg("_nll")), 4).alias("ppl"),
+    )
+
+
+def hashed_classifier_score(
+    df,
+    weights,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1 << 16,
+    bias: float = 0.0,
+):
+    """Hashing-trick linear quality classifier — the GPT-3 Appendix A
+    document-filtering shape (Brown et al. 2020: a linear classifier
+    over hashed token features scores each document's similarity to a
+    high-quality corpus; LLaMA/CCNet pipelines use the same
+    classifier-filter step).  `weights` is a (bucket:int, w:double)
+    table from any offline trainer; tokens hash into `n_buckets` via
+    the md5-derived bucket (engine- and oracle-reproducible — Spark's
+    xxhash64 does not exist in DuckDB), and the document scores
+
+        prob = sigmoid(bias + mean_over_tokens(w[bucket(token)]))
+
+    (mean, not sum — length-invariant, the standard averaged
+    bag-of-features form).  Unweighted buckets contribute 0.
+
+    Output: (id, n_tokens, prob).  Docs with no tokens drop out.
+
+    100 TB shape: ONE token explode, a BROADCAST join against the
+    bounded weights table, ONE per-doc aggregation — no UDF, no
+    unbounded shuffle."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda t: t != F.lit("")
+    )
+    tok_rows = df.select(F.col(id_col), F.explode(toks).alias("tok"))
+    bucket = F.pmod(F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long"), F.lit(n_buckets))
+    scored = tok_rows.withColumn("bucket", bucket).join(
+        F.broadcast(weights.select(F.col("bucket"), F.col("w"))), "bucket", "left"
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_tokens"),
+        F.avg(F.coalesce(F.col("w"), F.lit(0.0))).alias("_m"),
+    )
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.lit(float(bias)) + F.col("_m"))))
+    return agg.select(id_col, "n_tokens", F.round(prob, 9).alias("prob"))
+
+
+def pareto_classifier_filter(scored, alpha: float = 9.0, seed: int = 42, id_col: str = "doc_id"):
+    """GPT-3 Appendix A's stochastic keep rule, made deterministic:
+    the reference keeps a document when
+
+        np.random.pareto(alpha) > 1 - document_score
+
+    (Brown et al. 2020 eq. in Appendix A — low-scoring docs still get
+    sampled occasionally, proportional to a heavy tail).  Here the
+    Pareto draw comes from the md5-derived uniform via the inverse
+    CDF, pareto(u) = (1-u)^(-1/alpha) - 1, so the decision is
+    replay/engine-reproducible.  Adds (pareto_draw, keep) columns."""
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f"|{seed}"))), 1, 8),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(1 << 32))
+    )
+    draw = F.pow(F.lit(1.0) - u, F.lit(-1.0 / alpha)) - F.lit(1.0)
+    return scored.withColumn("pareto_draw", F.round(draw, 9)).withColumn(
+        "keep", draw > (F.lit(1.0) - F.col("prob"))
     )

@@ -698,7 +698,10 @@ def dedup_substring(
     trap); duplicate detection is one map-side-combinable groupBy on
     the digest; the join back is a thin equi-join; coverage explode is
     bounded by k x |duplicated windows|.  No pair join, no n^2 term
-    anywhere.
+    anywhere.  remove_all (the paper's tool default) never ranks
+    occurrences; keep_first adds a per-digest row_number window, so a
+    window duplicated 10^6 times funnels its occurrence rows through
+    one task — use remove_all at full corpus scale.
     """
     if policy not in ("remove_all", "keep_first"):
         raise ValueError(f"unknown policy: {policy}")

@@ -29,7 +29,14 @@ from xml.etree import ElementTree
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["parse_odf", "parse_opensearch_batch", "load_search_engines", "OPENSEARCH_SCHEMA"]
+__all__ = [
+    "parse_odf",
+    "parse_opensearch_batch",
+    "load_search_engines",
+    "update_builtin_rows",
+    "conflicting_shortcuts",
+    "OPENSEARCH_SCHEMA",
+]
 
 OPENSEARCH_SCHEMA = (
     "short_name string, long_name string, description string, "
@@ -129,4 +136,79 @@ def load_search_engines(engines: Optional[DataFrame], parsed: DataFrame) -> Data
         return merged.withColumn("enabled", F.lit(True))
     return merged.join(keep_enabled, "short_name", "left").withColumn(
         "enabled", F.coalesce(F.col("enabled"), F.lit(True))
+    )
+
+
+def update_builtin_rows(
+    existing: Optional[DataFrame],
+    items: DataFrame,
+    lookup_field: str,
+    preserve_fields: tuple = ("enabled",),
+) -> DataFrame:
+    """sosse-admin update_se / update_mime (UpdateBuiltinModel.handle,
+    se/management/commands/builtin.py:30-68): merge source-tree builtin
+    definitions into the config table —
+
+    - a new lookup value inserts as-is (get_or_create defaults arm),
+    - an existing USER-DEFINED row (builtin = false) is never touched
+      (the skip warning arm, builtin.py:53-61),
+    - an existing builtin row takes every item field EXCEPT
+      `preserve_fields` ('enabled' always — the user's enable/disable
+      choice survives updates, builtin.py:62-63; update_se adds
+      'shortcut' to preserve user-assigned shortcuts).
+
+    Output: the merged table plus an `action` column ∈
+    created/updated/skipped (the reference prints the created count).
+    Both sides are tiny config tables — pure broadcast-scale algebra."""
+    if existing is None:
+        out = items.withColumn("action", F.lit("created"))
+        if "builtin" in items.columns:
+            out = out.withColumn("builtin", F.coalesce(F.col("builtin"), F.lit(True)))
+        else:
+            out = out.withColumn("builtin", F.lit(True))
+        return out
+    item_cols = [c for c in items.columns if c != lookup_field]
+    old_cols = [c for c in existing.columns if c != lookup_field]
+    # deterministic output column order: item fields first, then
+    # old-only fields
+    ordered = item_cols + [c for c in old_cols if c not in item_cols]
+    if "builtin" not in ordered:
+        ordered.append("builtin")
+    new_side = items.withColumn("_has_new", F.lit(True))
+    old_side = existing.select(
+        lookup_field, *[F.col(c).alias(f"_o_{c}") for c in old_cols]
+    ).withColumn("_has_old", F.lit(True))
+    j = new_side.join(old_side, lookup_field, "full")
+    old_builtin = F.col("_o_builtin") if "builtin" in old_cols else F.lit(False)
+    action = (
+        F.when(F.col("_has_new").isNull(), F.lit("kept"))
+        .when(F.col("_has_old").isNull(), F.lit("created"))
+        .when(~F.coalesce(old_builtin, F.lit(False)), F.lit("skipped"))
+        .otherwise(F.lit("updated"))
+    )
+    out_cols = [F.col(lookup_field)]
+    for c in ordered:
+        new_c = F.col(c) if c in item_cols else F.lit(None)
+        old_c = F.col(f"_o_{c}") if c in old_cols else F.lit(None)
+        if c == "builtin":
+            # builtin-definition inserts ARE builtins; existing rows
+            # keep their flag
+            expr = F.when(action == "created", F.coalesce(new_c, F.lit(True))).otherwise(old_c)
+        elif c in preserve_fields:
+            expr = F.when(action == "created", new_c).otherwise(old_c)
+        else:
+            expr = F.when(action.isin("created", "updated"), new_c).otherwise(old_c)
+        out_cols.append(expr.alias(c))
+    return j.select(*out_cols, action.alias("action"))
+
+
+def conflicting_shortcuts(engines: DataFrame) -> DataFrame:
+    """Shortcuts claimed by more than one ENABLED engine
+    (ConflictingSearchEngineFilter.conflicts, se/admin.py:212-219) —
+    the update_se post-merge warning surface."""
+    return (
+        engines.filter(F.col("enabled"))
+        .groupBy("shortcut")
+        .agg(F.count("*").alias("shortcut_count"))
+        .filter(F.col("shortcut_count") > 1)
     )

@@ -1254,48 +1254,80 @@ class CrawlEngine:
 
         Not atomic across tables (neither is the reference's per-row
         loop): frontier commits first, so a crash leaves payload rows
-        orphaned but re-admittable — re-running the same delete is
-        idempotent and completes the cascade.  `dry_run` only counts
-        (the command's --dry-run arm).  Returns the counters."""
+        orphaned but re-admittable — and because the CASCADE set is
+        derived from the PAYLOAD side (regex-matching urls in the
+        documents log with no surviving frontier row), re-running the
+        same delete after any crash point completes the cascade even
+        when the frontier half already committed (selected = 0 then).
+        `dry_run` only counts (the command's --dry-run arm).  Returns
+        the counters."""
         from sosse_spark.operators.admission import mass_delete_selection
 
         self._repair()
         frontier = self._with_schema_defaults(self.frontier.read(self.spark))
         out = {"selected": 0, "deleted": 0, "docs_deleted": 0, "links_deleted": 0}
-        if frontier is None:
+        sel = None
+        if frontier is not None:
+            sel = mass_delete_selection(frontier, url_regex, ignore_case, exclude).cache()
+            out["selected"] = sel.count()
+        if dry_run:
+            if sel is not None:
+                sel.unpersist()
             return out
-        sel = mass_delete_selection(frontier, url_regex, ignore_case, exclude).cache()
-        out["selected"] = sel.count()
-        if dry_run or out["selected"] == 0:
+        post_frontier = frontier
+        if sel is not None and out["selected"] > 0:
+            drop_keys = sel.select("url", "collection_id").distinct()
+            buckets = self._touched_buckets(sel)
+            sliced = self._changed_bucket_slice(frontier, buckets).join(
+                drop_keys, ["url", "collection_id"], "left_anti"
+            )
+            self.frontier.commit(
+                self.spark,
+                merge_frontier(sliced, None, None),
+                self.round_no(),
+                changed_buckets=buckets,
+            )
+            out["deleted"] = out["selected"]
+            post_frontier = frontier.join(drop_keys, ["url", "collection_id"], "left_anti")
+        # CASCADE set: regex-matching urls present in the payload logs
+        # with no surviving frontier row in ANY collection.  Derived
+        # from the payload side so a crash between the frontier commit
+        # and the log compactions is repaired by re-running the delete.
+        docs = self.documents.read(self.spark)
+        links = self.links.read(self.spark)
+        candidates = None
+        if docs is not None:
+            candidates = docs.select("url")
+        if links is not None:
+            # only ADMITTED rows mark a target that ever held a frontier
+            # row — a never-admitted extern target matching the regex is
+            # NOT a document and must keep its extern link rows
+            dst = links.filter(F.col("is_admitted")).select(F.col("dst_url").alias("url"))
+            candidates = dst if candidates is None else candidates.unionByName(dst)
+        if candidates is not None:
+            matching = mass_delete_selection(
+                candidates.distinct(), url_regex, ignore_case, exclude
+            )
+            if post_frontier is not None:
+                matching = matching.join(post_frontier.select("url"), "url", "left_anti")
+            vacated = matching.cache()
+            if vacated.count() > 0:
+                if docs is not None:
+                    out["docs_deleted"] = self.documents.delete_where(
+                        self.spark, vacated, ["url"]
+                    )["rows_deleted"]
+                # ALL rows into a vacated url cascade: admitted rows ≙
+                # the FK'd Link rows; an extern row for a vacated url is
+                # the pre-repoint artifact of a row the reference mutated
+                # into a FK row (se/document.py:789) and cascade-deleted
+                # with it.
+                if links is not None:
+                    out["links_deleted"] = self.links.delete_where(
+                        self.spark, vacated.withColumnRenamed("url", "dst_url"), ["dst_url"]
+                    )["rows_deleted"]
+            vacated.unpersist()
+        if sel is not None:
             sel.unpersist()
-            return out
-        drop_keys = sel.select("url", "collection_id").distinct()
-        buckets = self._touched_buckets(sel)
-        sliced = self._changed_bucket_slice(frontier, buckets).join(
-            drop_keys, ["url", "collection_id"], "left_anti"
-        )
-        self.frontier.commit(
-            self.spark, merge_frontier(sliced, None, None), self.round_no(), changed_buckets=buckets
-        )
-        out["deleted"] = out["selected"]
-        # urls with no surviving frontier row in ANY collection — the
-        # cascade set.  Computed against the pre-commit frame: survivors
-        # = rows outside the drop-key set.
-        survivors = frontier.join(drop_keys, ["url", "collection_id"], "left_anti").select("url")
-        vacated = sel.select("url").distinct().join(survivors, "url", "left_anti").cache()
-        if vacated.count() > 0:
-            out["docs_deleted"] = self.documents.delete_where(self.spark, vacated, ["url"])[
-                "rows_deleted"
-            ]
-            # ALL rows into a vacated url cascade: admitted rows ≙ the
-            # FK'd Link rows; an extern row for a vacated url is the
-            # pre-repoint artifact of a row the reference mutated into a
-            # FK row (se/document.py:789) and cascade-deleted with it.
-            out["links_deleted"] = self.links.delete_where(
-                self.spark, vacated.withColumnRenamed("url", "dst_url"), ["dst_url"]
-            )["rows_deleted"]
-        sel.unpersist()
-        vacated.unpersist()
         return out
 
     def widen_scope(self, urls: list[str], t: datetime, manual: bool = True) -> None:

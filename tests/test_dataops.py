@@ -905,3 +905,61 @@ def test_pack_and_chunk_exhaustive_micro_grid(spark):
             assert c["n_chunk_tokens"] == min(5, n - s)
         # coverage: last chunk reaches the final token
         assert chunks[-1]["start_token"] + chunks[-1]["n_chunk_tokens"] == n
+
+
+def test_hashed_classifier_score_hand_values(spark):
+    """GPT-3-style hashed linear classifier: bucket via md5 (verified
+    against hashlib), prob = sigmoid(mean bucket weight)."""
+    import hashlib
+    import math
+
+    from sosse_spark.functions.text import hashed_classifier_score
+
+    def bucket_of(tok, n=64):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % n
+
+    docs = spark.createDataFrame(
+        [(1, "good good bad"), (2, "neutral words only"), (3, "")],
+        "doc_id int, text string",
+    )
+    wmap = {bucket_of("good"): 2.0, bucket_of("bad"): -4.0}
+    weights = spark.createDataFrame(
+        [(b, w) for b, w in wmap.items()], "bucket long, w double"
+    )
+    out = {r["doc_id"]: r for r in hashed_classifier_score(docs, weights, n_buckets=64).collect()}
+    # doc 1: mean(2, 2, -4) = 0 -> sigmoid(0) = 0.5 (unless an unweighted
+    # token collides into a weighted bucket — guard the fixture)
+    assert bucket_of("neutral") not in wmap and bucket_of("words") not in wmap and bucket_of("only") not in wmap
+    assert out[1]["n_tokens"] == 3 and abs(out[1]["prob"] - 0.5) < 1e-9
+    # doc 2: all unweighted -> mean 0 -> 0.5
+    assert abs(out[2]["prob"] - 0.5) < 1e-9
+    # empty doc drops out
+    assert 3 not in out
+    # bias shifts the logit
+    out_b = {r["doc_id"]: r for r in hashed_classifier_score(docs, weights, n_buckets=64, bias=1.0).collect()}
+    assert abs(out_b[2]["prob"] - 1 / (1 + math.exp(-1.0))) < 1e-9
+
+
+def test_pareto_classifier_filter_replica(spark):
+    """The deterministic Pareto keep rule matches a hashlib replica of
+    draw = (1-u)^(-1/alpha) - 1; keep iff draw > 1 - prob."""
+    import hashlib
+
+    from sosse_spark.functions.text import pareto_classifier_filter
+
+    scored = spark.createDataFrame(
+        [(i, 10, 0.05 + 0.09 * (i % 11)) for i in range(60)],
+        "doc_id int, n_tokens int, prob double",
+    )
+    out = {r["doc_id"]: r for r in pareto_classifier_filter(scored, alpha=9.0, seed=7).collect()}
+
+    kept = 0
+    for i in range(60):
+        u = int(hashlib.md5(f"{i}|7".encode()).hexdigest()[:8], 16) / 2**32
+        draw = (1 - u) ** (-1 / 9.0) - 1
+        want_keep = draw > 1 - (0.05 + 0.09 * (i % 11))
+        assert out[i]["keep"] == want_keep, i
+        assert abs(out[i]["pareto_draw"] - draw) < 1e-8
+        kept += want_keep
+    # the heavy tail keeps SOME low-probability docs and most high ones
+    assert 0 < kept < 60

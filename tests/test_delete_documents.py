@@ -185,3 +185,72 @@ def test_delete_where_twice_nested_rewrite(spark, tmp_root):
     left = eng.documents.read(spark)
     assert left.count() == n0 - r1["rows_deleted"] - r2["rows_deleted"]
     assert left.filter(left["url"].isin(urls[:2])).count() == 0
+
+
+def test_crash_between_frontier_and_cascade_repaired_by_rerun(spark, tmp_root, monkeypatch):
+    """Crash matrix for the delete: the frontier half commits, then the
+    process dies before (a) the documents compaction or (b) the links
+    compaction.  Re-running the SAME delete selects 0 frontier rows but
+    must still complete the payload cascade — the cascade set is
+    derived from the payload logs, not from the frontier selection."""
+    import pytest as _pytest
+
+    from sosse_spark.sources.tables import AppendTable
+
+    eng = _crawled(spark, CrawlEngine(spark, tmp_root, WEB, POL, n_buckets=4, batch_size=16, per_host_budget=8))
+    victims = {u for u in _urls(spark, eng) if u.startswith("http://img0.")}
+    assert victims
+    docs_rows = eng.documents.read(spark)
+    victim_doc_rows = docs_rows.filter(docs_rows["url"].isin(list(victims))).count()
+    assert victim_doc_rows > 0
+
+    # crash point (a): frontier committed, BOTH compactions lost
+    orig = AppendTable.delete_where
+
+    def boom(self, *a, **k):
+        raise RuntimeError("injected crash before payload cascade")
+
+    monkeypatch.setattr(AppendTable, "delete_where", boom)
+    with _pytest.raises(RuntimeError):
+        eng.delete_documents(r"^http://img0\.")
+    monkeypatch.setattr(AppendTable, "delete_where", orig)
+
+    assert not {u for u in _urls(spark, eng) if u in victims}, "frontier half must have committed"
+    d = eng.documents.read(spark)
+    assert d.filter(d["url"].isin(list(victims))).count() == victim_doc_rows, "payload orphaned"
+
+    c = eng.delete_documents(r"^http://img0\.")
+    assert c["selected"] == 0 and c["deleted"] == 0
+    assert c["docs_deleted"] == victim_doc_rows, "re-run must complete the cascade"
+    d = eng.documents.read(spark)
+    assert d.filter(d["url"].isin(list(victims))).count() == 0
+    l = eng.links.read(spark)
+    assert l.filter(l["dst_url"].isin(list(victims))).count() == 0
+
+    # crash point (b): docs compaction done, links compaction lost —
+    # delete another host, failing only the SECOND delete_where call
+    victims2 = {u for u in _urls(spark, eng) if u.startswith("http://img1.")}
+    assert victims2
+    calls = {"n": 0}
+
+    def boom_second(self, *a, **k):
+        calls["n"] += 1
+        if calls["n"] >= 2:
+            raise RuntimeError("injected crash before links cascade")
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(AppendTable, "delete_where", boom_second)
+    with _pytest.raises(RuntimeError):
+        eng.delete_documents(r"^http://img1\.")
+    monkeypatch.setattr(AppendTable, "delete_where", orig)
+
+    l = eng.links.read(spark)
+    orphan_links = l.filter(l["dst_url"].isin(list(victims2)) & l["is_admitted"]).count()
+    assert orphan_links > 0, "links half must still be pending"
+    c2 = eng.delete_documents(r"^http://img1\.")
+    assert c2["selected"] == 0 and c2["links_deleted"] >= orphan_links
+    l = eng.links.read(spark)
+    assert l.filter(l["dst_url"].isin(list(victims2))).count() == 0
+    # a fully-repaired state re-runs as a no-op
+    c3 = eng.delete_documents(r"^http://img[01]\.")
+    assert c3 == {"selected": 0, "deleted": 0, "docs_deleted": 0, "links_deleted": 0}

@@ -85,3 +85,66 @@ def test_load_search_engines_update_or_create(spark):
     # create arm: empty existing table
     created = load_search_engines(None, parsed).collect()
     assert len(created) == 1 and created[0]["enabled"] is True
+
+
+def test_update_builtin_rows_semantics(spark):
+    """UpdateBuiltinModel.handle (se/management/commands/builtin.py:
+    30-68) + update_se's shortcut preservation: created / updated
+    (enabled+shortcut preserved) / skipped (user-defined) / kept."""
+    from sosse_spark.operators.opensearch import update_builtin_rows
+
+    existing = spark.createDataFrame(
+        [
+            # builtin row: fields update, enabled + shortcut preserved
+            ("Bing", "old", "http://old/?q={searchTerms}", "custom_b", False, True),
+            # user-defined row: never touched
+            ("Mine", "mine", "http://mine/?q={searchTerms}", "m", True, False),
+            # row not in the items file: kept as-is
+            ("Stale", "stale", "http://stale/?q={searchTerms}", "s", True, True),
+        ],
+        "short_name string, long_name string, html_template string, shortcut string, enabled boolean, builtin boolean",
+    )
+    items = spark.createDataFrame(
+        [
+            ("Bing", "Bing Search", "http://bing/?q={searchTerms}", "bing", True, True),
+            ("Mine", "hijack", "http://evil/?q={searchTerms}", "m2", True, True),
+            ("Fresh", "Fresh Engine", "http://fresh/?q={searchTerms}", "fresh", True, True),
+        ],
+        "short_name string, long_name string, html_template string, shortcut string, enabled boolean, builtin boolean",
+    )
+    out = {
+        r["short_name"]: r
+        for r in update_builtin_rows(
+            existing, items, "short_name", preserve_fields=("enabled", "shortcut")
+        ).collect()
+    }
+    assert out["Bing"]["action"] == "updated"
+    assert out["Bing"]["long_name"] == "Bing Search"
+    assert out["Bing"]["html_template"] == "http://bing/?q={searchTerms}"
+    assert out["Bing"]["shortcut"] == "custom_b"  # user's shortcut survives
+    assert out["Bing"]["enabled"] is False  # user's disable survives
+    assert out["Mine"]["action"] == "skipped"
+    assert out["Mine"]["long_name"] == "mine" and out["Mine"]["shortcut"] == "m"
+    assert out["Fresh"]["action"] == "created"
+    assert out["Fresh"]["builtin"] is True and out["Fresh"]["enabled"] is True
+    assert out["Stale"]["action"] == "kept"
+    assert out["Stale"]["long_name"] == "stale"
+    # empty table: everything created, builtin defaulted True
+    created = update_builtin_rows(None, items.drop("builtin"), "short_name").collect()
+    assert all(r["action"] == "created" and r["builtin"] is True for r in created)
+
+
+def test_conflicting_shortcuts(spark):
+    from sosse_spark.operators.opensearch import conflicting_shortcuts
+
+    engines = spark.createDataFrame(
+        [
+            ("A", "x", True),
+            ("B", "x", True),   # x claimed twice by ENABLED engines
+            ("C", "y", True),
+            ("D", "y", False),  # disabled claim does not conflict
+        ],
+        "short_name string, shortcut string, enabled boolean",
+    )
+    rows = conflicting_shortcuts(engines).collect()
+    assert len(rows) == 1 and rows[0]["shortcut"] == "x" and rows[0]["shortcut_count"] == 2
