@@ -565,6 +565,66 @@ def _pagerank_oracle_sql(iters: int = 3, d: float = 0.85) -> str:
     return sql + f"\n        SELECT node, round(rank, 9) AS rank FROM {prev}"
 
 
+def q_linkrank_hits(spark, sf_dir):
+    """HITS hubs/authorities (Kleinberg 1999) over the same synthetic
+    edge set as linkrank_pagerank, L1-normalized per half step; the
+    oracle unrolls the iterations as chained SQL CTEs."""
+    from sosse_spark.operators.graph import hits
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    nmod = d.agg((F.max("doc_id") + 1).alias("_nmod"))
+    e = (
+        d.filter(did % 10 != 0)
+        .crossJoin(F.broadcast(nmod))
+        .select(
+            did.alias("src"),
+            F.explode(
+                F.array(*[(did * 7 + F.lit(j)) % F.col("_nmod") for j in (1, 2, 3)])
+            ).alias("dst"),
+        )
+    )
+    return hits(e, iterations=3)
+
+
+def _hits_oracle_sql(iters: int = 3) -> str:
+    """Oracle twin of q_linkrank_hits — identical edges, L1-normalized
+    hub/auth half steps unrolled as CTEs."""
+    sql = """
+        WITH nm AS (SELECT max(doc_id) + 1 AS nmod FROM documents),
+        e AS (
+          SELECT doc_id AS src,
+                 unnest([(doc_id*7+1) % nmod, (doc_id*7+2) % nmod, (doc_id*7+3) % nmod]) AS dst
+          FROM documents CROSS JOIN nm
+          WHERE doc_id % 10 <> 0),
+        nodes AS (
+          SELECT DISTINCT node FROM (
+            SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e)),
+        nn AS (SELECT CAST(count(*) AS DOUBLE) AS nnodes FROM nodes),
+        h0 AS (SELECT node, 1.0 / nnodes AS hub FROM nodes CROSS JOIN nn)"""
+    prev = "h0"
+    for k in range(1, iters + 1):
+        sql += f""",
+        ar{k} AS (
+          SELECT e.dst AS node, sum({prev}.hub) AS a
+          FROM e JOIN {prev} ON e.src = {prev}.node GROUP BY e.dst),
+        az{k} AS (SELECT sum(a) AS za FROM ar{k}),
+        a{k} AS (
+          SELECT nodes.node, coalesce(ar{k}.a, 0.0) / az{k}.za AS auth
+          FROM nodes LEFT JOIN ar{k} ON nodes.node = ar{k}.node CROSS JOIN az{k}),
+        hr{k} AS (
+          SELECT e.src AS node, sum(a{k}.auth) AS h
+          FROM e JOIN a{k} ON e.dst = a{k}.node GROUP BY e.src),
+        hz{k} AS (SELECT sum(h) AS zh FROM hr{k}),
+        h{k} AS (
+          SELECT nodes.node, coalesce(hr{k}.h, 0.0) / hz{k}.zh AS hub
+          FROM nodes LEFT JOIN hr{k} ON nodes.node = hr{k}.node CROSS JOIN hz{k})"""
+        prev = f"h{k}"
+    return sql + f"""
+        SELECT h{iters}.node, round(h{iters}.hub, 9) AS hub, round(a{iters}.auth, 9) AS auth
+        FROM h{iters} JOIN a{iters} ON h{iters}.node = a{iters}.node"""
+
+
 def q_quality_classifier(spark, sf_dir):
     """GPT-3 Appendix A document filtering (Brown et al. 2020): hashed
     linear classifier score (md5 bucket → broadcast weight join →
@@ -686,6 +746,34 @@ def q_dedup_substring(spark, sf_dir):
     )
     corpus = d.select(did.alias("doc_id"), planted.alias("text"))
     return dedup_substring(corpus, k=8)
+
+
+def q_dedup_substring_keepfirst(spark, sf_dir):
+    """The keep_first policy arm of exact-substring dedup: the lowest
+    (id, position) occurrence of each duplicated window survives intact
+    (same planted corpus as dedup_substring; the oracle ranks window
+    occurrences with the identical row_number rule)."""
+    from sosse_spark.operators.dedup import dedup_substring
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    planted = F.concat(
+        F.col("text"),
+        F.when(
+            did % 5 == 0,
+            F.lit(" shared passage alpha beta gamma delta epsilon zeta eta theta"),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 7 == 0,
+            F.concat(
+                F.lit(" grp"),
+                (did % 3).cast("string"),
+                F.lit(" common run one two three four five six seven"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    corpus = d.select(did.alias("doc_id"), planted.alias("text"))
+    return dedup_substring(corpus, k=8, policy="keep_first")
 
 
 def q_delete_documents_select(spark, sf_dir):
@@ -1827,10 +1915,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_search_url_arms": q_q14_search_url_arms,
         "delete_documents_select": q_delete_documents_select,
         "dedup_substring": q_dedup_substring,
+        "dedup_substring_keepfirst": q_dedup_substring_keepfirst,
         "load_se_parse": q_load_se_parse,
         "mixture_resample": q_mixture_resample,
         "quality_classifier": q_quality_classifier,
         "linkrank_pagerank": q_linkrank_pagerank,
+        "linkrank_hits": q_linkrank_hits,
         # -- r04 driver-green entries (greens on record) --
         "f15_eligibility": q_f15_eligibility,
         "f15_priority_order": q_f15_priority_order,
@@ -1883,6 +1973,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_ivf": q_sim_ann_ivf,
         "sim_ann_pq": q_sim_ann_pq,
     }
+
+
+
+def _substring_oracle_sql(keep_first: bool = False) -> str:
+    """Oracle twin of q_dedup_substring / q_dedup_substring_keepfirst:
+    same planted corpus, windows over a fixed range(0,128) grid;
+    keep_first drops rank-1 occurrences from the cut set (the lowest
+    (_id, wpos) copy of each duplicated window survives)."""
+    dupw = "SELECT _id, wpos FROM wins JOIN duph USING (h)"
+    if keep_first:
+        dupw = (
+            "SELECT _id, wpos FROM ("
+            "SELECT _id, wpos, row_number() OVER (PARTITION BY h ORDER BY _id, wpos) AS rn "
+            "FROM wins JOIN duph USING (h)) WHERE rn > 1"
+        )
+    return f"""
+            WITH corpus AS (
+              SELECT doc_id,
+                     text
+                       || (CASE WHEN doc_id % 5 = 0
+                                THEN ' shared passage alpha beta gamma delta epsilon zeta eta theta'
+                                ELSE '' END)
+                       || (CASE WHEN doc_id % 7 = 0
+                                THEN ' grp' || CAST(doc_id % 3 AS VARCHAR)
+                                     || ' common run one two three four five six seven'
+                                ELSE '' END) AS text
+              FROM documents),
+            toked AS (
+              SELECT doc_id AS _id,
+                     CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                          ELSE string_split_regex(trim(text), '\\s+') END AS l
+              FROM corpus),
+            g AS (SELECT unnest(range(0, 128)) AS i),
+            wins AS (
+              SELECT _id, i AS wpos,
+                     md5(array_to_string(list_slice(l, i + 1, i + 8), ' ')) AS h
+              FROM toked CROSS JOIN g
+              WHERE i <= len(l) - 8),
+            duph AS (SELECT h FROM wins GROUP BY h HAVING count(*) >= 2),
+            dupw AS ({dupw}),
+            k8 AS (SELECT unnest(range(0, 8)) AS o),
+            covered AS (
+              SELECT DISTINCT _id, wpos + o AS pos FROM dupw CROSS JOIN k8),
+            toks AS (
+              SELECT _id, unnest(l) AS tok, generate_subscripts(l, 1) - 1 AS pos
+              FROM toked),
+            surv AS (
+              SELECT t._id, t.tok, t.pos FROM toks t
+              LEFT JOIN covered c ON t._id = c._id AND t.pos = c.pos
+              WHERE c._id IS NULL),
+            re AS (
+              SELECT _id, string_agg(tok, ' ' ORDER BY pos) AS text,
+                     count(*) AS kept FROM surv GROUP BY _id)
+            SELECT t._id,
+                   coalesce(re.text, '') AS text,
+                   CAST(coalesce(re.kept, 0) AS INT) AS kept_tokens,
+                   CAST(len(t.l) - coalesce(re.kept, 0) AS INT) AS removed_tokens
+            FROM toked t LEFT JOIN re ON t._id = re._id"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2603,6 +2751,7 @@ def oracle_sql() -> dict[str, str]:
                    END AS redirect_url
             FROM enc2""",
         "linkrank_pagerank": _pagerank_oracle_sql(3, 0.85),
+        "linkrank_hits": _hits_oracle_sql(3),
         "quality_classifier": """
             WITH wt AS (
               SELECT CAST(i AS BIGINT) AS bucket,
@@ -2666,51 +2815,8 @@ def oracle_sql() -> dict[str, str]:
                    'engine' || CAST(doc_id AS VARCHAR) AS shortcut
             FROM documents
             WHERE doc_id % 4 IN (0, 1)""",
-        "dedup_substring": """
-            WITH corpus AS (
-              SELECT doc_id,
-                     text
-                       || (CASE WHEN doc_id % 5 = 0
-                                THEN ' shared passage alpha beta gamma delta epsilon zeta eta theta'
-                                ELSE '' END)
-                       || (CASE WHEN doc_id % 7 = 0
-                                THEN ' grp' || CAST(doc_id % 3 AS VARCHAR)
-                                     || ' common run one two three four five six seven'
-                                ELSE '' END) AS text
-              FROM documents),
-            toked AS (
-              SELECT doc_id AS _id,
-                     CASE WHEN trim(text) = '' THEN []::VARCHAR[]
-                          ELSE string_split_regex(trim(text), '\\s+') END AS l
-              FROM corpus),
-            -- windows via a fixed grid: driver texts are <= 100 tokens
-            -- (+ <= 21 planted) — range(0,128) documented bound
-            g AS (SELECT unnest(range(0, 128)) AS i),
-            wins AS (
-              SELECT _id, i AS wpos,
-                     md5(array_to_string(list_slice(l, i + 1, i + 8), ' ')) AS h
-              FROM toked CROSS JOIN g
-              WHERE i <= len(l) - 8),
-            duph AS (SELECT h FROM wins GROUP BY h HAVING count(*) >= 2),
-            dupw AS (SELECT _id, wpos FROM wins JOIN duph USING (h)),
-            k8 AS (SELECT unnest(range(0, 8)) AS o),
-            covered AS (
-              SELECT DISTINCT _id, wpos + o AS pos FROM dupw CROSS JOIN k8),
-            toks AS (
-              SELECT _id, unnest(l) AS tok, generate_subscripts(l, 1) - 1 AS pos
-              FROM toked),
-            surv AS (
-              SELECT t._id, t.tok, t.pos FROM toks t
-              LEFT JOIN covered c ON t._id = c._id AND t.pos = c.pos
-              WHERE c._id IS NULL),
-            re AS (
-              SELECT _id, string_agg(tok, ' ' ORDER BY pos) AS text,
-                     count(*) AS kept FROM surv GROUP BY _id)
-            SELECT t._id,
-                   coalesce(re.text, '') AS text,
-                   CAST(coalesce(re.kept, 0) AS INT) AS kept_tokens,
-                   CAST(len(t.l) - coalesce(re.kept, 0) AS INT) AS removed_tokens
-            FROM toked t LEFT JOIN re ON t._id = re._id""",
+        "dedup_substring": _substring_oracle_sql(False),
+        "dedup_substring_keepfirst": _substring_oracle_sql(True),
         "delete_documents_select": """
             WITH u AS (
               SELECT doc_id,

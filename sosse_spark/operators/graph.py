@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank"]
+__all__ = ["pagerank", "hits"]
 
 
 def pagerank(
@@ -85,3 +85,58 @@ def pagerank(
         if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("node", F.round("rank", 9).alias("rank"))
+
+
+def hits(
+    edges: DataFrame,
+    iterations: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999, "Authoritative
+    Sources in a Hyperlinked Environment"), L1-normalized each half
+    step:
+
+        auth_{k+1}(v) ∝ sum_{u->v} hub_k(u)
+        hub_{k+1}(u)  ∝ sum_{u->v} auth_{k+1}(v)
+
+    Duplicate edges vote once per row (the engine's per-ordinal link
+    rows).  Returns (node, hub, auth) rounded to 9 digits; each column
+    sums to 1.  Same scale shape as pagerank: one thin shuffle per half
+    step, 1-row normalizers broadcast."""
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    e = edges.select(F.col(src_col).alias("_src"), F.col(dst_col).alias("_dst"))
+    nodes = e.select(F.col("_src").alias("node")).unionByName(
+        e.select(F.col("_dst").alias("node"))
+    ).distinct()
+    n1 = nodes.agg(F.count(F.lit(1)).cast("double").alias("_n"))
+    hub = nodes.crossJoin(F.broadcast(n1)).select("node", (F.lit(1.0) / F.col("_n")).alias("hub"))
+    auth = None
+    for _ in range(iterations):
+        a_raw = (
+            e.join(hub, e["_src"] == hub["node"])
+            .groupBy(F.col("_dst").alias("node"))
+            .agg(F.sum("hub").alias("_a"))
+        )
+        a_norm = a_raw.agg(F.sum("_a").alias("_za"))
+        auth = (
+            nodes.join(a_raw, "node", "left")
+            .crossJoin(F.broadcast(a_norm))
+            .select("node", (F.coalesce(F.col("_a"), F.lit(0.0)) / F.col("_za")).alias("auth"))
+        )
+        h_raw = (
+            e.join(auth, e["_dst"] == auth["node"])
+            .groupBy(F.col("_src").alias("node"))
+            .agg(F.sum("auth").alias("_h"))
+        )
+        h_norm = h_raw.agg(F.sum("_h").alias("_zh"))
+        hub = (
+            nodes.join(h_raw, "node", "left")
+            .crossJoin(F.broadcast(h_norm))
+            .select("node", (F.coalesce(F.col("_h"), F.lit(0.0)) / F.col("_zh")).alias("hub"))
+        )
+    return (
+        hub.join(auth, "node")
+        .select("node", F.round("hub", 9).alias("hub"), F.round("auth", 9).alias("auth"))
+    )

@@ -60,3 +60,41 @@ def test_checkpoint_every_same_result(spark):
     a = _run(spark, edges, iterations=5)
     b = _run(spark, edges, iterations=5, checkpoint_every=2)
     assert a == b
+
+
+def _ref_hits(edges, iterations=3):
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    hub = {v: 1.0 / len(nodes) for v in nodes}
+    auth = None
+    for _ in range(iterations):
+        a = defaultdict(float)
+        for u, v in edges:
+            a[v] += hub[u]
+        za = sum(a.values())
+        auth = {v: a[v] / za for v in nodes}
+        h = defaultdict(float)
+        for u, v in edges:
+            h[u] += auth[v]
+        zh = sum(h.values())
+        hub = {v: h[v] / zh for v in nodes}
+    return hub, auth
+
+
+def test_hits_replica_and_mass(spark):
+    from sosse_spark.operators.graph import hits
+
+    edges = []
+    for i in range(1, 8):
+        for j in range(1 + i % 3):
+            edges.append((i, (i * 3 + j) % 10))
+    edges.append((5, 6))
+    edges.append((5, 6))  # duplicate edge votes twice
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: (r["hub"], r["auth"]) for r in hits(df, iterations=3).collect()}
+    hub, auth = _ref_hits(edges, iterations=3)
+    assert set(got) == set(hub)
+    for v in hub:
+        assert abs(got[v][0] - hub[v]) < 1e-9, ("hub", v)
+        assert abs(got[v][1] - auth[v]) < 1e-9, ("auth", v)
+    assert abs(sum(h for h, _ in got.values()) - 1.0) < 1e-6
+    assert abs(sum(a for _, a in got.values()) - 1.0) < 1e-6
