@@ -9,10 +9,13 @@ edges is the canonical form.
 
 Scale shape: each iteration is ONE shuffle of thin (node, share) rows
 keyed by dst + a 1-row dangling-mass aggregate; ranks and out-degrees
-are (node, double) tables — the payload never rides the loop.  For
-long runs pass checkpoint_every to cut lineage (the measured
-multi-megachar-plan trap, CLAUDE.md); the default 0 keeps the operator
-a pure DataFrame function for bounded iteration counts.
+are (node, double) tables — the payload never rides the loop.  The
+edges frame is re-scanned every iteration: callers iterating more than
+a few rounds over a parquet-backed link log should persist() a thin
+(src, dst) projection first.  For long runs pass checkpoint_every to
+cut lineage (the measured multi-megachar-plan trap, CLAUDE.md); the
+default 0 keeps the operator a pure DataFrame function for bounded
+iteration counts.
 """
 
 from __future__ import annotations
