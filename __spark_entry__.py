@@ -513,19 +513,7 @@ def q_linkrank_pagerank(spark, sf_dir):
     the same 3 power iterations as chained SQL CTEs."""
     from sosse_spark.operators.graph import pagerank
 
-    d = _docs(spark, sf_dir)
-    did = F.col("doc_id")
-    nmod = d.agg((F.max("doc_id") + 1).alias("_nmod"))
-    e = (
-        d.filter(did % 10 != 0)
-        .crossJoin(F.broadcast(nmod))
-        .select(
-            did.alias("src"),
-            F.explode(
-                F.array(*[(did * 7 + F.lit(j)) % F.col("_nmod") for j in (1, 2, 3)])
-            ).alias("dst"),
-        )
-    )
+    e = _linkrank_edges(spark, sf_dir)
     return pagerank(e, iterations=3, damping=0.85)
 
 
@@ -571,19 +559,7 @@ def q_linkrank_hits(spark, sf_dir):
     oracle unrolls the iterations as chained SQL CTEs."""
     from sosse_spark.operators.graph import hits
 
-    d = _docs(spark, sf_dir)
-    did = F.col("doc_id")
-    nmod = d.agg((F.max("doc_id") + 1).alias("_nmod"))
-    e = (
-        d.filter(did % 10 != 0)
-        .crossJoin(F.broadcast(nmod))
-        .select(
-            did.alias("src"),
-            F.explode(
-                F.array(*[(did * 7 + F.lit(j)) % F.col("_nmod") for j in (1, 2, 3)])
-            ).alias("dst"),
-        )
-    )
+    e = _linkrank_edges(spark, sf_dir)
     return hits(e, iterations=3)
 
 
@@ -715,6 +691,50 @@ def q_load_se_parse(spark, sf_dir):
     return parse_opensearch_batch(d.select(xml.alias("xml")))
 
 
+def _planted_dup_corpus(spark, sf_dir):
+    """Shared corpus of the two dedup_substring entries: driver text +
+    a constant passage on every 5th doc + a 3-group shared run on every
+    7th — MUST stay in lockstep with _substring_oracle_sql's corpus CTE."""
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    planted = F.concat(
+        F.col("text"),
+        F.when(
+            did % 5 == 0,
+            F.lit(" shared passage alpha beta gamma delta epsilon zeta eta theta"),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 7 == 0,
+            F.concat(
+                F.lit(" grp"),
+                (did % 3).cast("string"),
+                F.lit(" common run one two three four five six seven"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return d.select(did.alias("doc_id"), planted.alias("text"))
+
+
+def _linkrank_edges(spark, sf_dir):
+    """Shared synthetic edge set of the two linkrank entries: doc_id →
+    (doc_id*7+j) % (max_id+1) for j in 1..3, %10==0 docs dangle — MUST
+    stay in lockstep with the edge CTE of _pagerank_oracle_sql and
+    _hits_oracle_sql."""
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    nmod = d.agg((F.max("doc_id") + 1).alias("_nmod"))
+    return (
+        d.filter(did % 10 != 0)
+        .crossJoin(F.broadcast(nmod))
+        .select(
+            did.alias("src"),
+            F.explode(
+                F.array(*[(did * 7 + F.lit(j)) % F.col("_nmod") for j in (1, 2, 3)])
+            ).alias("dst"),
+        )
+    )
+
+
 def q_dedup_substring(spark, sf_dir):
     """Exact-substring dedup (Lee et al. 2021 ExactSubstr, arXiv:
     2107.06499): every duplicated 8-token window is cut from every
@@ -727,24 +747,7 @@ def q_dedup_substring(spark, sf_dir):
     — documented bound), value-certifying the cleaned TEXT."""
     from sosse_spark.operators.dedup import dedup_substring
 
-    d = _docs(spark, sf_dir)
-    did = F.col("doc_id")
-    planted = F.concat(
-        F.col("text"),
-        F.when(
-            did % 5 == 0,
-            F.lit(" shared passage alpha beta gamma delta epsilon zeta eta theta"),
-        ).otherwise(F.lit("")),
-        F.when(
-            did % 7 == 0,
-            F.concat(
-                F.lit(" grp"),
-                (did % 3).cast("string"),
-                F.lit(" common run one two three four five six seven"),
-            ),
-        ).otherwise(F.lit("")),
-    )
-    corpus = d.select(did.alias("doc_id"), planted.alias("text"))
+    corpus = _planted_dup_corpus(spark, sf_dir)
     return dedup_substring(corpus, k=8)
 
 
@@ -755,24 +758,7 @@ def q_dedup_substring_keepfirst(spark, sf_dir):
     occurrences with the identical row_number rule)."""
     from sosse_spark.operators.dedup import dedup_substring
 
-    d = _docs(spark, sf_dir)
-    did = F.col("doc_id")
-    planted = F.concat(
-        F.col("text"),
-        F.when(
-            did % 5 == 0,
-            F.lit(" shared passage alpha beta gamma delta epsilon zeta eta theta"),
-        ).otherwise(F.lit("")),
-        F.when(
-            did % 7 == 0,
-            F.concat(
-                F.lit(" grp"),
-                (did % 3).cast("string"),
-                F.lit(" common run one two three four five six seven"),
-            ),
-        ).otherwise(F.lit("")),
-    )
-    corpus = d.select(did.alias("doc_id"), planted.alias("text"))
+    corpus = _planted_dup_corpus(spark, sf_dir)
     return dedup_substring(corpus, k=8, policy="keep_first")
 
 

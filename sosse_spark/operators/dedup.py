@@ -740,7 +740,6 @@ def dedup_substring(
         "_id", F.col("w.wpos").alias("wpos"), F.col("w.h").alias("h")
     )
     dup_h = windows.groupBy("h").count().filter(F.col("count") >= 2).select("h")
-    dup_wins = windows.join(dup_h, "h", "left_semi")
     if policy == "keep_first":
         wseq = Window.partitionBy("h").orderBy("_id", "wpos")
         dup_wins = (
@@ -749,6 +748,8 @@ def dedup_substring(
             .filter(F.col("_rn") > 1)
             .drop("_rn")
         )
+    else:  # remove_all
+        dup_wins = windows.join(dup_h, "h", "left_semi")
     covered = dup_wins.select(
         "_id", F.explode(F.sequence(F.col("wpos"), F.col("wpos") + (k - 1))).alias("pos")
     ).distinct()

@@ -119,6 +119,9 @@ def load_search_engines(engines: Optional[DataFrame], parsed: DataFrame) -> Data
         F.col("_pref").desc(),
         F.col("html_template").desc_nulls_last(),
         F.col("long_name").desc_nulls_last(),
+        F.col("description").desc_nulls_last(),
+        F.col("suggestion_template").desc_nulls_last(),
+        F.col("shortcut").desc_nulls_last(),
     )
     new = parsed.withColumn("_pref", F.lit(1))
     if engines is not None:
@@ -157,9 +160,11 @@ def update_builtin_rows(
       choice survives updates, builtin.py:62-63; update_se adds
       'shortcut' to preserve user-assigned shortcuts).
 
-    Output: the merged table plus an `action` column ∈
-    created/updated/skipped (the reference prints the created count).
-    Both sides are tiny config tables — pure broadcast-scale algebra."""
+    Output: the merged table plus an `action` column ∈ created /
+    updated / skipped / kept — `kept` marks existing rows absent from
+    the items batch, which pass through untouched (the reference only
+    prints the created count).  Both sides are tiny config tables —
+    pure broadcast-scale algebra."""
     if existing is None:
         out = items.withColumn("action", F.lit("created"))
         if "builtin" in items.columns:

@@ -284,31 +284,44 @@ class AppendTable(_TableBase):
         so truncate_from crash repair stays correct.  The manifest swap
         is atomic; a crash mid-rewrite leaves orphan dirs that vacuum()
         removes.  Returns {"rows_deleted", "dirs_rewritten"}."""
-        import re as _re
-
         from pyspark.sql import functions as F
 
         m = self.manifest()
         if m is None or not m["dirs"]:
             return {"rows_deleted": 0, "dirs_rewritten": 0}
         entries = self._entries(m)
-        # entry name of the dir a row came from = the input file's path
-        # relative to the table root, minus the file name — exact even
-        # for nested dirs left by a previous delete_where rewrite
-        abs_dir = os.path.abspath(self.dir)
-        # input_file_name() is a file: URI with a variable number of
-        # slashes — anchor on the absolute table path instead
-        rel_dir_of = F.regexp_extract(
-            F.input_file_name(), f"{_re.escape(abs_dir)}/(.+)/[^/]+$", 1
-        )
+
+        # entry name of the dir a row came from, derived by MEMBERSHIP
+        # ("/<entry>/" appears in the input file path) rather than by
+        # regex-anchoring on the absolute table path — input_file_name()
+        # is a URI whose prefix form (slash count, percent-escapes for
+        # e.g. spaces in the root path) varies, but the entry dir names
+        # themselves are plain [A-Za-z0-9_=/-] and survive verbatim.
+        # Longest name first so a nested rewrite entry wins over any
+        # prefix-sharing sibling.
+        def rel_dir_of():
+            expr = F.lit(None).cast("string")
+            for e in sorted(entries, key=lambda x: -len(x["dir"])):
+                expr = F.when(
+                    F.input_file_name().contains(f"/{e['dir']}/"), F.lit(e["dir"])
+                ).otherwise(expr)
+            return expr
+
         uniq = keys.select(*key_cols).distinct()
         full = spark.read.option("mergeSchema", "true").parquet(
             *[os.path.join(self.dir, e["dir"]) for e in entries]
-        ).withColumn("_dir", rel_dir_of)
+        ).withColumn("_dir", rel_dir_of())
         touched_rows = full.join(uniq, key_cols, "left_semi").groupBy("_dir").count().collect()
         by_dir = {e["dir"]: e for e in entries}
         touched = {r["_dir"]: r["count"] for r in touched_rows if r["_dir"] in by_dir}
         n_deleted = sum(touched.values())
+        unresolved = sum(r["count"] for r in touched_rows if r["_dir"] not in by_dir)
+        if unresolved:
+            # never silently strand rows the caller asked to delete
+            raise RuntimeError(
+                f"delete_where could not resolve the append dir of {unresolved} "
+                f"matching rows under {self.dir!r}"
+            )
         if not touched:
             return {"rows_deleted": 0, "dirs_rewritten": 0}
         snap = m["snapshot"] + 1
@@ -320,7 +333,7 @@ class AppendTable(_TableBase):
         kept = (
             spark.read.option("mergeSchema", "true")
             .parquet(*[os.path.join(self.dir, d) for d in sorted(touched)])
-            .withColumn("_dir", rel_dir_of)
+            .withColumn("_dir", rel_dir_of())
             .join(uniq, key_cols, "left_anti")
             .join(F.broadcast(idx_map), "_dir")
             .drop("_dir")
