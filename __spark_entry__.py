@@ -629,6 +629,17 @@ def q_quality_classifier(spark, sf_dir):
     )
 
 
+def q_text_bigram_lm(spark, sf_dir):
+    """Interpolated-bigram LM quality score (one step up from
+    text_unigram_lm toward CCNet's KenLM filter): p(w2|w1) =
+    0.7·c2/c1(w1) + 0.3·c1(w2)/total over every adjacent pair; the
+    corpus scores itself so no OOV floor is needed and the oracle
+    recomputes counts, interpolation and per-doc NLL exactly."""
+    from sosse_spark.functions.text import bigram_logprob
+
+    return bigram_logprob(_docs(spark, sf_dir), lam=0.7)
+
+
 def q_mixture_resample(spark, sf_dir):
     """Temperature-based corpus mixing (Conneau & Lample 2019 §3.1 /
     XLM-R; Pile-style mixture weights): p_i ∝ n_i^0.5 source
@@ -1903,6 +1914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substring": q_dedup_substring,
         "dedup_substring_keepfirst": q_dedup_substring_keepfirst,
         "load_se_parse": q_load_se_parse,
+        "text_bigram_lm": q_text_bigram_lm,
         "mixture_resample": q_mixture_resample,
         "quality_classifier": q_quality_classifier,
         "linkrank_pagerank": q_linkrank_pagerank,
@@ -2770,6 +2782,33 @@ def oracle_sql() -> dict[str, str]:
                    round(draw, 9) AS pareto_draw,
                    draw > (1.0 - prob) AS keep
             FROM d""",
+        "text_bigram_lm": """
+            WITH toked AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                 x -> x <> '') AS l
+              FROM documents),
+            tok AS (
+              SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos
+              FROM toked),
+            c1 AS (SELECT tok, CAST(count(*) AS DOUBLE) AS c1 FROM tok GROUP BY tok),
+            tt AS (SELECT sum(c1) AS total FROM c1),
+            pairs AS (
+              SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+              FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+            c2 AS (SELECT w1, w2, CAST(count(*) AS DOUBLE) AS c2 FROM pairs GROUP BY w1, w2),
+            nll AS (
+              SELECT p.doc_id,
+                     -ln(0.7 * c2.c2 / u1.c1 + 0.3 * u2.c1 / tt.total) AS nll
+              FROM pairs p
+              JOIN c2 ON p.w1 = c2.w1 AND p.w2 = c2.w2
+              JOIN c1 u1 ON p.w1 = u1.tok
+              JOIN c1 u2 ON p.w2 = u2.tok
+              CROSS JOIN tt)
+            SELECT doc_id, CAST(count(*) AS INT) AS n_pairs,
+                   round(avg(nll), 6) AS avg_nll,
+                   round(exp(avg(nll)), 4) AS ppl
+            FROM nll GROUP BY doc_id""",
         "mixture_resample": """
             WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY source),
             t AS (SELECT CAST(sum(n) AS DOUBLE) AS ntot, sum(power(CAST(n AS DOUBLE), 0.5)) AS z FROM c),

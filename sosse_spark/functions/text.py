@@ -36,6 +36,7 @@ __all__ = [
     "unigram_logprob",
     "hashed_classifier_score",
     "pareto_classifier_filter",
+    "bigram_logprob",
 ]
 
 # Tiny deterministic stopword lists for the lang-ID heuristic.  Scoring is
@@ -460,4 +461,67 @@ def pareto_classifier_filter(scored, alpha: float = 9.0, seed: int = 42, id_col:
     draw = F.pow(F.lit(1.0) - u, F.lit(-1.0 / alpha)) - F.lit(1.0)
     return scored.withColumn("pareto_draw", F.round(draw, 9)).withColumn(
         "keep", draw > (F.lit(1.0) - F.col("prob"))
+    )
+
+
+def bigram_logprob(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = 0.7,
+):
+    """Corpus-trained interpolated-bigram language-model score — one
+    step up the n-gram ladder from unigram_logprob toward CCNet's
+    5-gram KenLM filter (Wenzek et al. 2020), still fully deterministic
+    and self-trained (no external model):
+
+        p(w2 | w1) = lam * c(w1 w2)/c(w1) + (1-lam) * c(w2)/total
+
+    scored over every adjacent token pair; the unigram back-off term
+    never needs an OOV floor because the corpus scores itself (every
+    token has count >= 1).  Output: (id, n_pairs, avg_nll, ppl); docs
+    with fewer than 2 tokens drop out (no pairs to score).
+
+    100 TB shape: TWO map-side-combinable count aggregations (unigram,
+    bigram), then the pair stream joins the bigram table on its
+    (w1, w2) key and the unigram table twice — all thin hash joins on
+    token scalars (the bigram vocabulary is corpus-sized, so it is
+    NEVER broadcast), then one per-doc aggregation."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda t: t != F.lit("")
+    )
+    staged = df.select(F.col(id_col), toks.alias("_toks")).filter(F.size("_toks") >= 2)
+    n = F.size("_toks")
+    pairs = staged.select(
+        F.col(id_col),
+        F.explode(
+            F.arrays_zip(
+                F.slice("_toks", 1, n - 1).alias("w1"),
+                F.slice("_toks", 2, n - 1).alias("w2"),
+            )
+        ).alias("_p"),
+    ).select(F.col(id_col), F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
+    tok_rows = df.select(F.col(id_col), F.explode(toks).alias("tok"))
+    c1 = tok_rows.groupBy("tok").agg(F.count(F.lit(1)).cast("double").alias("c1"))
+    total = c1.agg(F.sum("c1").alias("_total"))
+    c2 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("double").alias("c2"))
+    scored = (
+        pairs.join(c2, ["w1", "w2"])
+        .join(c1.select(F.col("tok").alias("w1"), F.col("c1").alias("_c1w1")), "w1")
+        .join(c1.select(F.col("tok").alias("w2"), F.col("c1").alias("_c1w2")), "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            (
+                -F.log(
+                    F.lit(float(lam)) * F.col("c2") / F.col("_c1w1")
+                    + F.lit(1.0 - float(lam)) * F.col("_c1w2") / F.col("_total")
+                )
+            ).alias("_nll"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_pairs"),
+        F.round(F.avg("_nll"), 6).alias("avg_nll"),
+        F.round(F.exp(F.avg("_nll")), 4).alias("ppl"),
     )

@@ -963,3 +963,39 @@ def test_pareto_classifier_filter_replica(spark):
         kept += want_keep
     # the heavy tail keeps SOME low-probability docs and most high ones
     assert 0 < kept < 60
+
+
+def test_bigram_logprob_replica(spark):
+    """Interpolated bigram LM matches a pure-python replica of
+    p(w2|w1) = lam*c2/c1(w1) + (1-lam)*c1(w2)/total."""
+    import math
+    import re
+    from collections import Counter
+
+    from sosse_spark.functions.text import bigram_logprob
+
+    texts = {1: "a b a b c", 2: "a a a b", 3: "solo", 4: ""}
+    toks = {i: [t for t in re.split(r"[^a-z0-9]+", s.lower()) if t] for i, s in texts.items()}
+    c1 = Counter(t for tk in toks.values() for t in tk)
+    total = sum(c1.values())
+    c2 = Counter((tk[j], tk[j + 1]) for tk in toks.values() for j in range(len(tk) - 1))
+    lam = 0.7
+    want = {}
+    for i, tk in toks.items():
+        if len(tk) < 2:
+            continue
+        nll = [
+            -math.log(lam * c2[(tk[j], tk[j + 1])] / c1[tk[j]] + (1 - lam) * c1[tk[j + 1]] / total)
+            for j in range(len(tk) - 1)
+        ]
+        want[i] = (len(nll), sum(nll) / len(nll))
+
+    df = spark.createDataFrame(list(texts.items()), "doc_id int, text string")
+    got = {r["doc_id"]: r for r in bigram_logprob(df, lam=lam).collect()}
+    assert set(got) == set(want)
+    for i, (np_, nll) in want.items():
+        assert got[i]["n_pairs"] == np_
+        assert abs(got[i]["avg_nll"] - nll) < 1e-6
+        assert abs(got[i]["ppl"] - math.exp(nll)) < 1e-3
+    # common-pattern doc scores better (lower nll) than the rarer-pair doc
+    assert got[1]["avg_nll"] != got[2]["avg_nll"]
