@@ -345,9 +345,10 @@ def search_redirect(
 
     Output: one `(query_col, redirect_url)` row per redirected query;
     non-redirecting queries emit nothing (the reference returns None).
-    Declared delta: terms are whitespace-normalized (`query.split()`
-    then `' '.join`) in BOTH arms, where the reference's default arm
-    passes the raw string — identical for single-spaced queries.
+    Whitespace matches the reference exactly: the shortcut arm rebuilds
+    the terms from split words (`' '.join` ≙ se/models.py:359-361), the
+    default arm passes the RAW query string — so ` id4` quote_pluses
+    its leading space, exactly like the reference (fuzz-pinned).
 
     Scale shape: `engines` is a tiny dimension (broadcast, twice); the
     word scan is one posexplode + one per-query min-pos window over
@@ -404,9 +405,7 @@ def search_redirect(
         .crossJoin(F.broadcast(default_engine))
         .select(
             q,
-            _template_search_url(
-                F.col("html_template"), F.array_join(F.col("_words"), " ")
-            ).alias("redirect_url"),
+            _template_search_url(F.col("html_template"), q).alias("redirect_url"),
         )
     )
     return hits.unionByName(fallback)

@@ -103,3 +103,26 @@ def test_fully_covered_doc_empties(spark):
     assert got[1] == ("", 0, 3)
     assert got[2] == ("", 0, 3)
     assert got[3][2] == 0
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_fuzz_random_corpora_match_replica(spark, seed):
+    """Seeded-random corpora (repeated phrases planted at random
+    offsets, variable doc lengths, shared vocab) vs the replica — one
+    Spark job per seed, both policies."""
+    import random
+
+    rng = random.Random(seed * 7919)
+    vocab = [f"t{j}" for j in range(12)]
+    phrases = [" ".join(rng.choice(vocab) for _ in range(rng.randint(3, 6))) for _ in range(3)]
+    texts = {}
+    for i in range(18):
+        parts = [rng.choice(vocab) for _ in range(rng.randint(0, 10))]
+        if rng.random() < 0.6:
+            pos = rng.randint(0, max(len(parts) - 1, 0))
+            parts[pos:pos] = rng.choice(phrases).split()
+        texts[i] = " ".join(parts)
+    for policy in ("remove_all", "keep_first"):
+        got = _run(spark, texts, 3, policy=policy)
+        want = _ref(texts, 3, policy=policy)
+        assert got == want, policy

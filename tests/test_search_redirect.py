@@ -182,3 +182,30 @@ def test_disabled_engine_shadowed_by_enabled_same_shortcut(spark):
     edf = spark.createDataFrame(engines, "shortcut string, short_name string, html_template string, enabled boolean")
     got = search_redirect(qdf, edf).collect()
     assert len(got) == 1 and got[0]["redirect_url"] == "http://on.example/?q=test"
+
+
+def test_fuzz_bulk_queries_match_reference_port(spark):
+    """300 seeded-random queries (shortcut chars sprinkled anywhere,
+    unknown shortcuts, multi-shortcut, blank/whitespace, default
+    fallback + sosse stop active) in ONE job vs the literal port."""
+    import random
+
+    rng = random.Random(20240518)
+    words = ["alpha", "beta", "gamma", "x1", "zz9", "!f", "!g", "!p", "!pb",
+             "!h", "!hb", "!qb", "!q2", "!zz", "!nope", "!sosse", "w"]
+    queries = []
+    for i in range(300):
+        n = rng.randint(0, 6)
+        q = " ".join(rng.choice(words) for _ in range(n)) + f" id{i}"
+        if rng.random() < 0.1:
+            q = "   " if rng.random() < 0.5 else ""
+        queries.append(q)
+    queries = list(dict.fromkeys(queries))  # the query string is the join key
+
+    got = _run(spark, queries, default_short_name="fake")
+    for q in queries:
+        want = _ref_should_redirect(q, default_short_name="fake")
+        if want is None:
+            assert q not in got, q
+        else:
+            assert got.get(q) == want, (q, got.get(q), want)
