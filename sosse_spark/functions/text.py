@@ -346,6 +346,17 @@ def pii_scrub(df, id_col: str = "doc_id", text_col: str = "text"):
     )
 
 
+def _lm_tokens(text_col: str):
+    """The shared LM/classifier tokenization rule: lowercase, split on
+    non-alphanumerics, drop empties.  This expression is the CONTRACT
+    with every DuckDB oracle's string_split_regex CTE — unigram_logprob,
+    bigram_logprob and hashed_classifier_score must all tokenize
+    identically or their scores silently desynchronize."""
+    return F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda t: t != F.lit("")
+    )
+
+
 def unigram_logprob(
     df,
     id_col: str = "doc_id",
@@ -373,9 +384,7 @@ def unigram_logprob(
     BROADCAST into the scoring join, then ONE per-doc aggregation.
     No UDF, no driver loop; the only all-reduce objects are the
     bounded vocab and a scalar."""
-    toks = F.filter(
-        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda t: t != F.lit("")
-    )
+    toks = _lm_tokens(text_col)
     tok_rows = df.select(F.col(id_col), F.explode(toks).alias("tok"))
     counts = tok_rows.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
     total = counts.agg(F.sum("cnt").alias("_total"))
@@ -423,9 +432,7 @@ def hashed_classifier_score(
     100 TB shape: ONE token explode, a BROADCAST join against the
     bounded weights table, ONE per-doc aggregation — no UDF, no
     unbounded shuffle."""
-    toks = F.filter(
-        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda t: t != F.lit("")
-    )
+    toks = _lm_tokens(text_col)
     tok_rows = df.select(F.col(id_col), F.explode(toks).alias("tok"))
     bucket = F.pmod(F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long"), F.lit(n_buckets))
     scored = tok_rows.withColumn("bucket", bucket).join(
@@ -487,9 +494,7 @@ def bigram_logprob(
     (w1, w2) key and the unigram table twice — all thin hash joins on
     token scalars (the bigram vocabulary is corpus-sized, so it is
     NEVER broadcast), then one per-doc aggregation."""
-    toks = F.filter(
-        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda t: t != F.lit("")
-    )
+    toks = _lm_tokens(text_col)
     staged = df.select(F.col(id_col), toks.alias("_toks")).filter(F.size("_toks") >= 2)
     n = F.size("_toks")
     pairs = staged.select(

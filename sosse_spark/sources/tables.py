@@ -291,21 +291,23 @@ class AppendTable(_TableBase):
             return {"rows_deleted": 0, "dirs_rewritten": 0}
         entries = self._entries(m)
 
-        # entry name of the dir a row came from, derived by MEMBERSHIP
-        # ("/<entry>/" appears in the input file path) rather than by
-        # regex-anchoring on the absolute table path — input_file_name()
-        # is a URI whose prefix form (slash count, percent-escapes for
-        # e.g. spaces in the root path) varies, but the entry dir names
-        # themselves are plain [A-Za-z0-9_=/-] and survive verbatim.
-        # Longest name first so a nested rewrite entry wins over any
-        # prefix-sharing sibling.
+        # entry name of the dir a row came from, extracted from the
+        # machine-generated tail of the input file path ("snap-NNNNNN"
+        # or "rewrite-NNNNNN/_idx=K", immediately enclosing the part
+        # file).  Anchoring on the FILENAME position — not on the
+        # absolute table root — makes this immune to the varying URI
+        # prefix forms of input_file_name() (slash count, percent
+        # escapes for e.g. spaces in the root path): the entry names
+        # themselves are plain [a-z0-9_=/-] and survive verbatim.  One
+        # constant-size regex regardless of manifest length (a CASE
+        # chain over entries would grow past janino's method limit on
+        # a long append log — the CLAUDE.md expression-SIZE trap).
         def rel_dir_of():
-            expr = F.lit(None).cast("string")
-            for e in sorted(entries, key=lambda x: -len(x["dir"])):
-                expr = F.when(
-                    F.input_file_name().contains(f"/{e['dir']}/"), F.lit(e["dir"])
-                ).otherwise(expr)
-            return expr
+            return F.regexp_extract(
+                F.input_file_name(),
+                r"/(rewrite-\d+/_idx=\d+|snap-\d+)/[^/]+$",
+                1,
+            )
 
         uniq = keys.select(*key_cols).distinct()
         full = spark.read.option("mergeSchema", "true").parquet(
