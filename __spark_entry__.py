@@ -773,6 +773,37 @@ def q_dedup_substring_keepfirst(spark, sf_dir):
     return dedup_substring(corpus, k=8, policy="keep_first")
 
 
+def q_f5_f6_url_gates(spark, sf_dir):
+    """F5 validate_url + F6 has_browsable_scheme (se/url.py:168-193)
+    over eight scheme/shape arms — the two gate predicates run through
+    the engine's OWN pandas-UDF kernels and the oracle recomputes them
+    with regex twins (the valid arm's class set is se/url.py:169's
+    literal pattern).  Divergence arm included: `http://host` with no
+    path is browsable but NOT valid."""
+    from sosse_spark.functions.urlnorm import browsable_udf, valid_url_udf
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    s = did.cast("string")
+    url = (
+        F.when(did % 8 == 0, F.concat(F.lit("http://h"), (did % 5).cast("string"), F.lit(".example.com/p/"), s))
+        .when(did % 8 == 1, F.concat(F.lit("https://h"), (did % 5).cast("string"), F.lit(".example.com/")))
+        .when(did % 8 == 2, F.concat(F.lit("ftp://files.example.com/"), s))
+        .when(did % 8 == 3, F.concat(F.lit("mailto:user"), s, F.lit("@example.com")))
+        .when(did % 8 == 4, F.concat(F.lit("/relative/path/"), s))
+        .when(did % 8 == 5, F.concat(F.lit("#frag"), s))
+        .when(did % 8 == 6, F.concat(F.lit("javascript:alert("), s, F.lit(")")))
+        .otherwise(F.concat(F.lit("http://h"), (did % 5).cast("string"), F.lit(".example.com")))
+    )
+    u = d.select(did.alias("doc_id"), url.alias("url"))
+    return u.select(
+        "doc_id",
+        "url",
+        valid_url_udf(F.col("url")).alias("valid"),
+        browsable_udf(F.col("url")).alias("browsable"),
+    )
+
+
 def q_delete_documents_select(spark, sf_dir):
     """Mass-delete selection arms (sosse-admin delete_documents,
     se/management/commands/delete_documents.py:46-56): url regex,
@@ -1910,6 +1941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p6_accent_strip": q_p6_accent_strip,
         "p4_feed_entries": q_p4_feed_entries,
         "q14_search_url_arms": q_q14_search_url_arms,
+        "f5_f6_url_gates": q_f5_f6_url_gates,
         "delete_documents_select": q_delete_documents_select,
         "dedup_substring": q_dedup_substring,
         "dedup_substring_keepfirst": q_dedup_substring_keepfirst,
@@ -2842,6 +2874,26 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_id % 4 IN (0, 1)""",
         "dedup_substring": _substring_oracle_sql(False),
         "dedup_substring_keepfirst": _substring_oracle_sql(True),
+        "f5_f6_url_gates": """
+            WITH u AS (
+              SELECT doc_id,
+                     CASE doc_id % 8
+                       WHEN 0 THEN 'http://h' || CAST(doc_id % 5 AS VARCHAR) || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+                       WHEN 1 THEN 'https://h' || CAST(doc_id % 5 AS VARCHAR) || '.example.com/'
+                       WHEN 2 THEN 'ftp://files.example.com/' || CAST(doc_id AS VARCHAR)
+                       WHEN 3 THEN 'mailto:user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                       WHEN 4 THEN '/relative/path/' || CAST(doc_id AS VARCHAR)
+                       WHEN 5 THEN '#frag' || CAST(doc_id AS VARCHAR)
+                       WHEN 6 THEN 'javascript:alert(' || CAST(doc_id AS VARCHAR) || ')'
+                       ELSE 'http://h' || CAST(doc_id % 5 AS VARCHAR) || '.example.com' END AS url
+              FROM documents)
+            SELECT doc_id, url,
+                   regexp_matches(url, '^https?://[a-zA-Z0-9_-][a-zA-Z0-9_.-]*(:[0-9]+)?/[]a-zA-Z0-9%_.~/?#[@!$&''()*+,;=:-]*$') AS valid,
+                   CASE WHEN url LIKE '#%' THEN false
+                        WHEN regexp_matches(url, '^[a-zA-Z][a-zA-Z0-9+.]*:')
+                          THEN regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.]*):', 1) IN ('http', 'https')
+                        ELSE true END AS browsable
+            FROM u""",
         "delete_documents_select": """
             WITH u AS (
               SELECT doc_id,

@@ -44,6 +44,7 @@ __all__ = [
     "canonicalize_udf",
     "absolutize_udf",
     "browsable_udf",
+    "valid_url_udf",
     "beautify_udf",
 ]
 
@@ -290,6 +291,10 @@ def _browsable_series(urls: pd.Series) -> pd.Series:
     return urls.map(lambda u: has_browsable_scheme(u) if u is not None else False)
 
 
+def _valid_series(urls: pd.Series) -> pd.Series:
+    return urls.map(lambda u: bool(_VALID_URL_RE.match(u)) if u is not None else False)
+
+
 def _beautify_series(urls: pd.Series) -> pd.Series:
     return urls.map(lambda u: url_beautify(u) if u is not None else None)
 
@@ -297,4 +302,5 @@ def _beautify_series(urls: pd.Series) -> pd.Series:
 canonicalize_udf = F.pandas_udf(_canonicalize_series, StringType())
 absolutize_udf = F.pandas_udf(_absolutize_series, StringType())
 browsable_udf = F.pandas_udf(_browsable_series, BooleanType())
+valid_url_udf = F.pandas_udf(_valid_series, BooleanType())
 beautify_udf = F.pandas_udf(_beautify_series, StringType())
