@@ -1882,6 +1882,64 @@ def q_sample_stratified(spark, sf_dir):
     return out.select("doc_id", "stratum")
 
 
+def _image_caption_table(spark, sf_dir):
+    """Synthetic input_hint-shaped table (image_id, w, h, fmt, caption,
+    phash) derived from `documents` with SQL-recomputable arithmetic —
+    the oracle rebuilds every column, so the curation algebra is
+    value-certified end-to-end.  (The REAL generator, sources/corpus.py,
+    feeds the same operator in tests/test_curation.py — payload bytes
+    are irrelevant to this stage, which reads only metadata + phash.)"""
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    return d.select(
+        did.alias("image_id"),
+        (F.lit(32) + (did % 17) * 32).cast("int").alias("w"),
+        (F.lit(32) + (did % 13) * 40).cast("int").alias("h"),
+        F.when(did % 3 == 0, "png").when(did % 3 == 1, "bmp").otherwise("lossy").alias("fmt"),
+        # char-truncated caption: word counts span 0..long so the
+        # min_caption_words gate (and the empty-caption zero-vector arm)
+        # both fire; doc_id%15==0 rows get the fully empty caption
+        F.col("text").substr(F.lit(1), ((did % 15) * 8).cast("int")).alias("caption"),
+        F.conv(F.substring(F.md5(did.cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("phash"),
+    )
+
+
+def q_curate_image_caption(spark, sf_dir):
+    """LAION-style image+caption curation (operators/curation.py;
+    Schuhmann et al. 2021 §2 filtering rules): size floor, aspect cap,
+    caption word floor, and the CLIP-cosine threshold over the
+    deterministic stub embeddings (hashed-token bag × phash nibbles).
+    Every vector component is exact (integers × half-integers), so the
+    alignment doubles are bit-identical across engines — the oracle
+    recomputes embeddings, cosine, all four gate flags, and keep."""
+    from sosse_spark.operators.curation import curate_image_captions
+
+    return curate_image_captions(
+        _image_caption_table(spark, sf_dir),
+        min_dim=64,
+        max_aspect=4.0,
+        min_caption_words=5,
+        sim_threshold=0.0,
+    )
+
+
+def q_dsir_resample(spark, sf_dir):
+    """DSIR data selection (Xie et al. 2023, arXiv:2302.03169): hashed
+    unigram+bigram bucket distributions fit on a target slice
+    (doc_id%7==0) vs the raw corpus, per-doc log importance weights,
+    then Gumbel top-k (the paper's sample-without-replacement step)
+    with md5-derived noise.  The oracle recomputes features, both
+    smoothed distributions, the weights, the Gumbel keys, and the
+    selected top-120 set."""
+    from sosse_spark.operators.sampling import dsir_gumbel_topk, dsir_weights
+
+    raw = _docs(spark, sf_dir).select("doc_id", "text")
+    target = raw.filter(F.col("doc_id") % 7 == 0)
+    return dsir_gumbel_topk(dsir_weights(raw, target, n_buckets=512), k=120, seed=42)
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -1951,6 +2009,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
         "linkrank_pagerank": q_linkrank_pagerank,
         "linkrank_hits": q_linkrank_hits,
+        "curate_image_caption": q_curate_image_caption,
+        "dsir_resample": q_dsir_resample,
         # -- r04 driver-green entries (greens on record) --
         "f15_eligibility": q_f15_eligibility,
         "f15_priority_order": q_f15_priority_order,
@@ -2085,6 +2145,110 @@ def oracle_sql() -> dict[str, str]:
                CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
         FROM sig a JOIN sig b ON a._id < b._id
         WHERE bit_count(xor(a.sig, b.sig)) <= 4"""
+
+    # --- LAION-style curation oracle: rebuild the synthetic image table,
+    # both stub embeddings (hashed-token bag, phash nibbles), cosine and
+    # all gate flags.  Every vector component is exact in doubles
+    # (integers / half-integers), so alignment is bit-identical. --------
+    cur_tsum = ",\n                 ".join(
+        f"coalesce(sum(CASE WHEN hh % 15 = {d} THEN "
+        f"(CASE WHEN (hh >> 4) & 1 = 0 THEN 1.0 ELSE -1.0 END) END), 0.0) AS t{d}"
+        for d in range(15)
+    )
+    cur_tpass = ", ".join(f"coalesce(tv.t{d}, 0.0) AS t{d}" for d in range(15))
+    cur_ivec = ", ".join(
+        f"(CAST((phash >> {4 * d}) & 15 AS DOUBLE) - 7.5) AS i{d}" for d in range(15)
+    )
+    cur_dot = " + ".join(f"t{d} * i{d}" for d in range(15))
+    cur_tn = " + ".join(f"t{d} * t{d}" for d in range(15))
+    cur_inn = " + ".join(f"i{d} * i{d}" for d in range(15))
+    curate_sql = f"""
+        WITH base AS (
+          SELECT doc_id AS image_id,
+                 CAST(32 + (doc_id % 17) * 32 AS INT) AS w,
+                 CAST(32 + (doc_id % 13) * 40 AS INT) AS h,
+                 CASE WHEN doc_id % 3 = 0 THEN 'png'
+                      WHEN doc_id % 3 = 1 THEN 'bmp' ELSE 'lossy' END AS fmt,
+                 substr(text, 1, CAST((doc_id % 15) * 8 AS INT)) AS caption,
+                 CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS phash
+          FROM documents),
+        tok AS (
+          SELECT image_id, unnest(string_split_regex(lower(caption), '[^a-z0-9]+')) AS tok
+          FROM base),
+        hb AS (
+          SELECT image_id, CAST(('0x' || substr(md5(tok), 1, 8))::UBIGINT AS BIGINT) AS hh
+          FROM tok WHERE tok <> ''),
+        tv AS (
+          SELECT image_id, CAST(count(*) AS INT) AS n_caption_words,
+                 {cur_tsum}
+          FROM hb GROUP BY image_id),
+        m AS (
+          SELECT b.image_id, b.w, b.h, b.fmt,
+                 CAST(coalesce(tv.n_caption_words, 0) AS INT) AS n_caption_words,
+                 {cur_tpass},
+                 {cur_ivec}
+          FROM base b LEFT JOIN tv USING (image_id)),
+        c AS (
+          SELECT image_id, w, h, fmt, n_caption_words,
+                 round(greatest(w, h) / least(w, h), 9) AS aspect,
+                 {cur_dot} AS dot,
+                 sqrt({cur_tn}) AS tn,
+                 sqrt({cur_inn}) AS inn
+          FROM m),
+        a AS (
+          SELECT image_id, w, h, fmt, n_caption_words, aspect,
+                 round(CASE WHEN tn = 0 OR inn = 0 THEN 0.0
+                            ELSE dot / (tn * inn) END, 9) AS alignment
+          FROM c)
+        SELECT image_id, w, h, fmt, n_caption_words, aspect, alignment,
+               (w >= 64 AND h >= 64) AS size_ok,
+               (aspect <= 4.0) AS aspect_ok,
+               (n_caption_words >= 5) AS caption_ok,
+               (alignment >= 0.0) AS sim_ok,
+               ((w >= 64 AND h >= 64) AND aspect <= 4.0
+                AND n_caption_words >= 5 AND alignment >= 0.0) AS keep
+        FROM a"""
+
+    # --- DSIR oracle: hashed unigram+bigram buckets, smoothed target/raw
+    # distributions, per-doc log weights, Gumbel keys, top-120 ----------
+    dsir_sql = """
+        WITH lf AS (
+          SELECT doc_id AS _id,
+                 list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             x -> x <> '') AS l
+          FROM documents),
+        uni AS (SELECT _id, unnest(l) AS feat FROM lf),
+        tokp AS (
+          SELECT _id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos FROM lf),
+        bi AS (
+          SELECT a._id, a.tok || ' ' || b.tok AS feat
+          FROM tokp a JOIN tokp b ON a._id = b._id AND b.pos = a.pos + 1),
+        feats AS (
+          SELECT _id,
+                 CAST(('0x' || substr(md5(feat), 1, 8))::UBIGINT % 512 AS BIGINT) AS bucket
+          FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+        rc AS (SELECT bucket, count(*) AS cr FROM feats GROUP BY bucket),
+        tc AS (SELECT bucket, count(*) AS ct FROM feats WHERE _id % 7 = 0 GROUP BY bucket),
+        tots AS (
+          SELECT (SELECT CAST(count(*) AS DOUBLE) FROM feats) AS tr,
+                 (SELECT CAST(count(*) AS DOUBLE) FROM feats WHERE _id % 7 = 0) AS tt),
+        ratio AS (
+          SELECT rc.bucket,
+                 ln(coalesce(tc.ct, 0) + 1.0) - ln(tt + 512.0)
+                 - ln(rc.cr + 1.0) + ln(tr + 512.0) AS lr
+          FROM rc LEFT JOIN tc USING (bucket) CROSS JOIN tots),
+        w AS (
+          SELECT f._id AS doc_id, CAST(count(*) AS INT) AS n_feats,
+                 round(sum(lr), 6) AS log_w
+          FROM feats f JOIN ratio USING (bucket) GROUP BY f._id),
+        keyed AS (
+          SELECT doc_id, n_feats, log_w,
+                 round(log_w + (-ln(-ln(
+                   (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|dsir|42'), 1, 8))::UBIGINT AS DOUBLE)
+                    + 0.5) / 4294967296.0))), 6) AS gumbel_key
+          FROM w)
+        SELECT doc_id, n_feats, log_w, gumbel_key
+        FROM keyed ORDER BY gumbel_key DESC, doc_id LIMIT 120"""
 
     # doctype-variant content shared by p1/p14 oracles (mirrors
     # _doctyped_content)
@@ -2782,6 +2946,8 @@ def oracle_sql() -> dict[str, str]:
             FROM enc2""",
         "linkrank_pagerank": _pagerank_oracle_sql(3, 0.85),
         "linkrank_hits": _hits_oracle_sql(3),
+        "curate_image_caption": curate_sql,
+        "dsir_resample": dsir_sql,
         "quality_classifier": """
             WITH wt AS (
               SELECT CAST(i AS BIGINT) AS bucket,

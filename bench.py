@@ -144,6 +144,8 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> dict[str, float]:
         "quality_classifier",
         "linkrank_pagerank",
         "mixture_resample",
+        "curate_image_caption",
+        "dsir_resample",
     ]
     qs = e.queries()
     out: dict[str, float] = {}

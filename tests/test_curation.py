@@ -1,0 +1,165 @@
+"""LAION-style image+caption curation (operators/curation.py) and DSIR
+importance resampling (operators/sampling.py): hand-value checks, the
+real corpus_df integration, and selection-semantics sanity."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from sosse_spark.operators.curation import curate_image_captions
+from sosse_spark.operators.sampling import dsir_gumbel_topk, dsir_weights
+
+IMG_SCHEMA = "image_id string, w int, h int, fmt string, caption string, phash long"
+
+
+def _curate(spark, rows, **kw):
+    df = spark.createDataFrame(rows, IMG_SCHEMA)
+    out = curate_image_captions(df, **kw)
+    return {r["image_id"]: r.asDict() for r in out.collect()}
+
+
+def test_gate_flags_hand_values(spark):
+    rows = [
+        # big, square, long caption -> only sim decides
+        ("ok", 256, 256, "png", "amber basalt cedar dune ember fjord", 0x0F0F0F0F0F0F0F0),
+        ("small", 32, 256, "png", "amber basalt cedar dune ember fjord", 0x0F0F0F0F0F0F0F0),
+        ("stretched", 256, 2560, "png", "amber basalt cedar dune ember fjord", 0x0F0F0F0F0F0F0F0),
+        ("shortcap", 256, 256, "png", "amber basalt", 0x0F0F0F0F0F0F0F0),
+        ("emptycap", 256, 256, "png", "", 0x0F0F0F0F0F0F0F0),
+    ]
+    got = _curate(
+        spark, rows, min_dim=64, max_aspect=4.0, min_caption_words=5, sim_threshold=-1.0
+    )
+    assert got["ok"]["size_ok"] and got["ok"]["aspect_ok"] and got["ok"]["caption_ok"]
+    assert got["ok"]["n_caption_words"] == 6
+    assert not got["small"]["size_ok"] and not got["small"]["keep"]
+    assert not got["stretched"]["aspect_ok"]
+    assert got["stretched"]["aspect"] == 10.0
+    assert not got["shortcap"]["caption_ok"]
+    # empty caption: zero vector -> alignment defined as 0.0, word gate fails
+    assert got["emptycap"]["n_caption_words"] == 0
+    assert got["emptycap"]["alignment"] == 0.0
+    assert not got["emptycap"]["caption_ok"]
+    # sim_threshold=-1.0 never fails on its own
+    assert all(v["sim_ok"] for v in got.values())
+
+
+def test_alignment_is_cosine_of_stub_embeddings(spark):
+    """Recompute one row's alignment in Python from the documented
+    embedding rules (md5 bucket/sign bag x phash nibbles)."""
+    import hashlib
+
+    caption = "amber basalt cedar dune ember"
+    phash = 0x123456789ABCDEF
+    got = _curate(
+        spark,
+        [("x", 128, 128, "png", caption, phash)],
+        min_dim=64,
+        max_aspect=4.0,
+        min_caption_words=3,
+        sim_threshold=0.0,
+    )["x"]
+    tvec = [0.0] * 15
+    for tok in caption.split():
+        hh = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16)
+        tvec[hh % 15] += 1.0 if ((hh >> 4) & 1) == 0 else -1.0
+    ivec = [((phash >> (4 * d)) & 15) - 7.5 for d in range(15)]
+    dot = sum(t * i for t, i in zip(tvec, ivec))
+    tn = math.sqrt(sum(t * t for t in tvec))
+    inn = math.sqrt(sum(i * i for i in ivec))
+    assert got["alignment"] == pytest.approx(dot / (tn * inn), abs=1e-9)
+    assert got["sim_ok"] == (round(dot / (tn * inn), 9) >= 0.0)
+
+
+def test_curate_over_real_corpus(spark):
+    """The operator runs over the REAL input_hint generator
+    (sources/corpus.py): dims cycle 16/32/64 x 16/24/48, so min_dim=32
+    drops every w=16 or h=16/24 row; captions are 5-7 words + the
+    'caption <i>' prefix, all >= 5."""
+    from sosse_spark.sources.corpus import corpus_df, dims_for
+
+    imgs = corpus_df(spark, 60, partitions=4).drop("bytes")
+    out = curate_image_captions(
+        imgs, min_dim=32, max_aspect=4.0, min_caption_words=5, sim_threshold=-1.0
+    ).collect()
+    assert len(out) == 60
+    by_id = {r["image_id"]: r for r in out}
+    for i in range(60):
+        w, h = dims_for(i)
+        r = by_id[f"img-{i:012d}"]
+        assert (r["w"], r["h"]) == (w, h)
+        assert r["size_ok"] == (w >= 32 and h >= 32)
+        assert r["caption_ok"]  # every generated caption has >= 5 tokens
+        assert r["keep"] == (r["size_ok"] and r["aspect_ok"])
+
+
+def test_dsir_prefers_target_like_docs(spark):
+    """Two disjoint-vocabulary clusters; target = cluster A. Every
+    cluster-A raw doc must outweigh every cluster-B raw doc."""
+    a = [(i, f"alpha beta gamma delta epsilon word{i % 3}") for i in range(20)]
+    b = [(100 + i, f"zeta eta theta iota kappa item{i % 3}") for i in range(20)]
+    raw = spark.createDataFrame(a + b, "doc_id long, text string")
+    target = spark.createDataFrame(a, "doc_id long, text string")
+    w = {r["doc_id"]: r["log_w"] for r in dsir_weights(raw, target, n_buckets=256).collect()}
+    assert min(w[i] for i, _ in a) > max(w[i] for i, _ in b)
+
+
+def test_dsir_gumbel_topk_deterministic_and_bounded(spark):
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 7} tok{i % 5} tok{i % 3} filler common words here") for i in range(50)],
+        "doc_id long, text string",
+    )
+    target = docs.filter(F.col("doc_id") % 2 == 0)
+    w = dsir_weights(docs, target, n_buckets=128)
+    s1 = sorted(r["doc_id"] for r in dsir_gumbel_topk(w, k=10, seed=7).collect())
+    s2 = sorted(r["doc_id"] for r in dsir_gumbel_topk(w, k=10, seed=7).collect())
+    assert s1 == s2 and len(s1) == 10
+    s3 = sorted(r["doc_id"] for r in dsir_gumbel_topk(w, k=10, seed=8).collect())
+    assert s3 != s1  # a different seed reshuffles the draw
+    # k >= corpus: everything comes back
+    assert dsir_gumbel_topk(w, k=500).count() == 50
+
+
+def test_dsir_weight_formula_hand_check(spark):
+    """One doc, tiny vocab: recompute log_w from the smoothed-count
+    definition."""
+    import hashlib
+
+    raw = spark.createDataFrame([(1, "aa bb"), (2, "aa aa")], "doc_id long, text string")
+    target = spark.createDataFrame([(1, "aa bb")], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in dsir_weights(raw, target, n_buckets=64).collect()}
+
+    def bucket(f):
+        return int(hashlib.md5(f.encode()).hexdigest()[:8], 16) % 64
+
+    # raw features: doc1 {aa, bb, 'aa bb'}, doc2 {aa, aa, 'aa aa'}
+    rc, tc = {}, {}
+    for f in ["aa", "bb", "aa bb", "aa", "aa", "aa aa"]:
+        rc[bucket(f)] = rc.get(bucket(f), 0) + 1
+    for f in ["aa", "bb", "aa bb"]:
+        tc[bucket(f)] = tc.get(bucket(f), 0) + 1
+    tr, tt = 6.0, 3.0
+
+    def lr(b):
+        return (
+            math.log(tc.get(b, 0) + 1.0)
+            - math.log(tt + 64.0)
+            - math.log(rc[b] + 1.0)
+            + math.log(tr + 64.0)
+        )
+
+    exp1 = sum(lr(bucket(f)) for f in ["aa", "bb", "aa bb"])
+    exp2 = sum(lr(bucket(f)) for f in ["aa", "aa", "aa aa"])
+    assert got[1]["n_feats"] == 3 and got[2]["n_feats"] == 3
+    assert got[1]["log_w"] == pytest.approx(exp1, abs=1e-6)
+    assert got[2]["log_w"] == pytest.approx(exp2, abs=1e-6)
+    # the doc matching the target outweighs the one that doesn't
+    assert got[1]["log_w"] > got[2]["log_w"]
+
+
+def test_dsir_single_token_doc_has_no_bigrams(spark):
+    raw = spark.createDataFrame([(1, "solo"), (2, "two words")], "doc_id long, text string")
+    w = {r["doc_id"]: r for r in dsir_weights(raw, raw, n_buckets=32).collect()}
+    assert w[1]["n_feats"] == 1  # unigram only
+    assert w[2]["n_feats"] == 3  # 2 unigrams + 1 bigram

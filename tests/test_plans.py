@@ -696,3 +696,58 @@ def test_dedup_substring_thin_window_exchanges(spark):
             f"payload rides the window-hash exchange: {names}"
         )
     assert h_exchanges >= 1
+
+
+def test_curate_single_agg_no_join_pure_jvm(spark):
+    """Image+caption curation is explode_outer -> ONE image_id-keyed hash
+    aggregation (metadata rides via first()) -> fixed-width vector
+    algebra: one shuffle, zero joins, zero python, codegen throughout."""
+    from sosse_spark.operators.curation import curate_image_captions
+
+    imgs = spark.range(40).select(
+        F.concat(F.lit("img"), F.col("id").cast("string")).alias("image_id"),
+        F.lit(64).alias("w"),
+        F.lit(48).alias("h"),
+        F.lit("png").alias("fmt"),
+        F.concat(F.lit("amber basalt cedar dune w"), F.col("id").cast("string")).alias(
+            "caption"
+        ),
+        (F.col("id") * 2654435761).alias("phash"),
+    )
+    # the vector algebra blows past the 4096-char plan-string cap, so
+    # walk nodes instead of grepping (CLAUDE.md plan-test rule)
+    root = curate_image_captions(imgs)._jdf.queryExecution().executedPlan()
+
+    def walk(node):
+        yield node
+        ch = node.children()
+        for i in range(ch.size()):
+            yield from walk(ch.apply(i))
+
+    kinds = [n.getClass().getSimpleName() for n in walk(root)]
+    assert not any("Join" in k or "Cartesian" in k for k in kinds)
+    assert not any("Python" in k or "ArrowEval" in k for k in kinds)
+    assert sum("Exchange" in k for k in kinds) <= 2  # the one agg shuffle
+    # partial+final pair = map-side combine on the 15 sums
+    assert sum(k == "HashAggregateExec" for k in kinds) >= 2
+    assert not any("SortAggregate" in k for k in kinds)
+
+
+def test_dsir_broadcast_ratio_and_topk(spark):
+    """DSIR: the per-doc scoring join against the <=B-row ratio table
+    must BROADCAST (never shuffle the feature stream on bucket), and the
+    Gumbel top-k must be TakeOrderedAndProject — no global sort, no
+    cartesian, no python anywhere."""
+    from sosse_spark.operators.sampling import dsir_gumbel_topk, dsir_weights
+
+    docs = spark.range(40).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("alpha beta gamma w"), F.col("id").cast("string")).alias("text"),
+    )
+    target = docs.filter(F.col("doc_id") % 2 == 0)
+    plan = _plan(dsir_gumbel_topk(dsir_weights(docs, target, n_buckets=64), k=10))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan and "ArrowEval" not in plan
+    assert "partial_count" in plan  # map-side combine on the bucket counts
