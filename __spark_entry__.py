@@ -1940,6 +1940,59 @@ def q_dsir_resample(spark, sf_dir):
     return dsir_gumbel_topk(dsir_weights(raw, target, n_buckets=512), k=120, seed=42)
 
 
+def q_curate_aesthetic(spark, sf_dir):
+    """LAION-aesthetics model-head filter (operators/curation.py
+    aesthetic_score; Schuhmann et al. 2022 §3.3): logistic head with
+    md5-seeded weights over the stub phash-nibble embedding, thresholded
+    keep.  The oracle recomputes the weight vector from the same md5
+    arithmetic, the dot product, the sigmoid, and the keep flag."""
+    from sosse_spark.operators.curation import aesthetic_score
+
+    return aesthetic_score(_image_caption_table(spark, sf_dir))
+
+
+_BUCKET_GRID_KW = dict(max_pixels=512 * 512, step=64, min_dim=64, max_dim=1024)
+
+
+def q_curate_aspect_bucket(spark, sf_dir):
+    """Aspect-ratio bucketing + multi-aspect batch assembly
+    (operators/curation.py; NovelAI aspect-ratio-bucketing / SDXL
+    arXiv:2307.01952 §2.3): nearest-bucket argmin under the
+    division-only ratio distance, then deterministic per-bucket batch
+    numbering via the salted two-phase rank (md5-digest order).  The
+    oracle recomputes the grid argmin, the (salt, digest, id) per-bucket
+    row_number, the batch floor, and the drop_last tail cut."""
+    from sosse_spark.operators.curation import (
+        aspect_bucket_grid,
+        assign_aspect_buckets,
+        bucket_batches,
+    )
+
+    assigned = assign_aspect_buckets(
+        _image_caption_table(spark, sf_dir), aspect_bucket_grid(**_BUCKET_GRID_KW)
+    )
+    return bucket_batches(assigned, batch_size=8, salt_buckets=16, drop_last=True)
+
+
+def q_curate_resize_plan(spark, sf_dir):
+    """Cover-resize + center-crop planning per bucketed image
+    (operators/curation.py bucket_resize_plan; SDXL §2.2 crop
+    conditioning records exactly these crop_top/crop_left offsets).
+    Integer-exact: the binding side is decided by the int comparison
+    bw*h >= bh*w and scaled dims floor products < 2^53 — the oracle
+    recomputes the argmin assignment and every output column."""
+    from sosse_spark.operators.curation import (
+        aspect_bucket_grid,
+        assign_aspect_buckets,
+        bucket_resize_plan,
+    )
+
+    assigned = assign_aspect_buckets(
+        _image_caption_table(spark, sf_dir), aspect_bucket_grid(**_BUCKET_GRID_KW)
+    )
+    return bucket_resize_plan(assigned)
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -2011,6 +2064,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linkrank_hits": q_linkrank_hits,
         "curate_image_caption": q_curate_image_caption,
         "dsir_resample": q_dsir_resample,
+        "curate_aesthetic": q_curate_aesthetic,
+        "curate_aspect_bucket": q_curate_aspect_bucket,
+        "curate_resize_plan": q_curate_resize_plan,
         # -- r04 driver-green entries (greens on record) --
         "f15_eligibility": q_f15_eligibility,
         "f15_priority_order": q_f15_priority_order,
@@ -2249,6 +2305,97 @@ def oracle_sql() -> dict[str, str]:
           FROM w)
         SELECT doc_id, n_feats, log_w, gumbel_key
         FROM keyed ORDER BY gumbel_key DESC, doc_id LIMIT 120"""
+
+    # --- LAION-aesthetics head oracle: md5-seeded weight vector, dot
+    # over phash-nibble embedding, sigmoid, threshold -------------------
+    aesthetic_sql = """
+        WITH wt AS (
+          SELECT CAST(i AS INT) AS d,
+                 (CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || '|aw'), 1, 8))::UBIGINT AS DOUBLE)
+                    / 4294967296.0 - 0.5) * 4.0 AS wv
+          FROM (SELECT unnest(range(0, 15)) AS i)),
+        base AS (
+          SELECT doc_id AS image_id,
+                 CAST(32 + (doc_id % 17) * 32 AS INT) AS w,
+                 CAST(32 + (doc_id % 13) * 40 AS INT) AS h,
+                 CASE WHEN doc_id % 3 = 0 THEN 'png'
+                      WHEN doc_id % 3 = 1 THEN 'bmp' ELSE 'lossy' END AS fmt,
+                 CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS phash
+          FROM documents),
+        z AS (
+          SELECT b.image_id, b.w, b.h, b.fmt, b.phash,
+                 sum(wt.wv * ((CAST(((b.phash >> (4 * wt.d)) & 15) AS DOUBLE) - 7.5) / 7.5)) AS zz
+          FROM base b CROSS JOIN wt
+          GROUP BY b.image_id, b.w, b.h, b.fmt, b.phash)
+        SELECT image_id, w, h, fmt, phash,
+               round(1.0 / (1.0 + exp(-zz)), 9) AS score,
+               round(1.0 / (1.0 + exp(-zz)), 9) >= 0.5 AS keep_aesthetic
+        FROM z"""
+
+    # --- aspect-ratio bucketing oracles: the grid (NovelAI walk), the
+    # ratio-distance argmin, the salted-rank batch assembly, and the
+    # cover-resize/center-crop plan are ALL recomputed in SQL ----------
+    bucket_common = """
+        WITH base AS (
+          SELECT doc_id AS image_id,
+                 CAST(32 + (doc_id % 17) * 32 AS INT) AS w,
+                 CAST(32 + (doc_id % 13) * 40 AS INT) AS h
+          FROM documents),
+        grid0 AS (SELECT 64 + CAST(i AS INT) * 64 AS gw
+                  FROM (SELECT unnest(range(0, 16)) AS i)),
+        gpairs AS (
+          SELECT gw AS bw, least(((262144 // gw) // 64) * 64, 1024) AS bh
+          FROM grid0
+          WHERE least(((262144 // gw) // 64) * 64, 1024) >= 64),
+        grid AS (
+          SELECT bw, bh,
+                 CAST(row_number() OVER (ORDER BY bw, bh) - 1 AS INT) AS bucket_id
+          FROM (SELECT DISTINCT *
+                FROM (SELECT bw, bh FROM gpairs
+                      UNION ALL SELECT bh, bw FROM gpairs))),
+        scored AS (
+          SELECT b.image_id, b.w, b.h, g.bucket_id, g.bw, g.bh,
+                 greatest((CAST(b.w AS DOUBLE) / b.h) / (CAST(g.bw AS DOUBLE) / g.bh),
+                          (CAST(g.bw AS DOUBLE) / g.bh) / (CAST(b.w AS DOUBLE) / b.h))
+                   AS dist
+          FROM base b CROSS JOIN grid g),
+        assigned AS (
+          SELECT image_id, w, h, bucket_id, bw AS bucket_w, bh AS bucket_h
+          FROM (SELECT *, row_number() OVER (
+                  PARTITION BY image_id ORDER BY dist, bucket_id) AS rn
+                FROM scored)
+          WHERE rn = 1)"""
+
+    bucket_batch_sql = bucket_common + """,
+        ranked AS (
+          SELECT image_id, bucket_id, bucket_w, bucket_h,
+                 CAST(row_number() OVER (
+                   PARTITION BY bucket_id
+                   ORDER BY CAST(('0x' || substr(md5(CAST(image_id AS VARCHAR)), 1, 4))::UBIGINT % 16 AS INT),
+                            md5(CAST(image_id AS VARCHAR)),
+                            image_id) AS BIGINT) AS bucket_rank,
+                 count(*) OVER (PARTITION BY bucket_id) AS total
+          FROM assigned)
+        SELECT image_id, bucket_id, bucket_w, bucket_h, bucket_rank,
+               CAST((bucket_rank - 1) // 8 AS INT) AS batch_no
+        FROM ranked
+        WHERE (bucket_rank - 1) // 8 < total // 8"""
+
+    resize_plan_sql = bucket_common + """
+        SELECT image_id, w, h, bucket_id, bucket_w, bucket_h,
+               CAST(CASE WHEN bucket_w * h >= bucket_h * w THEN bucket_w
+                    ELSE CAST(floor(CAST(w AS DOUBLE) * bucket_h / h) AS INT)
+                    END AS INT) AS resize_w,
+               CAST(CASE WHEN bucket_w * h >= bucket_h * w
+                    THEN CAST(floor(CAST(h AS DOUBLE) * bucket_w / w) AS INT)
+                    ELSE bucket_h END AS INT) AS resize_h,
+               CAST((CASE WHEN bucket_w * h >= bucket_h * w
+                     THEN CAST(floor(CAST(h AS DOUBLE) * bucket_w / w) AS INT)
+                     ELSE bucket_h END - bucket_h) // 2 AS INT) AS crop_top,
+               CAST((CASE WHEN bucket_w * h >= bucket_h * w THEN bucket_w
+                     ELSE CAST(floor(CAST(w AS DOUBLE) * bucket_h / h) AS INT)
+                     END - bucket_w) // 2 AS INT) AS crop_left
+        FROM assigned"""
 
     # doctype-variant content shared by p1/p14 oracles (mirrors
     # _doctyped_content)
@@ -2948,6 +3095,9 @@ def oracle_sql() -> dict[str, str]:
         "linkrank_hits": _hits_oracle_sql(3),
         "curate_image_caption": curate_sql,
         "dsir_resample": dsir_sql,
+        "curate_aesthetic": aesthetic_sql,
+        "curate_aspect_bucket": bucket_batch_sql,
+        "curate_resize_plan": resize_plan_sql,
         "quality_classifier": """
             WITH wt AS (
               SELECT CAST(i AS BIGINT) AS bucket,

@@ -24,8 +24,8 @@ CLIP-scored pipeline runs at 100 TB:
     payload decode in this stage; a real CLIP scorer slots in as a
     mapInPandas over `bytes` with the same output schema).
   * cosine + threshold gates: fixed-width JVM expressions, whole-stage
-    codegen, no UDF, no join (metadata rides through the single
-    groupBy via `first`).
+    codegen, no UDF, no join (metadata rides in the single groupBy's
+    key).
 
 Tokenization is the shared `_lm_tokens` contract (functions/text.py:349)
 so the DuckDB oracle recomputes the identical vectors.
@@ -43,6 +43,11 @@ __all__ = [
     "caption_dim_sign",
     "alignment_cos",
     "curate_image_captions",
+    "aesthetic_score",
+    "aspect_bucket_grid",
+    "assign_aspect_buckets",
+    "bucket_batches",
+    "bucket_resize_plan",
 ]
 
 DIMS = 15  # one per phash nibble (60-bit phash, functions/images.py)
@@ -103,10 +108,10 @@ def curate_image_captions(
     size_ok, aspect_ok, caption_ok, sim_ok, keep).
 
     100 TB shape: explode_outer(tokens) -> ONE hash aggregation keyed by
-    image_id (15 conditional sums + first(w/h/fmt/phash) — all
-    map-side combinable; empty captions keep their row via the outer
-    explode) -> pure fixed-width column algebra.  ONE Exchange total,
-    zero joins, zero Python."""
+    (image_id, metadata) — the 15 conditional sums are map-side
+    combinable, empty captions keep their row via the outer explode ->
+    pure fixed-width column algebra.  ONE Exchange total, zero joins,
+    zero Python."""
     toks = _lm_tokens(caption_col)
     staged = images.select(
         F.col(id_col),
@@ -162,4 +167,243 @@ def curate_image_captions(
     return out.withColumn(
         "keep",
         F.col("size_ok") & F.col("aspect_ok") & F.col("caption_ok") & F.col("sim_ok"),
+    )
+
+
+def aesthetic_score(
+    images: DataFrame,
+    *,
+    id_col: str = "image_id",
+    weights: list[float] | None = None,
+    bias: float = 0.0,
+    keep_threshold: float = 0.5,
+) -> DataFrame:
+    """LAION-aesthetics-style model-head filter (Schuhmann et al. 2022
+    §3.3 / the LAION-Aesthetics v2 release: a small regression head over
+    the CLIP image embedding scores visual quality; LAION publishes the
+    >=4.5 and >=6.5 threshold subsets).  Here the head is a logistic
+    unit over the SAME stub image embedding the curation step uses
+    (phash nibbles — a real CLIP embedding slots in upstream with no
+    change to this stage):
+
+        score = sigmoid(bias + sum_d w_d * ivec_d / 7.5)
+
+    `weights` defaults to a fixed md5-seeded vector (deterministic, the
+    quality_classifier convention) so score and keep are
+    engine/oracle-reproducible.  Output: input minus payload + (score,
+    keep_aesthetic).
+
+    100 TB shape: a single codegen'd projection — no shuffle, no UDF,
+    no model server in the hot path (batch scoring over precomputed
+    embeddings is exactly how LAION ran it)."""
+    import hashlib
+
+    if weights is None:
+        weights = [
+            (int(hashlib.md5(f"{d}|aw".encode()).hexdigest()[:8], 16) / float(1 << 32) - 0.5)
+            * 4.0
+            for d in range(DIMS)
+        ]
+    ivec = image_vec_from_phash(F.col("phash"))
+    z = F.lit(float(bias)) + sum(
+        (F.lit(float(w)) * (i / F.lit(7.5)) for w, i in zip(weights, ivec)), F.lit(0.0)
+    )
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 9)
+    return images.select(
+        F.col(id_col),
+        F.col("w"),
+        F.col("h"),
+        F.col("fmt"),
+        F.col("phash"),
+        score.alias("score"),
+        (score >= float(keep_threshold)).alias("keep_aesthetic"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aspect-ratio bucketing + multi-aspect batch assembly
+# ---------------------------------------------------------------------------
+
+
+def aspect_bucket_grid(
+    max_pixels: int = 512 * 512,
+    step: int = 64,
+    min_dim: int = 64,
+    max_dim: int = 1024,
+) -> list[tuple[int, int]]:
+    """The public aspect-ratio-bucket generation rule (NovelAI's
+    aspect-ratio-bucketing release, reused by SDXL's multi-aspect
+    training, Podell et al. 2023 arXiv:2307.01952 §2.3): widths walk
+    min_dim..max_dim in `step` increments, each paired with the tallest
+    step-aligned height that keeps w*h <= max_pixels, plus the
+    transposed (portrait) buckets.  Deterministic, sorted by (w, h) so
+    bucket_id is stable across runs and engines."""
+    buckets: set[tuple[int, int]] = set()
+    w = min_dim
+    while w <= max_dim:
+        h = min((max_pixels // w) // step * step, max_dim)
+        if h >= min_dim:
+            buckets.add((w, h))
+            buckets.add((h, w))
+        w += step
+    return sorted(buckets)
+
+
+def assign_aspect_buckets(
+    images: DataFrame,
+    buckets: list[tuple[int, int]] | None = None,
+    *,
+    id_col: str = "image_id",
+) -> DataFrame:
+    """Nearest-aspect bucket per image: argmin over the bucket grid of
+    the RATIO distance max(ar/ar_b, ar_b/ar) (equivalent ordering to
+    |log ar - log ar_b| but division-only — ln() differs in the last
+    ulp between JVM and C libm, ratio distance is bit-identical across
+    engines).
+
+    Ties break to the lowest bucket_id via array_position, which
+    returns the FIRST index holding the array_min — matching an ORDER BY
+    (dist, bucket_id) argmin in SQL.
+
+    100 TB shape: the grid is a ~30-entry constant, so assignment is a
+    single codegen'd projection — zero shuffle, zero Python, no per-row
+    grid explode.  The distance array is STAGED (one K-term array column
+    referenced twice) so the argmin costs O(K) expression nodes; the
+    naive LEAST-over-K + first-hit CASE chain is O(K²) — ~1100 division
+    nodes at K=23 — and downstream groupBy/window/join keys on bucket_id
+    re-inline it until execution OOMs (measured: bucket_batches over
+    this grid died on a 1 GiB driver heap with the CASE form)."""
+    if buckets is None:
+        buckets = aspect_bucket_grid()
+    ar = F.col("w").cast("double") / F.col("h").cast("double")
+    # bw/bh in Python is the same IEEE double the oracle's
+    # CAST(bw AS DOUBLE)/bh computes
+    dists = [F.greatest(ar / F.lit(bw / bh), F.lit(bw / bh) / ar) for bw, bh in buckets]
+    picked = (
+        images.withColumn("_darr", F.array(*dists))
+        .withColumn(
+            "bucket_id",
+            (F.array_position(F.col("_darr"), F.array_min(F.col("_darr"))) - 1).cast(
+                "int"
+            ),
+        )
+        .drop("_darr")
+    )
+    bucket_w = F.element_at(
+        F.array(*[F.lit(bw) for bw, _ in buckets]), F.col("bucket_id") + 1
+    )
+    bucket_h = F.element_at(
+        F.array(*[F.lit(bh) for _, bh in buckets]), F.col("bucket_id") + 1
+    )
+    return picked.withColumn("bucket_w", bucket_w.cast("int")).withColumn(
+        "bucket_h", bucket_h.cast("int")
+    )
+
+
+def bucket_batches(
+    assigned: DataFrame,
+    *,
+    batch_size: int = 8,
+    salt_buckets: int = 16,
+    id_col: str = "image_id",
+    drop_last: bool = True,
+) -> DataFrame:
+    """Deterministic multi-aspect batch assembly: every training batch
+    draws from ONE bucket (the NovelAI/SDXL rule — images in a batch
+    share a resolution), order within a bucket is the md5 digest of the
+    id (engine/rerun-reproducible shuffle, the mixture_resample
+    convention).
+
+    100 TB shape: a single window PARTITION BY bucket would funnel the
+    corpus through ~30 tasks, so ranking is the salted two-phase scheme
+    (per_host_topk's pattern, scheduler.py): rows rank within
+    (bucket_id, salt) — salt = md5 prefix mod salt_buckets, so
+    bucket_rank order is (salt, digest, id) — and a tiny
+    (buckets × salts) count aggregate, cumulated and BROADCAST back,
+    converts local ranks to exact per-bucket ranks.  batch_no =
+    (rank-1) // batch_size; drop_last cuts the ragged tail batch the
+    way training dataloaders do.
+
+    Output: (image_id, bucket_id, bucket_w, bucket_h, bucket_rank,
+    batch_no)."""
+    from pyspark.sql import Window
+    from pyspark.sql.functions import broadcast
+
+    digest = F.md5(F.col(id_col).cast("string"))
+    salt = F.pmod(
+        F.conv(F.substring(digest, 1, 4), 16, 10).cast("long"), F.lit(salt_buckets)
+    ).cast("int")
+    thin = assigned.select(
+        F.col(id_col),
+        "bucket_id",
+        "bucket_w",
+        "bucket_h",
+        digest.alias("_dg"),
+        salt.alias("_salt"),
+    )
+    counts = thin.groupBy("bucket_id", "_salt").agg(F.count("*").alias("_n"))
+    w_off = (
+        Window.partitionBy("bucket_id")
+        .orderBy("_salt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "bucket_id",
+        "_salt",
+        F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off"),
+        F.sum("_n").over(Window.partitionBy("bucket_id")).alias("_total"),
+    )
+    w_local = Window.partitionBy("bucket_id", "_salt").orderBy("_dg", id_col)
+    ranked = thin.withColumn("_r", F.row_number().over(w_local)).join(
+        broadcast(offsets), ["bucket_id", "_salt"]
+    )
+    out = ranked.select(
+        F.col(id_col),
+        "bucket_id",
+        "bucket_w",
+        "bucket_h",
+        (F.col("_off") + F.col("_r")).cast("long").alias("bucket_rank"),
+        F.floor((F.col("_off") + F.col("_r") - 1) / batch_size).cast("int").alias("batch_no"),
+        F.col("_total"),
+    )
+    if drop_last:
+        out = out.filter(F.col("batch_no") < F.floor(F.col("_total") / batch_size))
+    return out.drop("_total")
+
+
+def bucket_resize_plan(assigned: DataFrame, *, id_col: str = "image_id") -> DataFrame:
+    """Cover-resize + center-crop plan per (image, bucket): the bucketed
+    preprocessing step SDXL conditions on (Podell et al. 2023 §2.2
+    "crop conditioning" records crop_top/crop_left per sample).  Scale
+    factor s = max(bw/w, bh/h); the binding side lands exactly on the
+    bucket edge and the other side floors, so the plan is pure integer
+    arithmetic — bw*h vs bh*w decides the binding side exactly, the
+    scaled dim is floor(dim * bucket_dim / binding_dim) with products
+    < 2^53 (exact in doubles, identical across engines):
+
+        resize_w >= bucket_w, resize_h >= bucket_h
+        crop_left = (resize_w - bucket_w) // 2
+        crop_top  = (resize_h - bucket_h) // 2
+
+    100 TB shape: a single codegen'd projection, zero shuffle (the
+    actual pixel resample is the downstream mapInPandas over `bytes`;
+    this stage plans it from metadata alone)."""
+    wide = F.col("bucket_w") * F.col("h") >= F.col("bucket_h") * F.col("w")
+    rw = F.when(wide, F.col("bucket_w")).otherwise(
+        F.floor(F.col("w").cast("double") * F.col("bucket_h") / F.col("h"))
+    ).cast("int")
+    rh = F.when(wide, F.floor(F.col("h").cast("double") * F.col("bucket_w") / F.col("w"))).otherwise(
+        F.col("bucket_h")
+    ).cast("int")
+    return assigned.select(
+        F.col(id_col),
+        "w",
+        "h",
+        "bucket_id",
+        "bucket_w",
+        "bucket_h",
+        rw.alias("resize_w"),
+        rh.alias("resize_h"),
+        F.floor((rh - F.col("bucket_h")) / 2).cast("int").alias("crop_top"),
+        F.floor((rw - F.col("bucket_w")) / 2).cast("int").alias("crop_left"),
     )

@@ -163,3 +163,129 @@ def test_dsir_single_token_doc_has_no_bigrams(spark):
     w = {r["doc_id"]: r for r in dsir_weights(raw, raw, n_buckets=32).collect()}
     assert w[1]["n_feats"] == 1  # unigram only
     assert w[2]["n_feats"] == 3  # 2 unigrams + 1 bigram
+
+
+def test_aesthetic_score_replicates_head(spark):
+    """md5-seeded default weights: recompute one row's sigmoid score in
+    Python; explicit weights override; threshold gates the keep flag."""
+    import hashlib
+
+    from sosse_spark.operators.curation import aesthetic_score
+
+    phash = 0x0ABCDEF12345678
+    df = spark.createDataFrame([("x", 64, 64, "png", "cap", phash)], IMG_SCHEMA)
+    got = aesthetic_score(df).collect()[0]
+    weights = [
+        (int(hashlib.md5(f"{d}|aw".encode()).hexdigest()[:8], 16) / float(1 << 32) - 0.5) * 4.0
+        for d in range(15)
+    ]
+    z = sum(w * ((((phash >> (4 * d)) & 15) - 7.5) / 7.5) for d, w in enumerate(weights))
+    exp = 1.0 / (1.0 + math.exp(-z))
+    assert got["score"] == pytest.approx(exp, abs=1e-9)
+    assert got["keep_aesthetic"] == (round(exp, 9) >= 0.5)
+    # an all-positive explicit head on an all-high-nibble phash saturates
+    hi = aesthetic_score(
+        spark.createDataFrame([("y", 64, 64, "png", "cap", 0xFFFFFFFFFFFFFFF)], IMG_SCHEMA),
+        weights=[1.0] * 15,
+    ).collect()[0]
+    assert hi["score"] > 0.99 and hi["keep_aesthetic"]
+    lo = aesthetic_score(
+        spark.createDataFrame([("z", 64, 64, "png", "cap", 0)], IMG_SCHEMA),
+        weights=[1.0] * 15,
+        keep_threshold=0.5,
+    ).collect()[0]
+    assert lo["score"] < 0.01 and not lo["keep_aesthetic"]
+
+
+# ---------------------------------------------------------------------------
+# aspect-ratio bucketing
+# ---------------------------------------------------------------------------
+
+
+def _assign_replica(w, h, buckets):
+    ar = w / h
+    dists = [max(ar / (bw / bh), (bw / bh) / ar) for bw, bh in buckets]
+    return dists.index(min(dists))
+
+
+def test_aspect_bucket_assignment_replicates_argmin(spark):
+    """Spark's LEAST+CASE argmin == the Python ratio-distance replica,
+    including the lowest-id tie-break (square image vs a grid holding
+    two identical-AR buckets)."""
+    from sosse_spark.operators.curation import aspect_bucket_grid, assign_aspect_buckets
+
+    grid = aspect_bucket_grid()
+    rows = [(f"i{w}x{h}", w, h, "png", "c", 7) for w in (32, 100, 256, 544) for h in (32, 200, 512)]
+    df = spark.createDataFrame(rows, IMG_SCHEMA)
+    got = {r["image_id"]: r for r in assign_aspect_buckets(df, grid).collect()}
+    for iid, w, h, *_ in rows:
+        b = _assign_replica(w, h, grid)
+        assert got[iid]["bucket_id"] == b
+        assert (got[iid]["bucket_w"], got[iid]["bucket_h"]) == grid[b]
+    # tie-break: both buckets at distance sqrt-free equal -> lowest id
+    tie_grid = [(64, 128), (64, 128), (128, 64)]
+    tdf = spark.createDataFrame([("t", 50, 100, "png", "c", 7)], IMG_SCHEMA)
+    assert assign_aspect_buckets(tdf, tie_grid).collect()[0]["bucket_id"] == 0
+
+
+def test_bucket_batches_replicates_salted_rank(spark):
+    """Two-phase salted rank == a straight (salt, digest, id) sort per
+    bucket; batch_no floors; drop_last cuts exactly the ragged tail."""
+    import hashlib
+    from collections import defaultdict
+
+    from sosse_spark.operators.curation import assign_aspect_buckets, bucket_batches
+
+    grid = [(64, 64), (64, 128), (128, 64)]
+    rows = [(f"img{i:03d}", 40 + (i * 13) % 120, 40 + (i * 7) % 120, "png", "c", 7)
+            for i in range(57)]
+    df = assign_aspect_buckets(spark.createDataFrame(rows, IMG_SCHEMA), grid)
+    got = {r["image_id"]: r for r in
+           bucket_batches(df, batch_size=4, salt_buckets=4, drop_last=False).collect()}
+    # replica
+    rep = []
+    for iid, w, h, *_ in rows:
+        b = _assign_replica(w, h, grid)
+        dg = hashlib.md5(iid.encode()).hexdigest()
+        rep.append((b, int(dg[:4], 16) % 4, dg, iid))
+    rep.sort()
+    ranks: dict = defaultdict(int)
+    totals: dict = defaultdict(int)
+    for b, *_ in rep:
+        totals[b] += 1
+    for b, _salt, _dg, iid in rep:
+        ranks[b] += 1
+        assert got[iid]["bucket_rank"] == ranks[b], iid
+        assert got[iid]["batch_no"] == (ranks[b] - 1) // 4
+    assert len(got) == 57
+    dropped = {r["image_id"] for r in
+               bucket_batches(df, batch_size=4, salt_buckets=4, drop_last=True).collect()}
+    expect = {iid for b, _s, _d, iid in rep
+              if (got[iid]["bucket_rank"] - 1) // 4 < totals[b] // 4}
+    assert dropped == expect and len(dropped) < 57
+
+
+def test_bucket_resize_plan_hand_values(spark):
+    from sosse_spark.operators.curation import assign_aspect_buckets, bucket_resize_plan
+
+    grid = [(64, 64)]
+    df = spark.createDataFrame(
+        [("a", 100, 50, "png", "c", 7), ("b", 50, 100, "png", "c", 7),
+         ("c", 64, 64, "png", "c", 7), ("d", 99, 64, "png", "c", 7)],
+        IMG_SCHEMA,
+    )
+    got = {r["image_id"]: r for r in bucket_resize_plan(assign_aspect_buckets(df, grid)).collect()}
+    # landscape: height binds -> rh=64, rw=floor(100*64/50)=128, center crop
+    assert (got["a"]["resize_w"], got["a"]["resize_h"]) == (128, 64)
+    assert (got["a"]["crop_left"], got["a"]["crop_top"]) == (32, 0)
+    # portrait: mirrored
+    assert (got["b"]["resize_w"], got["b"]["resize_h"]) == (64, 128)
+    assert (got["b"]["crop_left"], got["b"]["crop_top"]) == (0, 32)
+    # exact fit: no crop
+    assert (got["c"]["resize_w"], got["c"]["resize_h"], got["c"]["crop_left"], got["c"]["crop_top"]) == (64, 64, 0, 0)
+    # odd overflow floors the center crop: rw=floor(99*64/64)=99, left=(99-64)//2=17
+    assert (got["d"]["resize_w"], got["d"]["crop_left"]) == (99, 17)
+    # invariants: cover-resize never undershoots the bucket
+    for r in got.values():
+        assert r["resize_w"] >= r["bucket_w"] and r["resize_h"] >= r["bucket_h"]
+        assert r["resize_w"] == r["bucket_w"] or r["resize_h"] == r["bucket_h"]

@@ -751,3 +751,49 @@ def test_dsir_broadcast_ratio_and_topk(spark):
     assert "CartesianProduct" not in plan
     assert "Python" not in plan and "ArrowEval" not in plan
     assert "partial_count" in plan  # map-side combine on the bucket counts
+
+
+def test_bucket_batches_broadcast_offsets_salted_window(spark):
+    """Aspect-bucket batch assembly: the offsets table joins back by
+    BROADCAST (the corpus never shuffles for it), ranking windows are
+    salted — partitioned by (bucket_id, _salt), never bucket alone — and
+    the whole pipeline is JVM-side with no global single-partition sort."""
+    from sosse_spark.operators.curation import assign_aspect_buckets, bucket_batches
+
+    imgs = spark.range(80).select(
+        F.concat(F.lit("img"), F.col("id").cast("string")).alias("image_id"),
+        (32 + F.pmod(F.col("id"), 7) * 32).cast("int").alias("w"),
+        (32 + F.pmod(F.col("id"), 5) * 40).cast("int").alias("h"),
+        F.lit("png").alias("fmt"),
+        F.concat(F.lit("c"), F.col("id").cast("string")).alias("caption"),
+        (F.col("id") * 2654435761).alias("phash"),
+    )
+    out = bucket_batches(assign_aspect_buckets(imgs), batch_size=8, salt_buckets=16)
+    root = out._jdf.queryExecution().executedPlan()
+
+    def walk(node):
+        yield node
+        ch = node.children()
+        for i in range(ch.size()):
+            yield from walk(ch.apply(i))
+
+    nodes = list(walk(root))
+    kinds = [n.getClass().getSimpleName() for n in nodes]
+    assert any("BroadcastHashJoin" in k for k in kinds)
+    assert not any("SortMergeJoin" in k or "Cartesian" in k for k in kinds)
+    assert not any("Python" in k or "ArrowEval" in k for k in kinds)
+    # every WindowExec over the corpus partitions by (bucket_id, _salt);
+    # the lone bucket-only window runs on the tiny counts aggregate
+    for n, k in zip(nodes, kinds):
+        if k != "WindowExec":
+            continue
+        desc = n.simpleString(120)
+        if "_salt" not in desc:
+            # must sit above the counts HashAggregate, not the corpus scan
+            sub = [m.getClass().getSimpleName() for m in walk(n)]
+            assert "HashAggregateExec" in sub, f"unsalted corpus window: {desc}"
+    # no single-partition exchange anywhere (the offsets frame is tiny
+    # but even it stays hash-partitioned)
+    for n, k in zip(nodes, kinds):
+        if "Exchange" in k:
+            assert "SinglePartition" not in n.simpleString(200), n.simpleString(200)
