@@ -1993,6 +1993,41 @@ def q_curate_resize_plan(spark, sf_dir):
     return bucket_resize_plan(assigned)
 
 
+def q_wds_shard_plan(spark, sf_dir):
+    """WebDataset shard packing plan (operators/curation.py
+    wds_shard_plan; the img2dataset/webdataset fixed-count tar-shard
+    convention): salted two-phase global digest rank -> (shard_id,
+    shard_index) + 512-aligned tar entry sizes and byte offsets.  The
+    oracle recomputes the (salt, digest, id) global order, the shard
+    floor/mod split, and the per-shard running byte offset."""
+    from sosse_spark.operators.curation import wds_shard_plan
+
+    return wds_shard_plan(
+        _image_caption_table(spark, sf_dir), samples_per_shard=32, salt_buckets=8
+    )
+
+
+def q_vlm_token_plan(spark, sf_dir):
+    """Vision-LM token budgeting (operators/curation.py vlm_token_plan;
+    ViT patch rule arXiv:2010.11929 §3.1 over the bucket resolution +
+    the shared _lm_tokens caption count).  The oracle recomputes the
+    bucket argmin, the ceil-divided patch grid, the token filter, and
+    the total.  NOTE: registered past position 50 (the driver window is
+    fully packed with never-certified entries) — certified by the local
+    replica gate (tests/test_entry_oracle.py) like the other pass-L
+    rows."""
+    from sosse_spark.operators.curation import (
+        aspect_bucket_grid,
+        assign_aspect_buckets,
+        vlm_token_plan,
+    )
+
+    assigned = assign_aspect_buckets(
+        _image_caption_table(spark, sf_dir), aspect_bucket_grid(**_BUCKET_GRID_KW)
+    )
+    return vlm_token_plan(assigned, patch=14, extra_tokens=2)
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -2067,7 +2102,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_aesthetic": q_curate_aesthetic,
         "curate_aspect_bucket": q_curate_aspect_bucket,
         "curate_resize_plan": q_curate_resize_plan,
+        "wds_shard_plan": q_wds_shard_plan,
         # -- r04 driver-green entries (greens on record) --
+        # (vlm_token_plan sits further down: the 50-entry driver window
+        # is fully packed with never-certified entries, so it is a
+        # local-replica-certified pass-L row by construction)
+        "vlm_token_plan": q_vlm_token_plan,
         "f15_eligibility": q_f15_eligibility,
         "f15_priority_order": q_f15_priority_order,
         "f22_per_host_budget": q_f22_per_host_budget,
@@ -2396,6 +2436,55 @@ def oracle_sql() -> dict[str, str]:
                      ELSE CAST(floor(CAST(w AS DOUBLE) * bucket_h / h) AS INT)
                      END - bucket_w) // 2 AS INT) AS crop_left
         FROM assigned"""
+
+    # --- Vision-LM token plan oracle: bucket argmin (bucket_common) +
+    # ceil-divided ViT patch grid + _lm_tokens caption count ------------
+    vlm_token_sql = bucket_common + """,
+        cap AS (
+          SELECT doc_id AS image_id,
+                 substr(text, 1, CAST((doc_id % 15) * 8 AS INT)) AS caption
+          FROM documents),
+        t AS (
+          SELECT a.image_id, a.bucket_w, a.bucket_h,
+                 CAST(((a.bucket_w + 13) // 14) * ((a.bucket_h + 13) // 14)
+                      AS INT) AS img_tokens,
+                 CAST(length(list_filter(
+                   string_split_regex(lower(c.caption), '[^a-z0-9]+'),
+                   x -> x <> '')) AS INT) AS txt_tokens
+          FROM assigned a JOIN cap c USING (image_id))
+        SELECT image_id, bucket_w, bucket_h, img_tokens, txt_tokens,
+               CAST(img_tokens + txt_tokens + 2 AS INT) AS total_tokens
+        FROM t"""
+
+    # --- WebDataset shard-plan oracle: global (salt, digest, id) rank,
+    # shard floor/mod split, 512-aligned tar entry bytes, running
+    # per-shard byte offset — all recomputed in SQL ---------------------
+    wds_shard_sql = """
+        WITH base AS (
+          SELECT doc_id AS image_id,
+                 CAST(32 + (doc_id % 17) * 32 AS INT) AS w,
+                 CAST(32 + (doc_id % 13) * 40 AS INT) AS h
+          FROM documents),
+        ord AS (
+          SELECT image_id, w, h,
+                 row_number() OVER (ORDER BY
+                   CAST(('0x' || substr(md5(CAST(image_id AS VARCHAR)), 1, 4))::UBIGINT % 8 AS INT),
+                   md5(CAST(image_id AS VARCHAR)),
+                   image_id) - 1 AS rk
+          FROM base),
+        sh AS (
+          SELECT image_id,
+                 CAST(rk // 32 AS INT) AS shard_id,
+                 CAST(rk % 32 AS INT) AS shard_index,
+                 CAST(512 + ((CAST(w AS BIGINT) * h * 3 + 511) // 512) * 512
+                      AS BIGINT) AS entry_bytes
+          FROM ord)
+        SELECT image_id, shard_id, shard_index, entry_bytes,
+               CAST(coalesce(sum(entry_bytes) OVER (
+                 PARTITION BY shard_id ORDER BY shard_index
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS byte_offset
+        FROM sh"""
 
     # doctype-variant content shared by p1/p14 oracles (mirrors
     # _doctyped_content)
@@ -3098,6 +3187,8 @@ def oracle_sql() -> dict[str, str]:
         "curate_aesthetic": aesthetic_sql,
         "curate_aspect_bucket": bucket_batch_sql,
         "curate_resize_plan": resize_plan_sql,
+        "wds_shard_plan": wds_shard_sql,
+        "vlm_token_plan": vlm_token_sql,
         "quality_classifier": """
             WITH wt AS (
               SELECT CAST(i AS BIGINT) AS bucket,

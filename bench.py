@@ -146,6 +146,8 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> dict[str, float]:
         "mixture_resample",
         "curate_image_caption",
         "dsir_resample",
+        "curate_aspect_bucket",
+        "wds_shard_plan",
     ]
     qs = e.queries()
     out: dict[str, float] = {}

@@ -48,6 +48,8 @@ __all__ = [
     "assign_aspect_buckets",
     "bucket_batches",
     "bucket_resize_plan",
+    "wds_shard_plan",
+    "vlm_token_plan",
 ]
 
 DIMS = 15  # one per phash nibble (60-bit phash, functions/images.py)
@@ -406,4 +408,137 @@ def bucket_resize_plan(assigned: DataFrame, *, id_col: str = "image_id") -> Data
         rh.alias("resize_h"),
         F.floor((rh - F.col("bucket_h")) / 2).cast("int").alias("crop_top"),
         F.floor((rw - F.col("bucket_w")) / 2).cast("int").alias("crop_left"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# WebDataset-style shard packing
+# ---------------------------------------------------------------------------
+
+
+def wds_shard_plan(
+    images: DataFrame,
+    *,
+    samples_per_shard: int = 10_000,
+    salt_buckets: int = 16,
+    id_col: str = "image_id",
+    raw_bytes: Column | None = None,
+) -> DataFrame:
+    """WebDataset/img2dataset-style shard packing plan (the public
+    webdataset tar-shard convention: training samples stream from
+    sequentially numbered .tar shards of a fixed sample count —
+    img2dataset's output_format="webdataset", default 10k samples per
+    shard).  Assigns every sample a deterministic (shard_id,
+    shard_index) plus the tar byte layout a writer needs:
+
+        entry_bytes = 512 (ustar header) + payload padded to 512
+        byte_offset = sum of entry_bytes of earlier entries in the shard
+
+    Sample order is the md5 digest of the id (the mixture_resample /
+    bucket_batches convention — an engine/rerun-reproducible global
+    shuffle, which webdataset recommends so shards are i.i.d. slices).
+
+    `raw_bytes` sizes each payload; default w*h*3 (the stub decode
+    size — pass F.length("bytes") when payloads ride along).
+
+    100 TB shape: the global rank is the salted two-phase scheme —
+    rows rank within a salt partition (salt_buckets is the parallelism
+    knob; size it ~4x cores) and the ONLY driver materialization is the
+    <= salt_buckets-row count table, folded into a literal offset array
+    (zero joins).  The byte-offset window partitions by shard_id, and
+    shards are FIXED-SIZE (samples_per_shard rows) — so window
+    partitions stay bounded at any corpus size, unlike a global cumsum.
+    Everything else is codegen'd integer algebra; the actual tar write
+    is the downstream per-shard mapInPandas/foreachPartition over
+    `bytes` — this stage plans it from metadata alone."""
+    from pyspark.sql import Window
+
+    if raw_bytes is None:
+        raw_bytes = F.col("w").cast("long") * F.col("h") * 3
+    digest = F.md5(F.col(id_col).cast("string"))
+    salt = F.pmod(
+        F.conv(F.substring(digest, 1, 4), 16, 10).cast("long"), F.lit(salt_buckets)
+    ).cast("int")
+    thin = images.select(
+        F.col(id_col),
+        raw_bytes.cast("long").alias("_raw"),
+        digest.alias("_dg"),
+        salt.alias("_salt"),
+    )
+    # <= salt_buckets rows: the documented bounded collect (the
+    # n_buckets-list precedent) — folds to a literal array, zero joins
+    cnt = {
+        r["_salt"]: r["n"]
+        for r in thin.groupBy("_salt").agg(F.count("*").alias("n")).collect()
+    }
+    offs, acc = [], 0
+    for s in range(salt_buckets):
+        offs.append(acc)
+        acc += cnt.get(s, 0)
+    w_local = Window.partitionBy("_salt").orderBy("_dg", id_col)
+    rank0 = (
+        F.element_at(F.array(*[F.lit(o) for o in offs]), F.col("_salt") + 1)
+        + F.row_number().over(w_local)
+        - 1
+    ).cast("long")
+    entry = (F.lit(512) + F.floor((F.col("_raw") + 511) / 512) * 512).cast("long")
+    planned = thin.select(
+        F.col(id_col),
+        F.floor(rank0 / samples_per_shard).cast("int").alias("shard_id"),
+        (rank0 % samples_per_shard).cast("int").alias("shard_index"),
+        entry.alias("entry_bytes"),
+    )
+    w_shard = (
+        Window.partitionBy("shard_id")
+        .orderBy("shard_index")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return planned.withColumn(
+        "byte_offset",
+        F.coalesce(F.sum("entry_bytes").over(w_shard), F.lit(0)).cast("long"),
+    )
+
+
+def vlm_token_plan(
+    assigned: DataFrame,
+    *,
+    patch: int = 14,
+    extra_tokens: int = 2,
+    id_col: str = "image_id",
+    caption_col: str = "caption",
+) -> DataFrame:
+    """Vision-LM sample token budgeting: the cost model a multimodal
+    packing/batching stage needs per curated pair.  Patch counting is
+    the public ViT rule (Dosovitskiy et al. 2020, arXiv:2010.11929 §3.1:
+    an HxW image becomes (H/P)·(W/P) patch tokens; ceil on each axis for
+    non-divisible crops) applied to the BUCKET resolution — the actual
+    training-sample shape after cover-resize + center-crop — and caption
+    tokens follow the shared `_lm_tokens` contract (functions/text.py)
+    so the oracle recomputes them identically.  LLaVA-style training
+    concatenates image patch tokens + text tokens, plus `extra_tokens`
+    separators/specials.
+
+    Input: bucket-assigned images (assign_aspect_buckets).  Output:
+    (image_id, bucket_w, bucket_h, img_tokens, txt_tokens,
+    total_tokens) — feed total_tokens to pack_sequences for
+    token-budget bin packing.
+
+    100 TB shape: two codegen'd projections, zero shuffle, zero Python
+    (txt_tokens is STAGED in its own projection and referenced twice
+    downstream, so the interpreted split/filter HOF evaluates once per
+    row — the CollapseProject re-evaluation trap)."""
+    img_t = (
+        F.floor((F.col("bucket_w") + (patch - 1)) / patch)
+        * F.floor((F.col("bucket_h") + (patch - 1)) / patch)
+    ).cast("int")
+    staged = assigned.select(
+        F.col(id_col),
+        "bucket_w",
+        "bucket_h",
+        img_t.alias("img_tokens"),
+        F.size(_lm_tokens(caption_col)).alias("txt_tokens"),
+    )
+    return staged.withColumn(
+        "total_tokens",
+        (F.col("img_tokens") + F.col("txt_tokens") + extra_tokens).cast("int"),
     )

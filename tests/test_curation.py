@@ -289,3 +289,91 @@ def test_bucket_resize_plan_hand_values(spark):
     for r in got.values():
         assert r["resize_w"] >= r["bucket_w"] and r["resize_h"] >= r["bucket_h"]
         assert r["resize_w"] == r["bucket_w"] or r["resize_h"] == r["bucket_h"]
+
+
+# ---------------------------------------------------------------------------
+# webdataset shard packing
+# ---------------------------------------------------------------------------
+
+
+def test_wds_shard_plan_replicates_layout(spark):
+    """Salted two-phase global rank == a straight (salt, digest, id)
+    sort; shard floor/mod split; 512-aligned tar entry sizes; running
+    per-shard byte offsets.  Whole plan replicated in Python."""
+    import hashlib
+
+    from sosse_spark.operators.curation import wds_shard_plan
+
+    rows = [
+        (f"img{i}", 32 + (i % 5) * 16, 32 + (i % 3) * 16, "png", f"c{i}", i * 7 + 1)
+        for i in range(53)
+    ]
+    df = spark.createDataFrame(rows, IMG_SCHEMA)
+    got = {
+        r["image_id"]: r.asDict()
+        for r in wds_shard_plan(df, samples_per_shard=8, salt_buckets=4).collect()
+    }
+    assert len(got) == 53  # count-based sharding never drops samples
+
+    def key(iid):
+        d = hashlib.md5(iid.encode()).hexdigest()
+        return (int(d[:4], 16) % 4, d, iid)
+
+    order = sorted((iid for iid, *_ in rows), key=key)
+    offsets = {}
+    for rk, iid in enumerate(order):
+        w, h = next((r[1], r[2]) for r in rows if r[0] == iid)
+        entry = 512 + (w * h * 3 + 511) // 512 * 512
+        sid, sidx = rk // 8, rk % 8
+        g = got[iid]
+        assert (g["shard_id"], g["shard_index"]) == (sid, sidx), iid
+        assert g["entry_bytes"] == entry
+        assert g["byte_offset"] == offsets.get(sid, 0)
+        offsets[sid] = offsets.get(sid, 0) + entry
+    # determinism: a second invocation yields the identical plan
+    again = {
+        r["image_id"]: r.asDict()
+        for r in wds_shard_plan(df, samples_per_shard=8, salt_buckets=4).collect()
+    }
+    assert again == got
+
+
+def test_wds_shard_plan_custom_raw_bytes(spark):
+    from sosse_spark.operators.curation import wds_shard_plan
+
+    df = spark.createDataFrame([("a", 10, 10, "png", "c", 1)], IMG_SCHEMA)
+    got = wds_shard_plan(
+        df, samples_per_shard=4, salt_buckets=2, raw_bytes=F.lit(1)
+    ).collect()[0]
+    # 1 payload byte pads to one 512 block + one header block
+    assert got["entry_bytes"] == 1024
+    assert (got["shard_id"], got["shard_index"], got["byte_offset"]) == (0, 0, 0)
+
+
+def test_vlm_token_plan_hand_values(spark):
+    """ViT ceil-divide patch grid over the bucket resolution + shared
+    tokenizer caption count + extras."""
+    from sosse_spark.operators.curation import assign_aspect_buckets, vlm_token_plan
+
+    grid = [(224, 224), (448, 224)]
+    rows = [
+        ("sq", 200, 200, "png", "Two words", 1),      # 224x224 -> 16*16
+        ("wide", 400, 200, "png", "", 2),             # 448x224 -> 32*16, 0 txt
+        ("odd", 200, 199, "png", "a-b c 42", 3),      # square bucket, 4 toks
+    ]
+    df = spark.createDataFrame(rows, IMG_SCHEMA)
+    got = {
+        r["image_id"]: r.asDict()
+        for r in vlm_token_plan(
+            assign_aspect_buckets(df, grid), patch=14, extra_tokens=2
+        ).collect()
+    }
+    assert got["sq"]["img_tokens"] == 16 * 16 and got["sq"]["txt_tokens"] == 2
+    assert got["sq"]["total_tokens"] == 256 + 2 + 2
+    assert got["wide"]["img_tokens"] == 32 * 16 and got["wide"]["txt_tokens"] == 0
+    assert got["odd"]["txt_tokens"] == 4  # a, b, c, 42
+    # non-divisible bucket: patch=15 -> ceil(224/15)=15 per axis
+    odd_patch = vlm_token_plan(
+        assign_aspect_buckets(df, grid), patch=15
+    ).collect()
+    assert {r["img_tokens"] for r in odd_patch if r["bucket_w"] == 224} == {15 * 15}

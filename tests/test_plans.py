@@ -797,3 +797,40 @@ def test_bucket_batches_broadcast_offsets_salted_window(spark):
     for n, k in zip(nodes, kinds):
         if "Exchange" in k:
             assert "SinglePartition" not in n.simpleString(200), n.simpleString(200)
+
+
+def test_wds_shard_plan_zero_joins_bounded_windows(spark):
+    """Shard packing: the salt-count table folds into a literal offset
+    array so the plan has ZERO joins; ranking windows partition by _salt
+    (parallelism knob) and the byte-offset window by shard_id (bounded at
+    samples_per_shard rows per partition); all JVM-side, no
+    single-partition exchange."""
+    from sosse_spark.operators.curation import wds_shard_plan
+
+    imgs = spark.range(200).select(
+        F.concat(F.lit("img"), F.col("id").cast("string")).alias("image_id"),
+        (32 + F.pmod(F.col("id"), 7) * 32).cast("int").alias("w"),
+        (32 + F.pmod(F.col("id"), 5) * 40).cast("int").alias("h"),
+        F.lit("png").alias("fmt"),
+        F.concat(F.lit("c"), F.col("id").cast("string")).alias("caption"),
+        (F.col("id") * 2654435761).alias("phash"),
+    )
+    out = wds_shard_plan(imgs, samples_per_shard=16, salt_buckets=8)
+    root = out._jdf.queryExecution().executedPlan()
+
+    def walk(node):
+        yield node
+        ch = node.children()
+        for i in range(ch.size()):
+            yield from walk(ch.apply(i))
+
+    nodes = list(walk(root))
+    kinds = [n.getClass().getSimpleName() for n in nodes]
+    assert not any("Join" in k or "Cartesian" in k for k in kinds)
+    assert not any("Python" in k or "ArrowEval" in k for k in kinds)
+    for n, k in zip(nodes, kinds):
+        if k == "WindowExec":
+            desc = n.simpleString(120)
+            assert "_salt" in desc or "shard_id" in desc, desc
+        if "Exchange" in k:
+            assert "SinglePartition" not in n.simpleString(200), n.simpleString(200)
