@@ -2028,6 +2028,40 @@ def q_vlm_token_plan(spark, sf_dir):
     return vlm_token_plan(assigned, patch=14, extra_tokens=2)
 
 
+def q_dedup_image_keep_best(spark, sf_dir):
+    """End-to-end image near-dup collapse (operators/curation.py
+    image_dedup_keep_best): clustered synthetic phashes (the
+    dedup_phash_hamming construction: 50 base signatures, 0-2 bit
+    perturbations) -> banded hamming pairs -> connected components ->
+    keep the highest-resolution member per cluster.  The oracle
+    recomputes pairs by brute force, the closure by recursive CTE with
+    min-id labels, and the keep rule by window.  pass-L (past the
+    packed driver window), certified by the local replica gate."""
+    from sosse_spark.operators.curation import image_dedup_keep_best
+
+    imgs = _image_caption_table(spark, sf_dir)
+    did = F.col("image_id")
+    base = (
+        F.conv(F.substring(F.md5((did % 50).cast("string")), 1, 15), 16, 10)
+        .cast("decimal(20,0)")
+        .cast("long")
+    )
+    pert = F.when(
+        did % 5 == 0,
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(image_id % 60 AS INT))"),
+    ).otherwise(F.lit(0).cast("long"))
+    imgs = imgs.withColumn("phash", base.bitwiseXOR(pert))
+    out = image_dedup_keep_best(imgs, max_hamming=2, n_bits=60)
+    return out.select(
+        F.col("image_id").cast("long").alias("image_id"),
+        "w",
+        "h",
+        F.col("cluster").cast("long").alias("cluster"),
+        F.col("pixels").cast("long").alias("pixels"),
+        "keep_best",
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -2108,6 +2142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # is fully packed with never-certified entries, so it is a
         # local-replica-certified pass-L row by construction)
         "vlm_token_plan": q_vlm_token_plan,
+        "dedup_image_keep_best": q_dedup_image_keep_best,
         "f15_eligibility": q_f15_eligibility,
         "f15_priority_order": q_f15_priority_order,
         "f22_per_host_budget": q_f22_per_host_budget,
@@ -2455,6 +2490,44 @@ def oracle_sql() -> dict[str, str]:
         SELECT image_id, bucket_w, bucket_h, img_tokens, txt_tokens,
                CAST(img_tokens + txt_tokens + 2 AS INT) AS total_tokens
         FROM t"""
+
+    # --- image keep-best oracle: brute-force hamming pairs, recursive
+    # min-id closure, resolution-argmax keep rule ------------------------
+    img_keepbest_sql = """
+        WITH base AS (
+          SELECT doc_id AS image_id,
+                 CAST(32 + (doc_id % 17) * 32 AS INT) AS w,
+                 CAST(32 + (doc_id % 13) * 40 AS INT) AS h,
+                 xor(CAST(concat('0x', substr(md5(CAST(doc_id % 50 AS VARCHAR)), 1, 15)) AS BIGINT),
+                     CASE WHEN doc_id % 5 = 0
+                          THEN (CAST(1 AS BIGINT) << CAST(doc_id % 60 AS INT))
+                          ELSE CAST(0 AS BIGINT) END) AS phash
+          FROM documents),
+        prs AS (
+          SELECT a.image_id AS id_a, b.image_id AS id_b
+          FROM base a JOIN base b ON a.image_id < b.image_id
+          WHERE bit_count(xor(a.phash, b.phash)) <= 2),
+        edges AS (
+          SELECT id_a AS u, id_b AS v FROM prs
+          UNION SELECT id_b, id_a FROM prs),
+        verts AS (SELECT DISTINCT u FROM edges),
+        rec AS (
+          WITH RECURSIVE reach(a, b) AS (
+            SELECT u, u FROM verts
+            UNION
+            SELECT r.a, e.v FROM reach r JOIN edges e ON e.u = r.b)
+          SELECT a, b FROM reach),
+        comp AS (SELECT a AS image_id, min(b) AS component FROM rec GROUP BY a),
+        cl AS (
+          SELECT b.image_id, b.w, b.h,
+                 CAST(coalesce(c.component, b.image_id) AS BIGINT) AS cluster,
+                 CAST(b.w AS BIGINT) * b.h AS pixels
+          FROM base b LEFT JOIN comp c USING (image_id))
+        SELECT image_id, w, h, cluster, pixels,
+               row_number() OVER (
+                 PARTITION BY cluster ORDER BY pixels DESC, image_id) = 1
+                 AS keep_best
+        FROM cl"""
 
     # --- WebDataset shard-plan oracle: global (salt, digest, id) rank,
     # shard floor/mod split, 512-aligned tar entry bytes, running
@@ -3189,6 +3262,7 @@ def oracle_sql() -> dict[str, str]:
         "curate_resize_plan": resize_plan_sql,
         "wds_shard_plan": wds_shard_sql,
         "vlm_token_plan": vlm_token_sql,
+        "dedup_image_keep_best": img_keepbest_sql,
         "quality_classifier": """
             WITH wt AS (
               SELECT CAST(i AS BIGINT) AS bucket,

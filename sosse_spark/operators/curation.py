@@ -50,6 +50,7 @@ __all__ = [
     "bucket_resize_plan",
     "wds_shard_plan",
     "vlm_token_plan",
+    "image_dedup_keep_best",
 ]
 
 DIMS = 15  # one per phash nibble (60-bit phash, functions/images.py)
@@ -542,3 +543,55 @@ def vlm_token_plan(
         "total_tokens",
         (F.col("img_tokens") + F.col("txt_tokens") + extra_tokens).cast("int"),
     )
+
+
+def image_dedup_keep_best(
+    images: DataFrame,
+    *,
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+    max_hamming: int = 2,
+    n_bits: int = 60,
+    max_iter: int = 20,
+) -> DataFrame:
+    """LAION/DataComp-style image near-dup collapse, end to end: the
+    pairwise verdicts -> groups -> canonical-member chain the public
+    image-corpus pipelines run (LAION-5B dedups URL+text pairs and
+    near-dup images; DataComp's dedup baselines keep one representative
+    per near-dup cluster).  Composition of the two certified dedup
+    primitives:
+
+      phash_hamming_pairs (pigeonhole-banded hamming equi-join,
+      operators/dedup.py) -> dedup_components (Kiveris star
+      contraction) -> keep the HIGHEST-RESOLUTION member per cluster
+      (w*h pixels; ties break to the lowest id) — the standard
+      keep-best-quality rule when collapsing resized/re-encoded copies.
+
+    Output: every input image with (cluster, pixels, keep_best);
+    singletons form their own cluster and keep themselves.
+
+    100 TB shape: no new hot-path machinery — the pair join and the
+    O(log n) contraction are the certified primitives; the collapse
+    adds one LEFT join of the corpus against the (much smaller)
+    duped-id component table and one window partitioned by cluster,
+    which is bounded by the near-dup cluster size, not the corpus."""
+    from pyspark.sql import Window
+
+    from sosse_spark.operators.dedup import dedup_components, phash_hamming_pairs
+
+    pairs = phash_hamming_pairs(
+        images, phash_col, id_col, max_hamming=max_hamming, n_bits=n_bits
+    )
+    comp = dedup_components(pairs.select("id_a", "id_b"), max_iter=max_iter)
+    joined = images.join(
+        comp, images[id_col] == comp["_id"], "left"
+    ).drop("_id")
+    staged = joined.select(
+        F.col(id_col),
+        "w",
+        "h",
+        F.coalesce(F.col("component"), F.col(id_col)).alias("cluster"),
+        (F.col("w").cast("long") * F.col("h")).alias("pixels"),
+    )
+    w_best = Window.partitionBy("cluster").orderBy(F.desc("pixels"), id_col)
+    return staged.withColumn("keep_best", F.row_number().over(w_best) == 1)

@@ -377,3 +377,30 @@ def test_vlm_token_plan_hand_values(spark):
         assign_aspect_buckets(df, grid), patch=15
     ).collect()
     assert {r["img_tokens"] for r in odd_patch if r["bucket_w"] == 224} == {15 * 15}
+
+
+def test_image_dedup_keep_best_hand_values(spark):
+    """Two near-dup clusters + a singleton: highest-resolution member
+    keeps, ties break to the lowest id, singletons keep themselves."""
+    from sosse_spark.operators.curation import image_dedup_keep_best
+
+    rows = [
+        # cluster {a, b, c}: phash within 1 bit; b has the most pixels
+        ("a", 100, 100, "png", "c", 0b1111000),
+        ("b", 200, 150, "png", "c", 0b1111001),
+        ("c", 200, 150, "png", "c", 0b1111010),  # same pixels as b -> id tie
+        # singleton: far away in hamming
+        ("z", 50, 50, "png", "c", 0b0000000000000000111111111111111),
+    ]
+    df = spark.createDataFrame(rows, IMG_SCHEMA)
+    got = {
+        r["image_id"]: r.asDict()
+        for r in image_dedup_keep_best(df, max_hamming=2, n_bits=31).collect()
+    }
+    assert len(got) == 4
+    assert got["a"]["cluster"] == got["b"]["cluster"] == got["c"]["cluster"] == "a"
+    assert not got["a"]["keep_best"]  # 10k pixels < 30k
+    assert got["b"]["keep_best"]      # tie with c -> lowest id wins
+    assert not got["c"]["keep_best"]
+    assert got["z"]["cluster"] == "z" and got["z"]["keep_best"]
+    assert got["b"]["pixels"] == 30000
