@@ -2062,6 +2062,59 @@ def q_dedup_image_keep_best(spark, sf_dir):
     )
 
 
+def _css_sheets(spark, sf_dir):
+    """Synthesized stylesheets for the P11 CSS-half entries: per doc a
+    five-arm sheet (absolute png, quoted+spaced root-relative .css,
+    #fragment, single-quoted dirname-relative .cur, data: URI) built
+    from doc_id arithmetic in pure column algebra — non-constant text,
+    so nothing folds."""
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    ds = did.cast("string")
+    fid = (did % 7).cast("string")
+    k = (did % 3).cast("string")
+    base = F.concat(
+        F.lit("http://site"), fid, F.lit(".example.com/dir"), k,
+        F.lit("/page"), ds, F.lit(".html"),
+    )
+    css = F.concat(
+        F.lit(".a { background: url(https://cdn"), fid,
+        F.lit(".example.com/img"), ds, F.lit(".png); } "),
+        F.lit('.b { src: url( "/assets/style'), ds, F.lit('.css" ); } '),
+        F.lit(".c { mask: url(#sec"), ds, F.lit("); } "),
+        F.lit(".d { cursor: url('img/cur"), ds, F.lit(".cur'); } "),
+        F.lit(".e { x: url(data:image/png;base64,AA==); }"),
+    )
+    return d.select(base.alias("url"), base.alias("base_url"), css.alias("css"))
+
+
+def q_p11_css_assets(spark, sf_dir):
+    """P11 CSS half — url() asset extraction (extract_css_url +
+    handle_css absolutization, se/html_snapshot.py:40-117;
+    operators/csssnap.py).  The real character-scanner kernel runs over
+    synthesized five-arm sheets; browsable targets absolutize against
+    the page base (root-relative and dirname-relative arms) and *.css
+    targets raise force_css; the #fragment and data: arms must NOT
+    appear.  Registry position ≥ 50 → driver-invisible; certified by
+    the local replica gate (pass-L)."""
+    from sosse_spark.operators.csssnap import css_asset_urls, css_segments
+
+    return css_asset_urls(css_segments(_css_sheets(spark, sf_dir)))
+
+
+def q_p11_css_rewrite(spark, sf_dir):
+    """P11 CSS half — snapshot stylesheet rewrite (handle_css,
+    se/html_snapshot.py:92-117): scan → absolutize → reassemble with
+    every browsable asset re-emitted as url("<resolved>") and
+    non-browsable spans kept verbatim; identity download map (the
+    routed-ref join is pytest-covered in test_csssnap).  Registry
+    position ≥ 50 → driver-invisible; certified by the local replica
+    gate (pass-L)."""
+    from sosse_spark.operators.csssnap import css_rewrite, css_segments
+
+    return css_rewrite(css_segments(_css_sheets(spark, sf_dir)))
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -2143,6 +2196,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # local-replica-certified pass-L row by construction)
         "vlm_token_plan": q_vlm_token_plan,
         "dedup_image_keep_best": q_dedup_image_keep_best,
+        "p11_css_assets": q_p11_css_assets,
+        "p11_css_rewrite": q_p11_css_rewrite,
         "f15_eligibility": q_f15_eligibility,
         "f15_priority_order": q_f15_priority_order,
         "f22_per_host_budget": q_f22_per_host_budget,
@@ -3263,6 +3318,56 @@ def oracle_sql() -> dict[str, str]:
         "wds_shard_plan": wds_shard_sql,
         "vlm_token_plan": vlm_token_sql,
         "dedup_image_keep_best": img_keepbest_sql,
+        "p11_css_assets": """
+            -- recompute the three browsable arms of the synthesized
+            -- five-arm sheet directly (the #fragment and data: arms
+            -- must not appear); absolutization arms: absolute,
+            -- root-relative (origin), dirname-relative (base dir)
+            WITH b AS (
+              SELECT CAST(doc_id AS VARCHAR) AS ds,
+                     CAST(doc_id % 7 AS VARCHAR) AS fid,
+                     CAST(doc_id % 3 AS VARCHAR) AS k
+              FROM documents),
+            p AS (
+              SELECT 'http://site' || fid || '.example.com/dir' || k
+                       || '/page' || ds || '.html' AS url,
+                     fid, k, ds
+              FROM b)
+            SELECT url, CAST(1 AS INT) AS asset_no,
+                   'https://cdn' || fid || '.example.com/img' || ds || '.png' AS asset_url,
+                   FALSE AS force_css
+            FROM p
+            UNION ALL
+            SELECT url, CAST(2 AS INT),
+                   'http://site' || fid || '.example.com/assets/style' || ds || '.css',
+                   TRUE
+            FROM p
+            UNION ALL
+            SELECT url, CAST(3 AS INT),
+                   'http://site' || fid || '.example.com/dir' || k
+                     || '/img/cur' || ds || '.cur',
+                   FALSE
+            FROM p""",
+        "p11_css_rewrite": """
+            -- the rewritten sheet: browsable arms re-emitted as
+            -- url("<absolutized>"), non-browsable spans verbatim
+            WITH b AS (
+              SELECT CAST(doc_id AS VARCHAR) AS ds,
+                     CAST(doc_id % 7 AS VARCHAR) AS fid,
+                     CAST(doc_id % 3 AS VARCHAR) AS k
+              FROM documents)
+            SELECT 'http://site' || fid || '.example.com/dir' || k
+                     || '/page' || ds || '.html' AS url,
+                   '.a { background: url("https://cdn' || fid
+                     || '.example.com/img' || ds || '.png"); } '
+                   || '.b { src: url("http://site' || fid
+                     || '.example.com/assets/style' || ds || '.css"); } '
+                   || '.c { mask: url(#sec' || ds || '); } '
+                   || '.d { cursor: url("http://site' || fid
+                     || '.example.com/dir' || k || '/img/cur' || ds
+                     || '.cur"); } '
+                   || '.e { x: url(data:image/png;base64,AA==); }' AS css_out
+            FROM b""",
         "quality_classifier": """
             WITH wt AS (
               SELECT CAST(i AS BIGINT) AS bucket,
