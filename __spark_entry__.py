@@ -1178,12 +1178,21 @@ def q_p2_html_parse(spark, sf_dir):
 
 def _doctyped_content(d):
     """Synthetic doctype variants over documents.text (html / rss / atom /
-    plain) — shared by the P1 sniff and P14 filename entries."""
+    rss1.0-rdf / plain) — shared by the P1 sniff and P14 filename
+    entries.  The rdf arm is carved from the plain arm (doc_id%8==3 ⊂
+    doc_id%4==3) so the RSS 1.0 sniff branch is value-certified."""
     mod = F.col("doc_id") % 4
     return (
         F.when(mod == 0, F.concat(F.lit("<html><body>"), F.col("text")))
         .when(mod == 1, F.concat(F.lit('<?xml version="1.0"?><rss version="2.0">'), F.col("text")))
         .when(mod == 2, F.concat(F.lit('<?xml version="1.0"?><feed xmlns="atom">'), F.col("text")))
+        .when(
+            F.col("doc_id") % 8 == 3,
+            F.concat(
+                F.lit('<?xml version="1.0"?><rdf:RDF xmlns="http://purl.org/rss/1.0/">'),
+                F.col("text"),
+            ),
+        )
         .otherwise(F.col("text"))
     )
 
@@ -1588,11 +1597,12 @@ def q_p6_accent_strip(spark, sf_dir):
 def q_p4_feed_entries(spark, sf_dir):
     """Feed-entry ingest parse (P4 second half — operators/feedparse.py,
     se/document.py:327-345 parity).  Feeds are SYNTHESIZED from document
-    arithmetic (doc_id%2 picks RSS vs Atom, doc_id%3+1 entries) as XML
-    strings in pure column algebra, then parsed by the real ElementTree
-    mapInPandas kernel; the oracle recomputes the expected entry rows
-    directly, so the XML build→parse round trip is value-certified for
-    BOTH grammars."""
+    arithmetic (doc_id%2 picks RSS 2.0 vs Atom, doc_id%5==0 overrides to
+    RSS 1.0/RDF, doc_id%3+1 entries) as XML strings in pure column
+    algebra, then parsed by the real ElementTree mapInPandas kernel; the
+    oracle recomputes the expected entry rows directly, so the XML
+    build→parse round trip is value-certified for ALL THREE grammars
+    (rdf items live at the RDF root with dc:date stamps)."""
     from sosse_spark.operators.feedparse import feed_entries_batch
 
     did = F.col("doc_id")
@@ -1633,9 +1643,33 @@ def q_p4_feed_entries(spark, sf_dir):
         F.lit("</subtitle>"), atom_entry(0), atom_entry(1), atom_entry(2),
         F.lit("</feed>"),
     )
+    def rdf_item(k):
+        return F.when(
+            n > k,
+            F.concat(
+                F.lit("<item><title>t"), ds, F.lit(f"_{k}</title><link>"),
+                base, F.lit("item/"), (did * 10 + k).cast("string"),
+                F.lit(f"</link><dc:date>2024-01-0{k + 1}T00:00:00Z</dc:date></item>"),
+            ),
+        ).otherwise(F.lit(""))
+
+    rdf = F.concat(
+        F.lit(
+            "<rdf:RDF xmlns:rdf=\"http://www.w3.org/1999/02/22-rdf-syntax-ns#\" "
+            "xmlns=\"http://purl.org/rss/1.0/\" "
+            "xmlns:dc=\"http://purl.org/dc/elements/1.1/\">"
+            "<channel><title>Feed "
+        ),
+        ds, F.lit("</title><link>"), base, F.lit("</link><description>d"), ds,
+        F.lit("</description></channel>"), rdf_item(0), rdf_item(1), rdf_item(2),
+        F.lit("</rdf:RDF>"),
+    )
     feeds = _docs(spark, sf_dir).select(
         F.concat(base, F.lit("feed"), ds, F.lit(".xml")).alias("url"),
-        F.when(did % 2 == 0, rss).otherwise(atom).alias("content"),
+        F.when(did % 5 == 0, rdf)
+        .when(did % 2 == 0, rss)
+        .otherwise(atom)
+        .alias("content"),
     ).repartition(8)
     return feed_entries_batch(feeds)
 
@@ -2620,6 +2654,7 @@ def oracle_sql() -> dict[str, str]:
         CASE WHEN doc_id % 4 = 0 THEN '<html><body>' || text
              WHEN doc_id % 4 = 1 THEN '<?xml version="1.0"?><rss version="2.0">' || text
              WHEN doc_id % 4 = 2 THEN '<?xml version="1.0"?><feed xmlns="atom">' || text
+             WHEN doc_id % 8 = 3 THEN '<?xml version="1.0"?><rdf:RDF xmlns="http://purl.org/rss/1.0/">' || text
              ELSE text END"""
     sniff = f"""
         CASE WHEN starts_with(lower(substr({doctyped}, 1, 256)), '<html')
@@ -2628,6 +2663,8 @@ def oracle_sql() -> dict[str, str]:
                AND contains(lower(substr({doctyped}, 1, 256)), '<rss') THEN 'application/rss+xml'
              WHEN starts_with(lower(substr({doctyped}, 1, 256)), '<?xml')
                AND contains(lower(substr({doctyped}, 1, 256)), '<feed') THEN 'application/atom+xml'
+             WHEN starts_with(lower(substr({doctyped}, 1, 256)), '<?xml')
+               AND contains(lower(substr({doctyped}, 1, 256)), '<rdf:rdf') THEN 'application/rss+xml'
              WHEN starts_with(lower(substr({doctyped}, 1, 256)), '<?xml') THEN 'application/xml'
              ELSE 'text/plain' END"""
     ext = """
@@ -4097,7 +4134,8 @@ def oracle_sql() -> dict[str, str]:
                      CAST(doc_id AS VARCHAR) AS ds
               FROM documents)
             SELECT 'http://feed' || fid || '.example.com/feed' || ds || '.xml' AS url,
-                   CASE WHEN doc_id % 2 = 0 THEN 'rss' ELSE 'atom' END AS feed_kind,
+                   CASE WHEN doc_id % 5 = 0 THEN 'rss10'
+                        WHEN doc_id % 2 = 0 THEN 'rss' ELSE 'atom' END AS feed_kind,
                    'Feed ' || ds AS feed_title,
                    CAST(k AS INT) AS entry_no,
                    't' || ds || '_' || CAST(k AS VARCHAR) AS entry_title,

@@ -13,10 +13,13 @@ an Arrow mapInPandas kernel:
 - ``feed_html_batch``    → the reference-template-shaped HTML page, fed
   to operators/htmlparse.py's DOM walk exactly like html_mode pages.
 
-Supported grammar: RSS 2.0 (`rss/channel/item`) and Atom
-(`feed/entry`, any namespace) — the feedparser superset (RSS 1.0/RDF,
-CDF) is out of scope and documented as a delta.  A document with zero
-parsed entries is NOT treated as a feed (the reference's early return).
+Supported grammar: RSS 2.0 (`rss/channel/item`), Atom (`feed/entry`,
+any namespace), and RSS 1.0/RDF (`rdf:RDF` root: `channel` metadata +
+root-level `item` siblings, Dublin Core `dc:date` as the update stamp —
+the normalization feedparser applies to RDF feeds).  The residual
+feedparser superset (CDF, hand-rolled recovery of malformed XML) stays
+out of scope and documented as a delta.  A document with zero parsed
+entries is NOT treated as a feed (the reference's early return).
 """
 
 from __future__ import annotations
@@ -115,6 +118,30 @@ def parse_feed(content: str | bytes) -> Optional[dict]:
             "title": _child_text(root, "title"),
             "link": _atom_link(root),
             "description": _child_text(root, "subtitle"),
+            "entries": entries,
+        }
+    elif kind == "RDF":
+        # RSS 1.0: metadata lives on a `channel` child; the items are
+        # SIBLINGS of the channel at the RDF root (the rdf:Seq inside
+        # channel/items only orders rdf:resource refs — feedparser
+        # takes the item elements in document order, as we do here).
+        chan = next((ch for ch in root if _local(ch.tag) == "channel"), None)
+        entries = [
+            {
+                "title": _child_text(it, "title"),
+                "link": _child_text(it, "link"),
+                # Dublin Core dc:date is RSS 1.0's update stamp; local
+                # name match covers any dc prefix binding.
+                "updated": _child_text(it, "date"),
+            }
+            for it in root
+            if _local(it.tag) == "item"
+        ]
+        parsed = {
+            "kind": "rss10",
+            "title": _child_text(chan, "title") if chan is not None else None,
+            "link": _child_text(chan, "link") if chan is not None else None,
+            "description": _child_text(chan, "description") if chan is not None else None,
             "entries": entries,
         }
     else:

@@ -70,6 +70,8 @@ def sniff_doctype_expr(text_col: F.Column) -> F.Column:
         F.when(head.startswith("<html") | head.startswith("<!doctype html"), F.lit("text/html"))
         .when(is_xml & head.contains("<rss"), F.lit("application/rss+xml"))
         .when(is_xml & head.contains("<feed"), F.lit("application/atom+xml"))
+        # RSS 1.0: <rdf:rdf ...> root (head already lowercased)
+        .when(is_xml & head.contains("<rdf:rdf"), F.lit("application/rss+xml"))
         .when(is_xml, F.lit("application/xml"))
         .otherwise(F.lit("text/plain"))
     )

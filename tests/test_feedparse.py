@@ -43,6 +43,50 @@ def test_parse_rss_and_atom_entries():
     assert [e["link"] for e in a["entries"]] == ["http://ex.com/e1"]
 
 
+RDF = """<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         xmlns="http://purl.org/rss/1.0/"
+         xmlns:dc="http://purl.org/dc/elements/1.1/">
+  <channel rdf:about="http://ex.com/">
+    <title>RDF Feed</title>
+    <link>http://ex.com/</link>
+    <description>Old school</description>
+    <items><rdf:Seq><rdf:li rdf:resource="http://ex.com/a"/></rdf:Seq></items>
+  </channel>
+  <item rdf:about="http://ex.com/a">
+    <title>A</title><link>http://ex.com/a</link>
+    <dc:date>2024-02-02T00:00:00Z</dc:date>
+  </item>
+  <item rdf:about="http://ex.com/b">
+    <title>B</title><link>http://ex.com/b</link>
+  </item>
+</rdf:RDF>"""
+
+
+def test_parse_rss10_rdf_entries():
+    # RSS 1.0: channel metadata + root-level item siblings + dc:date
+    # (feedparser's RDF normalization; the rdf:Seq only orders refs).
+    r = parse_feed(RDF)
+    assert r["kind"] == "rss10"
+    assert r["title"] == "RDF Feed"
+    assert r["link"] == "http://ex.com/"
+    assert r["description"] == "Old school"
+    assert [e["link"] for e in r["entries"]] == ["http://ex.com/a", "http://ex.com/b"]
+    assert r["entries"][0]["updated"] == "2024-02-02T00:00:00Z"
+    assert r["entries"][1]["updated"] is None
+    # renders through the same feed.html template shape
+    page = feed_html(r)
+    assert '<a href="http://ex.com/a">A</a>' in page
+    assert "<title>RDF Feed</title>" in page
+
+
+def test_rdf_without_items_rejected():
+    empty = """<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+      xmlns="http://purl.org/rss/1.0/">
+      <channel><title>t</title></channel></rdf:RDF>"""
+    assert parse_feed(empty) is None
+
+
 def test_non_feeds_and_empty_feeds_rejected():
     assert parse_feed("<html><body>hi</body></html>") is None
     assert parse_feed("not xml at all") is None
