@@ -2180,14 +2180,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "img_decode_check": q_img_decode_check,
         "text_gopher": q_text_gopher,
+        # -- never driver-certified (added round 5 after the window was
+        # already packed; rotated in here by trading out four stale
+        # r01-r03 greens, which keep their recorded rows) --
+        "vlm_token_plan": q_vlm_token_plan,
+        "dedup_image_keep_best": q_dedup_image_keep_best,
+        "p11_css_assets": q_p11_css_assets,
+        "p11_css_rewrite": q_p11_css_rewrite,
         # -- driver-green in r01-r03 but pushed past position 50 since --
         "sim_ann_ivfpq": q_sim_ann_ivfpq,
         "sim_embedding_neardup": q_sim_embedding_neardup,
-        "text_langid": q_text_langid,
-        "text_quality": q_text_quality,
-        "text_tokens": q_text_tokens,
         "text_fingerprint": q_text_fingerprint,
-        "img_decode_stats": q_img_decode_stats,
         # -- new in round 5 --
         "q1_fts_rank_pg": q_q1_fts_rank_pg,
         "q1_fts_rank_and_pg": q_q1_fts_rank_and_pg,
@@ -2224,14 +2227,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_aspect_bucket": q_curate_aspect_bucket,
         "curate_resize_plan": q_curate_resize_plan,
         "wds_shard_plan": q_wds_shard_plan,
+        # -- r01-r03 driver-green entries rotated out of the window to
+        # admit the four round-5 never-certified entries above (their
+        # r01-r03 greens stay on record; img_decode_stats is rows-only
+        # anyway — its exact slice img_decode_check stays in-window) --
+        "text_langid": q_text_langid,
+        "text_quality": q_text_quality,
+        "text_tokens": q_text_tokens,
+        "img_decode_stats": q_img_decode_stats,
         # -- r04 driver-green entries (greens on record) --
-        # (vlm_token_plan sits further down: the 50-entry driver window
-        # is fully packed with never-certified entries, so it is a
-        # local-replica-certified pass-L row by construction)
-        "vlm_token_plan": q_vlm_token_plan,
-        "dedup_image_keep_best": q_dedup_image_keep_best,
-        "p11_css_assets": q_p11_css_assets,
-        "p11_css_rewrite": q_p11_css_rewrite,
         "f15_eligibility": q_f15_eligibility,
         "f15_priority_order": q_f15_priority_order,
         "f22_per_host_budget": q_f22_per_host_budget,
