@@ -2149,6 +2149,141 @@ def q_p11_css_rewrite(spark, sf_dir):
     return css_rewrite(css_segments(_css_sheets(spark, sf_dir)))
 
 
+def q_text_c4_clean(spark, sf_dir):
+    """C4 line/page cleaning rules (Raffel et al. 2020, arXiv:1910.10683
+    §2.2): terminal-punctuation + 5-word + no-javascript line retention;
+    <3-sentence / bad-word / "lorem ipsum" / curly-bracket page drops.
+    Declared variant: sentences counted as [.!?] marks in retained lines
+    (the reference uses nltk punkt).  Pure projection — zero shuffle.
+
+    The driver corpus is single-line unpunctuated text, so the entry
+    SEEDS deterministic line structure from doc_id: three well-formed
+    sentences (the third only on even docs — the <3-sentence arm at
+    scale), a short line, a punctuation-less line, plus javascript /
+    lorem / brace / badword arms on small moduli.  The oracle builds
+    the identical input, so every rule is value-certified.  Registry
+    position ≥ 50 → driver-invisible; certified by the local replica
+    gate (pass-L)."""
+    from sosse_spark.functions.text import c4_clean
+
+    d = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    w = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != F.lit(""))
+
+    def line(start, n, tail):
+        return F.concat(F.concat_ws(" ", F.slice(w, start, n)), F.lit(tail))
+
+    seeded = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            line(1, 6, "."),
+            line(3, 6, "!"),
+            F.when(i % 2 == 0, line(5, 6, "?")).otherwise(F.lit("")),
+            F.lit("too short."),
+            line(2, 6, ""),
+            F.when(i % 5 == 0, F.lit("please enable javascript support to proceed.")).otherwise(F.lit("")),
+            F.when(i % 11 == 0, F.lit("neque porro lorem ipsum dolor sit amet.")).otherwise(F.lit("")),
+            F.when(i % 13 == 0, F.lit("var config = { enabled: true };")).otherwise(F.lit("")),
+            F.when(i % 17 == 0, F.lit("this line contains frak badness today ok.")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return c4_clean(seeded, badwords=("frak", "gorram"))
+
+
+def q_text_fineweb_quality(spark, sf_dir):
+    """FineWeb's three custom quality filters (Penedo et al. 2024,
+    arXiv:2406.17557 §3.6): punct-terminated line fraction > 0.12,
+    duplicated-line char fraction < 0.1, short-line (<30 chars)
+    fraction < 0.67.  Pure line-array algebra, zero shuffle
+    (functions/text.py fineweb_quality).
+
+    The entry seeds an 8-line structure from doc_id word slices with
+    arms for each rule: mod-9 docs lose their line punctuation (punct
+    rule fires), mod-6/4 docs duplicate a line (dup-char rule), mod-7
+    docs shrink their long lines to 3 words (short rule).  The oracle
+    rebuilds the identical input (l2 shared via CTE ≙ the reused Spark
+    expression).  Registry position ≥ 50 → driver-invisible; certified
+    by the local replica gate (pass-L)."""
+    from sosse_spark.functions.text import fineweb_quality
+
+    d = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    w = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != F.lit(""))
+
+    def j(a, n):
+        return F.concat_ws(" ", F.slice(w, a, n))
+
+    def tail(cond, ch):
+        return F.when(cond, F.lit(ch)).otherwise(F.lit(""))
+
+    l2 = F.concat(
+        F.when(i % 7 == 0, j(1, 3)).otherwise(j(1, 6)), tail(i % 9 != 0, ".")
+    )
+    seeded = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.concat(j(1, 3), tail((i % 3 == 0) & (i % 9 != 0), ".")),
+            l2,
+            F.concat(
+                F.when(i % 7 == 0, j(2, 3)).otherwise(j(2, 6)),
+                tail(i % 9 != 0, "!"),
+            ),
+            j(3, 3),
+            F.concat(j(2, 3), tail(i % 5 == 0, "?")),
+            F.when(i % 7 == 0, j(4, 3)).otherwise(j(4, 6)),
+            F.when(i % 6 == 0, l2).otherwise(j(5, 6)),
+            F.when(i % 4 == 0, l2).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return fineweb_quality(seeded)
+
+
+def q_curate_url_filter(spark, sf_dir):
+    """RefinedWeb/datatrove URL quality filter (Penedo et al. 2023,
+    arXiv:2306.01116 §3.1.1 + App. G.1): label-aligned domain blocklist,
+    hard-word substring blocks, distinct-soft-word threshold — one
+    codegen'd projection, zero shuffle/join/UDF (operators/urlfilter.py;
+    a 4.6M-domain production list swaps rule 1 for a broadcast join).
+
+    URLs are synthesized from doc_id with every arm planted: parent- and
+    exact-domain blocks (mod 11 / 23), a hard-word path (mod 13), and
+    0/1/2 soft words (mod 3 / 4) so the threshold bites only on the
+    combination.  Registry position ≥ 50 → driver-invisible; certified
+    by the local replica gate (pass-L)."""
+    from sosse_spark.operators.urlfilter import url_quality_filter
+
+    d = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    k = (i % 10).cast("string")
+    did = i.cast("string")
+    host = (
+        F.when(i % 11 == 0, F.lit("cdn.badhost.net"))
+        .when(i % 23 == 0, F.lit("badhost.net"))
+        .when(i % 19 == 0, F.lit("notbadhost.net"))
+        .otherwise(F.concat(F.lit("h"), k, F.lit(".example.com")))
+    )
+    path = F.concat(
+        F.lit("/p"),
+        did,
+        F.when(i % 13 == 0, F.lit("/xxxstream")).otherwise(F.lit("")),
+        F.when(i % 3 == 0, F.lit("/casino")).otherwise(F.lit("")),
+        F.when(i % 4 == 0, F.lit("/poker-night")).otherwise(F.lit("")),
+    )
+    seeded = d.select(
+        "doc_id",
+        F.concat(F.lit("https://"), host, path).alias("url"),
+    )
+    return url_quality_filter(
+        seeded,
+        blocked_domains=("badhost.net",),
+        hard_words=("xxxstream",),
+        soft_words=("casino", "poker", "bet"),
+        soft_threshold=2,
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -2286,6 +2421,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_lsh": q_sim_ann_lsh,
         "sim_ann_ivf": q_sim_ann_ivf,
         "sim_ann_pq": q_sim_ann_pq,
+        "text_c4_clean": q_text_c4_clean,
+        "text_fineweb_quality": q_text_fineweb_quality,
+        "curate_url_filter": q_curate_url_filter,
     }
 
 
@@ -4267,4 +4405,146 @@ def oracle_sql() -> dict[str, str]:
                 generate_series(1, greatest(length(text) - 7, 1)),
                 i -> md5(substring(text, CAST(i AS INT), 8))), 'min') AS fingerprint
             FROM documents""",
+        # C4 cleaning rules: identical seeded line construction, then the
+        # line/page rules of functions/text.c4_clean recomputed over
+        # DuckDB list algebra (slice bounds: Spark slice(w,a,n) ==
+        # DuckDB list_slice(words,a,a+n-1), both clamping)
+        "text_c4_clean": """
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS words
+              FROM documents),
+            seeded AS (
+              SELECT doc_id,
+                array_to_string([
+                  array_to_string(list_slice(words, 1, 6), ' ') || '.',
+                  array_to_string(list_slice(words, 3, 8), ' ') || '!',
+                  CASE WHEN doc_id % 2 = 0 THEN array_to_string(list_slice(words, 5, 10), ' ') || '?' ELSE '' END,
+                  'too short.',
+                  array_to_string(list_slice(words, 2, 7), ' '),
+                  CASE WHEN doc_id % 5 = 0 THEN 'please enable javascript support to proceed.' ELSE '' END,
+                  CASE WHEN doc_id % 11 = 0 THEN 'neque porro lorem ipsum dolor sit amet.' ELSE '' END,
+                  CASE WHEN doc_id % 13 = 0 THEN 'var config = { enabled: true };' ELSE '' END,
+                  CASE WHEN doc_id % 17 = 0 THEN 'this line contains frak badness today ok.' ELSE '' END
+                ], chr(10)) AS text
+              FROM w),
+            t AS (
+              SELECT doc_id, text,
+                     list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+                                 l -> l <> '') AS lines
+              FROM seeded),
+            k AS (
+              SELECT doc_id, text, lines,
+                     list_filter(lines, l -> regexp_matches(l, '[.!?"]$')
+                        AND len(list_filter(string_split_regex(l, '\\s+'), x -> x <> '')) >= 5
+                        AND NOT contains(lower(l), 'javascript')) AS kept
+              FROM t),
+            m AS (
+              SELECT doc_id,
+                     array_to_string(kept, chr(10)) AS text_clean,
+                     CAST(len(lines) AS INT) AS n_lines,
+                     CAST(len(kept) AS INT) AS n_kept,
+                     CAST(coalesce(list_sum(list_transform(kept,
+                       l -> len(regexp_extract_all(l, '[.!?]')))), 0) AS INT) AS n_sentences,
+                     regexp_matches(lower(text), '\\b(frak|gorram)\\b') AS has_badword,
+                     contains(lower(text), 'lorem ipsum') AS has_lorem,
+                     contains(text, '{') AS has_brace
+              FROM k)
+            SELECT doc_id, text_clean, n_lines, n_kept, n_sentences,
+                   has_badword, has_lorem, has_brace,
+                   (NOT has_badword AND NOT has_lorem AND NOT has_brace
+                    AND n_sentences >= 3) AS keep
+            FROM m""",
+        # FineWeb §3.6 custom filters: identical seeded 8-line structure
+        # (l2 shared via CTE ≙ the reused Spark expression; slice map
+        # Spark slice(w,a,n) == DuckDB list_slice(words,a,a+n-1)), then
+        # the three line-fraction rules on 6-rounded values
+        "text_fineweb_quality": """
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS words
+              FROM documents),
+            p AS (
+              SELECT doc_id, words,
+                (CASE WHEN doc_id % 7 = 0 THEN array_to_string(list_slice(words, 1, 3), ' ')
+                      ELSE array_to_string(list_slice(words, 1, 6), ' ') END)
+                || (CASE WHEN doc_id % 9 <> 0 THEN '.' ELSE '' END) AS l2
+              FROM w),
+            seeded AS (
+              SELECT doc_id,
+                array_to_string([
+                  array_to_string(list_slice(words, 1, 3), ' ')
+                    || (CASE WHEN doc_id % 3 = 0 AND doc_id % 9 <> 0 THEN '.' ELSE '' END),
+                  l2,
+                  (CASE WHEN doc_id % 7 = 0 THEN array_to_string(list_slice(words, 2, 4), ' ')
+                        ELSE array_to_string(list_slice(words, 2, 7), ' ') END)
+                    || (CASE WHEN doc_id % 9 <> 0 THEN '!' ELSE '' END),
+                  array_to_string(list_slice(words, 3, 5), ' '),
+                  array_to_string(list_slice(words, 2, 4), ' ')
+                    || (CASE WHEN doc_id % 5 = 0 THEN '?' ELSE '' END),
+                  CASE WHEN doc_id % 7 = 0 THEN array_to_string(list_slice(words, 4, 6), ' ')
+                       ELSE array_to_string(list_slice(words, 4, 9), ' ') END,
+                  CASE WHEN doc_id % 6 = 0 THEN l2 ELSE array_to_string(list_slice(words, 5, 10), ' ') END,
+                  CASE WHEN doc_id % 4 = 0 THEN l2 ELSE '' END
+                ], chr(10)) AS text
+              FROM p),
+            t AS (
+              SELECT doc_id,
+                     list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+                                 l -> l <> '') AS lines
+              FROM seeded),
+            m AS (
+              SELECT doc_id,
+                CAST(len(lines) AS INT) AS n_lines,
+                CASE WHEN len(lines) > 0
+                     THEN round(len(list_filter(lines, l -> regexp_matches(l, '[.!?"]$'))) / len(lines), 6)
+                     ELSE 0.0 END AS punct_line_frac,
+                CASE WHEN coalesce(list_sum(list_transform(lines, l -> length(l))), 0) > 0
+                     THEN round((list_sum(list_transform(lines, l -> length(l)))
+                                 - list_sum(list_transform(list_distinct(lines), l -> length(l))))
+                                / list_sum(list_transform(lines, l -> length(l))), 6)
+                     ELSE 0.0 END AS dup_line_char_frac,
+                CASE WHEN len(lines) > 0
+                     THEN round(len(list_filter(lines, l -> length(l) < 30)) / len(lines), 6)
+                     ELSE 0.0 END AS short_line_frac
+              FROM t)
+            SELECT doc_id, n_lines, punct_line_frac, dup_line_char_frac, short_line_frac,
+                   punct_line_frac > 0.12 AS r_punct,
+                   dup_line_char_frac < 0.1 AS r_dup_char,
+                   short_line_frac < 0.67 AS r_short,
+                   (punct_line_frac > 0.12 AND dup_line_char_frac < 0.1
+                    AND short_line_frac < 0.67) AS keep
+            FROM m""",
+        # RefinedWeb/datatrove URL filter: identical seeded URL arms, then
+        # host extraction + the three rules recomputed (distinct soft-word
+        # count == Spark's size(array_intersect(soft, distinct url words)))
+        "curate_url_filter": """
+            WITH seeded AS (
+              SELECT doc_id,
+                'https://'
+                || (CASE WHEN doc_id % 11 = 0 THEN 'cdn.badhost.net'
+                         WHEN doc_id % 23 = 0 THEN 'badhost.net'
+                         WHEN doc_id % 19 = 0 THEN 'notbadhost.net'
+                         ELSE 'h' || CAST(doc_id % 10 AS VARCHAR) || '.example.com' END)
+                || '/p' || CAST(doc_id AS VARCHAR)
+                || (CASE WHEN doc_id % 13 = 0 THEN '/xxxstream' ELSE '' END)
+                || (CASE WHEN doc_id % 3 = 0 THEN '/casino' ELSE '' END)
+                || (CASE WHEN doc_id % 4 = 0 THEN '/poker-night' ELSE '' END)
+                AS url
+              FROM documents),
+            f AS (
+              SELECT doc_id, url, lower(url) AS low,
+                     regexp_extract(lower(url), '^[a-z][a-z0-9+.-]*://([^/?#:]+)', 1) AS host
+              FROM seeded),
+            g AS (
+              SELECT doc_id, url, host,
+                (host = 'badhost.net' OR ends_with(host, '.badhost.net')) AS domain_blocked,
+                contains(low, 'xxxstream') AS hard_hit,
+                CAST(len(list_filter(['bet', 'casino', 'poker'], sw ->
+                  list_contains(list_filter(string_split_regex(low, '[^a-z0-9]+'), x -> x <> ''), sw)
+                )) AS INT) AS soft_count
+              FROM f)
+            SELECT doc_id, url, host, domain_blocked, hard_hit, soft_count,
+                   (NOT domain_blocked AND NOT hard_hit AND soft_count < 2) AS keep
+            FROM g""",
     }

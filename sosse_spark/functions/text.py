@@ -18,7 +18,7 @@ from __future__ import annotations
 import unicodedata
 
 import pandas as pd
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import StringType
 
@@ -37,6 +37,8 @@ __all__ = [
     "hashed_classifier_score",
     "pareto_classifier_filter",
     "bigram_logprob",
+    "c4_clean",
+    "fineweb_quality",
 ]
 
 # Tiny deterministic stopword lists for the lang-ID heuristic.  Scoring is
@@ -529,4 +531,200 @@ def bigram_logprob(
         F.count(F.lit(1)).cast("int").alias("n_pairs"),
         F.round(F.avg("_nll"), 6).alias("avg_nll"),
         F.round(F.exp(F.avg("_nll")), 4).alias("ppl"),
+    )
+
+
+# C4 cleaning thresholds (Raffel et al. 2020, arXiv:1910.10683 §2.2)
+_C4_MIN_WORDS_PER_LINE = 5
+_C4_MIN_SENTENCES = 3
+# a "sentence end" for the line-keep rule includes the closing quote,
+# per the paper ("period, exclamation mark, question mark, or end
+# quotation mark"); the page-level sentence COUNT uses [.!?] only
+_C4_TERMINAL_RE = '[.!?"]$'
+
+
+def c4_clean(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    badwords: tuple[str, ...] = (),
+) -> DataFrame:
+    """C4 line/page cleaning rules (Raffel et al. 2020,
+    arXiv:1910.10683 §2.2 — the cleaning half next to the paragraph
+    dedup already in operators/dedup.py dedup_paragraphs):
+
+    line rules (a line survives iff ALL hold):
+      * ends in a terminal punctuation mark (``. ! ? "``)
+      * contains at least 5 words
+      * does not contain the word "javascript" (case-insensitive)
+
+    page rules (the whole document is dropped iff ANY holds):
+      * fewer than 3 retained sentences
+      * any bad word from the caller's list (word-boundary match on the
+        RAW text — the paper's "List of Dirty, Naughty, Obscene ..."
+        list is parameterized, not vendored)
+      * the phrase "lorem ipsum" (case-insensitive, raw text)
+      * a curly bracket ``{`` anywhere (raw text)
+
+    Output: (id, text_clean = retained lines newline-joined, n_lines,
+    n_kept, n_sentences, has_badword, has_lorem, has_brace, keep).
+    Dropped pages still emit their row with keep=false — callers
+    filter; this keeps the op certifiable end to end.
+
+    Declared deterministic variant: the reference implementation counts
+    sentences with an nltk punkt tokenizer over the retained text; here
+    n_sentences = occurrences of [.!?] in retained lines — deterministic
+    and engine-reproducible (the DuckDB oracle recomputes it exactly).
+
+    100 TB shape: two staged projections (lines, then kept-lines —
+    each staged column referenced >= 2 times so CollapseProject cannot
+    re-inline the interpreted HOFs per element), zero shuffle, no UDF,
+    no window; the only non-codegen pieces are the array HOFs."""
+    low = F.lower(F.col(text_col))
+    if badwords:
+        pat = r"\b(" + "|".join(sorted(w.lower() for w in badwords)) + r")\b"
+        has_badword = low.rlike(pat)
+    else:
+        has_badword = F.lit(False)
+    staged = df.select(
+        F.col(id_col),
+        has_badword.alias("has_badword"),
+        low.contains("lorem ipsum").alias("has_lorem"),
+        F.col(text_col).contains("{").alias("has_brace"),
+        F.filter(
+            F.transform(F.split(F.col(text_col), "\n"), lambda l: F.trim(l)),
+            lambda l: l != F.lit(""),
+        ).alias("_lines"),
+    )
+    kept = staged.select(
+        F.col(id_col),
+        "has_badword",
+        "has_lorem",
+        "has_brace",
+        F.size("_lines").alias("n_lines"),
+        F.filter(
+            F.col("_lines"),
+            lambda l: l.rlike(_C4_TERMINAL_RE)
+            & (
+                F.size(F.filter(F.split(l, r"\s+"), lambda x: x != F.lit("")))
+                >= _C4_MIN_WORDS_PER_LINE
+            )
+            & ~F.lower(l).contains("javascript"),
+        ).alias("_kept"),
+    )
+    n_sentences = F.aggregate(
+        F.col("_kept"),
+        F.lit(0),
+        lambda acc, l: acc + F.regexp_count(l, F.lit("[.!?]")).cast("int"),
+    )
+    return kept.select(
+        F.col(id_col),
+        F.array_join("_kept", "\n").alias("text_clean"),
+        F.col("n_lines").cast("int").alias("n_lines"),
+        F.size("_kept").cast("int").alias("n_kept"),
+        n_sentences.cast("int").alias("n_sentences"),
+        "has_badword",
+        "has_lorem",
+        "has_brace",
+        (
+            ~F.col("has_badword")
+            & ~F.col("has_lorem")
+            & ~F.col("has_brace")
+            & (n_sentences >= _C4_MIN_SENTENCES)
+        ).alias("keep"),
+    )
+
+
+# FineWeb custom-filter thresholds (Penedo et al. 2024,
+# arXiv:2406.17557 §3.6: the three filters FineWeb adds on top of its
+# Gopher/C4 stack).  Directions are DROP rules in the paper; `keep`
+# below is their conjunction negated per-rule.
+_FINEWEB_PUNCT_MIN = 0.12  # drop iff punct-terminated line fraction <= this
+_FINEWEB_DUP_CHAR_MAX = 0.1  # drop iff duplicated-line char fraction >= this
+_FINEWEB_SHORT_MAX = 0.67  # drop iff short-line fraction >= this
+_FINEWEB_SHORT_LEN = 30  # a "short" line has fewer than this many chars
+
+
+def fineweb_quality(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """FineWeb's three custom quality filters (Penedo et al. 2024,
+    arXiv:2406.17557 §3.6 — the filters FineWeb derived by inspecting
+    what its Gopher+C4 stack still let through):
+
+      * punct_line_frac   fraction of lines ending in terminal
+                          punctuation (C4's set: ``. ! ? "``);
+                          drop iff <= 0.12
+      * dup_line_char_frac fraction of characters in duplicated line
+                          occurrences (the gopher_repetition formula);
+                          drop iff >= 0.1
+      * short_line_frac   fraction of lines shorter than 30 chars;
+                          drop iff >= 0.67
+
+    Lines are the trimmed non-empty '\\n' splits (the same line model
+    as gopher_repetition and c4_clean).  A document with no lines fails
+    the punctuation rule (fraction 0).  Fractions are rounded to 6
+    places before thresholding so the DuckDB oracle reproduces every
+    verdict bit-exactly.
+
+    100 TB shape: one staged line projection (referenced >= 2 times so
+    the interpreted HOFs evaluate once), then per-row array algebra —
+    zero shuffle, no UDF, no window."""
+    staged = df.select(
+        F.col(id_col),
+        F.filter(
+            F.transform(F.split(F.col(text_col), "\n"), lambda l: F.trim(l)),
+            lambda l: l != F.lit(""),
+        ).alias("_lines"),
+    )
+    lines = F.col("_lines")
+    n = F.size(lines)
+    sum_len = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0), lambda acc, x: acc + F.length(x)
+    )
+    line_chars = sum_len(lines)
+    punct_frac = F.round(
+        F.when(
+            n > 0,
+            F.size(F.filter(lines, lambda l: l.rlike(_C4_TERMINAL_RE))) / n,
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    short_frac = F.round(
+        F.when(
+            n > 0,
+            F.size(
+                F.filter(lines, lambda l: F.length(l) < _FINEWEB_SHORT_LEN)
+            )
+            / n,
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    dup_char_frac = F.round(
+        F.when(
+            line_chars > 0,
+            (line_chars - sum_len(F.array_distinct(lines))) / line_chars,
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    scored = staged.select(
+        F.col(id_col),
+        n.cast("int").alias("n_lines"),
+        punct_frac.alias("punct_line_frac"),
+        dup_char_frac.alias("dup_line_char_frac"),
+        short_frac.alias("short_line_frac"),
+    )
+    f_punct = F.col("punct_line_frac") > _FINEWEB_PUNCT_MIN
+    f_dup = F.col("dup_line_char_frac") < _FINEWEB_DUP_CHAR_MAX
+    f_short = F.col("short_line_frac") < _FINEWEB_SHORT_MAX
+    return scored.select(
+        id_col,
+        "n_lines",
+        "punct_line_frac",
+        "dup_line_char_frac",
+        "short_line_frac",
+        f_punct.alias("r_punct"),
+        f_dup.alias("r_dup_char"),
+        f_short.alias("r_short"),
+        (f_punct & f_dup & f_short).alias("keep"),
     )
