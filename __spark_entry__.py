@@ -2284,6 +2284,21 @@ def q_curate_url_filter(spark, sf_dir):
     )
 
 
+def q_text_ccnet_buckets(spark, sf_dir):
+    """CCNet head/middle/tail perplexity bucketing (Wenzek et al. 2020,
+    arXiv:1911.00359 §4.4): per language, cut the corpus into tertiles
+    by LM perplexity — the bucket downstream pipelines sample by.  The
+    LM is the self-trained interpolated bigram (text_bigram_lm's
+    contract); the cut is the declared quantized variant — centi-NLL
+    bins, integer ECDF rule cum*3 <= n / <= 2n — so the oracle
+    recomputes scores, bins, cumulative counts and every bucket label
+    exactly.  Registry position ≥ 50 → driver-invisible; certified by
+    the local replica gate (pass-L)."""
+    from sosse_spark.functions.text import ccnet_ppl_buckets
+
+    return ccnet_ppl_buckets(_docs(spark, sf_dir), lam=0.7)
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -2424,6 +2439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_c4_clean": q_text_c4_clean,
         "text_fineweb_quality": q_text_fineweb_quality,
         "curate_url_filter": q_curate_url_filter,
+        "text_ccnet_buckets": q_text_ccnet_buckets,
     }
 
 
@@ -4547,4 +4563,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, url, host, domain_blocked, hard_hit, soft_count,
                    (NOT domain_blocked AND NOT hard_hit AND soft_count < 2) AS keep
             FROM g""",
+        # CCNet tertile buckets: the text_bigram_lm score CTEs, then the
+        # quantized integer ECDF cut (centi-NLL bins, cum*3 vs n_lang)
+        "text_ccnet_buckets": """
+            WITH toked AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                 x -> x <> '') AS l
+              FROM documents),
+            tok AS (
+              SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos
+              FROM toked),
+            c1 AS (SELECT tok, CAST(count(*) AS DOUBLE) AS c1 FROM tok GROUP BY tok),
+            tt AS (SELECT sum(c1) AS total FROM c1),
+            pairs AS (
+              SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+              FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+            c2 AS (SELECT w1, w2, CAST(count(*) AS DOUBLE) AS c2 FROM pairs GROUP BY w1, w2),
+            nll AS (
+              SELECT p.doc_id,
+                     -ln(0.7 * c2.c2 / u1.c1 + 0.3 * u2.c1 / tt.total) AS nll
+              FROM pairs p
+              JOIN c2 ON p.w1 = c2.w1 AND p.w2 = c2.w2
+              JOIN c1 u1 ON p.w1 = u1.tok
+              JOIN c1 u2 ON p.w2 = u2.tok
+              CROSS JOIN tt),
+            sc AS (
+              SELECT doc_id, round(avg(nll), 6) AS avg_nll,
+                     round(exp(avg(nll)), 4) AS ppl
+              FROM nll GROUP BY doc_id),
+            sl AS (
+              SELECT s.doc_id, d.lang, s.avg_nll, s.ppl,
+                     CAST(floor(s.avg_nll * 100) AS BIGINT) AS nll_bin
+              FROM sc s JOIN documents d USING (doc_id)),
+            bi AS (SELECT lang, nll_bin, count(*) AS bc FROM sl GROUP BY lang, nll_bin),
+            cb AS (SELECT lang, nll_bin,
+                          CAST(sum(bc) OVER (PARTITION BY lang ORDER BY nll_bin) AS BIGINT) AS cum
+                   FROM bi),
+            nl AS (SELECT lang, CAST(count(*) AS BIGINT) AS nlang FROM sl GROUP BY lang)
+            SELECT sl.doc_id, sl.lang, sl.avg_nll, sl.ppl, sl.nll_bin,
+                   CASE WHEN cb.cum * 3 <= nl.nlang THEN 'head'
+                        WHEN cb.cum * 3 <= 2 * nl.nlang THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM sl
+            JOIN cb USING (lang, nll_bin)
+            JOIN nl USING (lang)""",
     }

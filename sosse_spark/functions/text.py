@@ -635,6 +635,77 @@ def c4_clean(
     )
 
 
+# CCNet bucket grid: scores quantize into centi-NLL bins before the
+# per-language ECDF cut, so the tertile rule is pure integer algebra
+# (engine- and oracle-reproducible) and the cumulative window runs
+# over a BOUNDED bin table instead of every document.
+_CCNET_BIN_SCALE = 100
+
+
+def ccnet_ppl_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    lam: float = 0.7,
+) -> DataFrame:
+    """CCNet head/middle/tail perplexity bucketing (Wenzek et al. 2020,
+    arXiv:1911.00359 §4.4: per language, order documents by LM
+    perplexity and cut the corpus into three equal parts — "head" is
+    the Wikipedia-like third, "tail" the noisiest; downstream training
+    sets sample by bucket).  The LM is the engine's self-trained
+    interpolated bigram (bigram_logprob — the deterministic stand-in
+    for CCNet's external KenLM, same contract as text_bigram_lm).
+
+    Deterministic variant (declared): CCNet computes per-language
+    percentile cutoffs over a histogram of perplexities; here the
+    histogram bins are floor(avg_nll * 100) (centi-NLL), and a bin
+    belongs to
+        head    iff  cum(bin) * 3 <= n_lang
+        middle  iff  cum(bin) * 3 <= 2 * n_lang  (and not head)
+        tail    otherwise
+    where cum(bin) counts documents in the language scoring <= the
+    bin.  Bin groups are atomic (every doc in a bin shares its
+    bucket), and the rule is integer-only — no interpolated-quantile
+    float edge can diverge between engines.  Docs with < 2 tokens have
+    no pairs to score and drop out (bigram_logprob's contract).
+
+    Output: (id, lang, avg_nll, ppl, nll_bin, bucket).
+
+    100 TB shape: bigram_logprob's passes, then ONE map-side-combinable
+    (lang, bin) count, a cumulative window over the BOUNDED bin table
+    (<= a few thousand rows per language — never a per-document
+    window), a 1-row-per-language count broadcast, and a thin hash
+    join back on (lang, bin).  No UDF, no global sort."""
+    from pyspark.sql import Window
+
+    scored = bigram_logprob(df, id_col=id_col, text_col=text_col, lam=lam)
+    s = scored.join(df.select(id_col, lang_col), id_col).withColumn(
+        "nll_bin", F.floor(F.col("avg_nll") * _CCNET_BIN_SCALE).cast("long")
+    )
+    bins = s.groupBy(lang_col, "nll_bin").agg(F.count(F.lit(1)).alias("_c"))
+    w = Window.partitionBy(lang_col).orderBy("nll_bin")
+    cum = bins.withColumn("_cum", F.sum("_c").over(w)).drop("_c")
+    n_lang = s.groupBy(lang_col).agg(F.count(F.lit(1)).alias("_n"))
+    bucket = (
+        F.when(F.col("_cum") * 3 <= F.col("_n"), F.lit("head"))
+        .when(F.col("_cum") * 3 <= 2 * F.col("_n"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        s.join(cum, [lang_col, "nll_bin"])
+        .join(F.broadcast(n_lang), lang_col)
+        .select(
+            id_col,
+            lang_col,
+            "avg_nll",
+            "ppl",
+            "nll_bin",
+            bucket.alias("bucket"),
+        )
+    )
+
+
 # FineWeb custom-filter thresholds (Penedo et al. 2024,
 # arXiv:2406.17557 §3.6: the three filters FineWeb adds on top of its
 # Gopher/C4 stack).  Directions are DROP rules in the paper; `keep`
