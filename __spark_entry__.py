@@ -2299,6 +2299,43 @@ def q_text_ccnet_buckets(spark, sf_dir):
     return ccnet_ppl_buckets(_docs(spark, sf_dir), lam=0.7)
 
 
+def q_dedup_c4_spans(spark, sf_dir):
+    """C4 corpus-level three-sentence-span dedup (Raffel et al. 2020,
+    arXiv:1910.10683 §2.2: discard all but one of any three-sentence
+    span occurring more than once in the data set) — the cross-document
+    rule next to dedup_paragraphs; operators/dedup.py c4_span_dedup.
+
+    The driver corpus is unpunctuated, so the entry SEEDS sentence
+    structure: per-doc unique sentences interleaved with a shared
+    3-sentence block on mod-7 and mod-3 (cross-doc dedup, intra-doc
+    repeat on mod-21) and a shared 2-sentence block on mod-5 (spans
+    covering it include a unique neighbor — certifies that only FULL
+    3-spans dedup).  The oracle rebuilds the identical input and
+    recomputes spans, first-occurrence ranks, sentence removal and
+    reassembled text exactly.  Registry position ≥ 50 →
+    driver-invisible; certified by the local replica gate (pass-L)."""
+    from sosse_spark.operators.dedup import c4_span_dedup
+
+    d = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    did = i.cast("string")
+    triple = "common alpha one. common beta two. common gamma three."
+    pair = "shared pair one. shared pair two."
+    seeded = d.select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.concat(F.lit("u"), did, F.lit(" opening words here.")),
+            F.when(i % 7 == 0, F.lit(triple)),
+            F.concat(F.lit("mid"), did, F.lit(" middle words now.")),
+            F.when(i % 5 == 0, F.lit(pair)),
+            F.concat(F.lit("end"), did, F.lit(" closing words done.")),
+            F.when(i % 3 == 0, F.lit(triple)),
+        ).alias("text"),
+    )
+    return c4_span_dedup(seeded)
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -2440,6 +2477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fineweb_quality": q_text_fineweb_quality,
         "curate_url_filter": q_curate_url_filter,
         "text_ccnet_buckets": q_text_ccnet_buckets,
+        "dedup_c4_spans": q_dedup_c4_spans,
     }
 
 
@@ -4608,4 +4646,56 @@ def oracle_sql() -> dict[str, str]:
             FROM sl
             JOIN cb USING (lang, nll_bin)
             JOIN nl USING (lang)""",
+        # C4 three-sentence-span dedup: identical seeded construction,
+        # spans via a fixed 64-position grid (seeded docs have <= 11
+        # sentences — documented bound; DuckDB range() takes no lateral
+        # args), removal rule = row_number > 1 per span digest
+        "dedup_c4_spans": """
+            WITH seeded AS (
+              SELECT doc_id, concat_ws(' ',
+                'u' || CAST(doc_id AS VARCHAR) || ' opening words here.',
+                CASE WHEN doc_id % 7 = 0 THEN 'common alpha one. common beta two. common gamma three.' END,
+                'mid' || CAST(doc_id AS VARCHAR) || ' middle words now.',
+                CASE WHEN doc_id % 5 = 0 THEN 'shared pair one. shared pair two.' END,
+                'end' || CAST(doc_id AS VARCHAR) || ' closing words done.',
+                CASE WHEN doc_id % 3 = 0 THEN 'common alpha one. common beta two. common gamma three.' END
+              ) AS text
+              FROM documents),
+            sa AS (
+              SELECT doc_id,
+                     list_transform(regexp_extract_all(text, '[^.!?]+[.!?]'),
+                                    x -> trim(x)) AS l
+              FROM seeded),
+            sents AS (
+              SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS sent
+              FROM sa),
+            grid AS (SELECT CAST(unnest(range(1, 65)) AS INT) AS p),
+            spans AS (
+              SELECT s.doc_id, g.p,
+                     md5(l[g.p] || ' ' || l[g.p + 1] || ' ' || l[g.p + 2]) AS h
+              FROM sa s CROSS JOIN grid g
+              WHERE g.p <= len(s.l) - 2),
+            rs AS (
+              SELECT doc_id, p,
+                     row_number() OVER (PARTITION BY h ORDER BY doc_id, p) AS rn
+              FROM spans),
+            k3 AS (SELECT CAST(unnest([0, 1, 2]) AS INT) AS k),
+            rem AS (
+              SELECT DISTINCT doc_id, p + k AS pos
+              FROM rs CROSS JOIN k3 WHERE rn > 1),
+            keptx AS (
+              SELECT s.doc_id, s.pos, s.sent
+              FROM sents s LEFT JOIN rem r
+                ON s.doc_id = r.doc_id AND s.pos = r.pos
+              WHERE r.doc_id IS NULL),
+            re AS (
+              SELECT doc_id, string_agg(sent, ' ' ORDER BY pos) AS text,
+                     count(*) AS kc
+              FROM keptx GROUP BY doc_id),
+            tot AS (SELECT doc_id, CAST(len(l) AS INT) AS ns FROM sa)
+            SELECT t.doc_id AS _id, coalesce(re.text, '') AS text,
+                   t.ns AS n_sentences,
+                   CAST(coalesce(re.kc, 0) AS INT) AS kept_sentences,
+                   CAST(t.ns - coalesce(re.kc, 0) AS INT) AS removed_sentences
+            FROM tot t LEFT JOIN re USING (doc_id)""",
     }

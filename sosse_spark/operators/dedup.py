@@ -41,6 +41,7 @@ __all__ = [
     "dedup_components",
     "dedup_canonical",
     "dedup_substring",
+    "c4_span_dedup",
 ]
 
 
@@ -768,4 +769,92 @@ def dedup_substring(
         F.coalesce("text", F.lit("")).alias("text"),
         F.coalesce("kept_tokens", F.lit(0)).cast("int").alias("kept_tokens"),
         (F.col("_total") - F.coalesce("kept_tokens", F.lit(0))).cast("int").alias("removed_tokens"),
+    )
+
+
+def c4_span_dedup(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """C4's corpus-level THREE-SENTENCE-SPAN dedup (Raffel et al. 2020,
+    arXiv:1910.10683 §2.2: "we discarded all but one of any
+    three-sentence span occurring more than once in the data set" —
+    the cross-document rule next to dedup_paragraphs' paragraph
+    granularity and functions/text.c4_clean's per-page rules).
+
+    Sentences are the trimmed matches of ``[^.!?]+[.!?]`` (the same
+    deterministic stand-in for nltk punkt declared by c4_clean); a
+    span at 1-based position p is sentences p, p+1, p+2 joined by one
+    space.  Every span occurrence beyond the corpus-first (lowest
+    (id, p)) marks its three sentences for removal; documents
+    reassemble from surviving sentences in order.  Overlapping
+    duplicate spans remove the union of their sentences (including
+    intra-document repeats).
+
+    Output: (_id, text = kept sentences space-joined, n_sentences,
+    kept_sentences, removed_sentences) — one row per input doc;
+    sentence-less docs keep n_sentences = 0 and text ''.
+
+    Scale shape: sentences and spans derive from ONE staged sentence
+    array (no per-doc window for adjacency); span occurrences shuffle
+    as thin (md5, id, p) rows — ONE digest-keyed exchange with a
+    row_number window whose partitions are duplicate groups; removed
+    sentences fan out <= 3x removed spans and anti-join the sentence
+    rows on (id, pos); one per-doc reassembly shuffle.  No UDF, no
+    global sort, nothing driver-side."""
+    sent_arr = F.transform(
+        F.regexp_extract_all(F.col(text_col), F.lit(r"[^.!?]+[.!?]"), 0),
+        lambda s: F.trim(s),
+    )
+    staged = docs.select(F.col(id_col).alias("_id"), sent_arr.alias("_sents"))
+    n = F.size("_sents")
+    sents = staged.select("_id", F.posexplode("_sents").alias("pos0", "sent")).select(
+        "_id", (F.col("pos0") + 1).alias("pos"), "sent"
+    )
+    spans = staged.select(
+        "_id",
+        F.explode(
+            F.when(n >= 3, F.sequence(F.lit(1), n - 2)).otherwise(
+                F.array().cast("array<int>")
+            )
+        ).alias("p"),
+        F.col("_sents"),
+    ).select(
+        "_id",
+        "p",
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.element_at("_sents", F.col("p")),
+                F.element_at("_sents", F.col("p") + 1),
+                F.element_at("_sents", F.col("p") + 2),
+            )
+        ).alias("h"),
+    )
+    w = Window.partitionBy("h").orderBy("_id", "p")
+    removed_spans = (
+        spans.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") > 1)
+    )
+    removed_sents = removed_spans.select(
+        "_id", F.explode(F.sequence(F.col("p"), F.col("p") + 2)).alias("pos")
+    ).distinct()
+    kept = sents.join(removed_sents, ["_id", "pos"], "left_anti")
+    reassembled = kept.groupBy("_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "sent"))),
+                lambda x: x["sent"],
+            ),
+            " ",
+        ).alias("text"),
+        F.count("*").alias("_kept"),
+    )
+    totals = staged.select("_id", n.alias("_total"))
+    return totals.join(reassembled, "_id", "left").select(
+        "_id",
+        F.coalesce("text", F.lit("")).alias("text"),
+        F.col("_total").cast("int").alias("n_sentences"),
+        F.coalesce("_kept", F.lit(0)).cast("int").alias("kept_sentences"),
+        (F.col("_total") - F.coalesce("_kept", F.lit(0)))
+        .cast("int")
+        .alias("removed_sentences"),
     )
