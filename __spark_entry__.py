@@ -2336,6 +2336,41 @@ def q_dedup_c4_spans(spark, sf_dir):
     return c4_span_dedup(seeded)
 
 
+def q_text_script(spark, sf_dir):
+    """Unicode script profiling (the writing-system gate ahead of
+    n-gram language ID — CCNet §4.2 / CLD-style pipelines partition
+    the crawl by script first): per-block character fractions + the
+    dominant script via the staged O(K) integer argmax
+    (functions/text.py script_profile — one codegen'd projection,
+    zero shuffle).
+
+    The driver corpus is ASCII, so the entry SEEDS script runs onto a
+    40-char Latin base: cyrillic/cjk repeats whose lengths vary with
+    doc_id (dominance actually flips), plus greek/arabic/hangul arms
+    on small moduli.  The oracle rebuilds the identical input and
+    recounts every block with RE2 — \\x{...} classes parse the same in
+    Java regex and RE2, and all blocks are BMP so code-point lengths
+    agree.  Registry position ≥ 50 → driver-invisible; certified by
+    the local replica gate (pass-L)."""
+    from sosse_spark.functions.text import script_profile
+
+    d = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    seeded = d.select(
+        "doc_id",
+        F.concat_ws(
+            "",
+            F.substring("text", 1, 40),
+            F.when(i % 3 == 0, F.repeat(F.lit(" привет мир"), (i % 4 + 1).cast("int"))),
+            F.when(i % 5 == 0, F.repeat(F.lit(" 中文字符测试"), (i % 3 + 2).cast("int"))),
+            F.when(i % 7 == 0, F.lit(" ελληνικά")),
+            F.when(i % 11 == 0, F.lit(" العربية")),
+            F.when(i % 13 == 0, F.lit(" 한국어 글자")),
+        ).alias("text"),
+    )
+    return script_profile(seeded)
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -2478,6 +2513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_url_filter": q_curate_url_filter,
         "text_ccnet_buckets": q_text_ccnet_buckets,
         "dedup_c4_spans": q_dedup_c4_spans,
+        "text_script": q_text_script,
     }
 
 
@@ -4698,4 +4734,45 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(re.kc, 0) AS INT) AS kept_sentences,
                    CAST(t.ns - coalesce(re.kc, 0) AS INT) AS removed_sentences
             FROM tot t LEFT JOIN re USING (doc_id)""",
+        # Script profiling: identical seeded construction; block counts
+        # via len(regexp_extract_all(...)) (RE2 \x{...} classes ==
+        # the Spark side's Java regex, all blocks BMP so code-point
+        # lengths agree); dominant script = first-index max over the
+        # integer count list, ties to priority order
+        "text_script": """
+            WITH seeded AS (
+              SELECT doc_id, concat_ws('',
+                substr(text, 1, 40),
+                CASE WHEN doc_id % 3 = 0
+                     THEN repeat(' привет мир', CAST(doc_id % 4 + 1 AS INT)) END,
+                CASE WHEN doc_id % 5 = 0
+                     THEN repeat(' 中文字符测试', CAST(doc_id % 3 + 2 AS INT)) END,
+                CASE WHEN doc_id % 7 = 0 THEN ' ελληνικά' END,
+                CASE WHEN doc_id % 11 = 0 THEN ' العربية' END,
+                CASE WHEN doc_id % 13 = 0 THEN ' 한국어 글자' END
+              ) AS text
+              FROM documents),
+            c AS (
+              SELECT doc_id, length(text) AS n,
+                [CAST(len(regexp_extract_all(text, '[A-Za-z\\x{00C0}-\\x{024F}]')) AS INT),
+                 CAST(len(regexp_extract_all(text, '[\\x{0400}-\\x{04FF}]')) AS INT),
+                 CAST(len(regexp_extract_all(text, '[\\x{0370}-\\x{03FF}]')) AS INT),
+                 CAST(len(regexp_extract_all(text, '[\\x{4E00}-\\x{9FFF}\\x{3040}-\\x{30FF}]')) AS INT),
+                 CAST(len(regexp_extract_all(text, '[\\x{0600}-\\x{06FF}]')) AS INT),
+                 CAST(len(regexp_extract_all(text, '[\\x{AC00}-\\x{D7AF}\\x{1100}-\\x{11FF}]')) AS INT)] AS cl,
+                CAST(len(regexp_extract_all(text, '[0-9]')) AS INT) AS dig
+              FROM seeded)
+            SELECT doc_id, CAST(n AS INT) AS n_chars,
+              round(CASE WHEN n > 0 THEN cl[1] / n ELSE 0.0 END, 6) AS latin_frac,
+              round(CASE WHEN n > 0 THEN cl[2] / n ELSE 0.0 END, 6) AS cyrillic_frac,
+              round(CASE WHEN n > 0 THEN cl[3] / n ELSE 0.0 END, 6) AS greek_frac,
+              round(CASE WHEN n > 0 THEN cl[4] / n ELSE 0.0 END, 6) AS cjk_frac,
+              round(CASE WHEN n > 0 THEN cl[5] / n ELSE 0.0 END, 6) AS arabic_frac,
+              round(CASE WHEN n > 0 THEN cl[6] / n ELSE 0.0 END, 6) AS hangul_frac,
+              round(CASE WHEN n > 0 THEN dig / n ELSE 0.0 END, 6) AS digit_frac,
+              CASE WHEN list_aggregate(cl, 'max') > 0
+                   THEN (['latin', 'cyrillic', 'greek', 'cjk', 'arabic', 'hangul'])[
+                        list_position(cl, list_aggregate(cl, 'max'))]
+                   ELSE 'other' END AS script
+            FROM c""",
     }

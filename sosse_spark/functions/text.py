@@ -635,6 +635,74 @@ def c4_clean(
     )
 
 
+# Unicode script ranges for script_profile — BMP-only blocks (no
+# surrogate pairs, so Spark's and DuckDB's code-point length() agree)
+# in PRIORITY order: dominant-script ties break toward the earlier
+# entry (argmax = first index of the max, the staged array_position
+# pattern).  \x{...} escapes parse identically in Java regex and RE2.
+_SCRIPT_BLOCKS = (
+    ("latin", "[A-Za-z\\x{00C0}-\\x{024F}]"),
+    ("cyrillic", "[\\x{0400}-\\x{04FF}]"),
+    ("greek", "[\\x{0370}-\\x{03FF}]"),
+    ("cjk", "[\\x{4E00}-\\x{9FFF}\\x{3040}-\\x{30FF}]"),
+    ("arabic", "[\\x{0600}-\\x{06FF}]"),
+    ("hangul", "[\\x{AC00}-\\x{D7AF}\\x{1100}-\\x{11FF}]"),
+)
+_SCRIPT_DIGIT = "[0-9]"
+
+
+def script_profile(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Unicode script profiling — the writing-system half of language
+    ID (CLD/fastText pipelines gate on script before n-gram language
+    scoring; CCNet §4.2 and Gopher both partition the crawl by
+    language, which first requires knowing the script): per document,
+    the fraction of characters in each major script block and the
+    dominant script.
+
+    Blocks (BMP-only, so cross-engine code-point counts agree): latin
+    (ASCII + Latin-1/Extended), cyrillic, greek, cjk (unified
+    ideographs + kana), arabic, hangul, plus a digit fraction.
+    Fractions are count/length(text) rounded to 6; `script` is the
+    argmax over the BLOCK COUNTS (integers — no float-tie edge), ties
+    to the priority order above, 'other' when no block matches at all.
+
+    100 TB shape: one codegen'd projection of regexp_count columns and
+    a STAGED count array referenced twice (array_position + element_at
+    — the O(K) argmax pattern, not an O(K²) CASE chain); zero shuffle,
+    zero UDF, zero join."""
+    total = F.length(F.col(text_col))
+    counts = F.array(
+        *[
+            F.regexp_count(F.col(text_col), F.lit(pat)).cast("int")
+            for _, pat in _SCRIPT_BLOCKS
+        ]
+    )
+    staged = df.select(
+        F.col(id_col),
+        total.alias("n_chars"),
+        counts.alias("_cnt"),
+        F.regexp_count(F.col(text_col), F.lit(_SCRIPT_DIGIT))
+        .cast("int")
+        .alias("_dig"),
+    )
+    frac = lambda c: F.round(  # noqa: E731
+        F.when(F.col("n_chars") > 0, c / F.col("n_chars")).otherwise(F.lit(0.0)), 6
+    )
+    names = F.array(*[F.lit(nm) for nm, _ in _SCRIPT_BLOCKS])
+    script = F.when(
+        F.array_max("_cnt") > 0,
+        F.element_at(names, F.array_position("_cnt", F.array_max("_cnt")).cast("int")),
+    ).otherwise(F.lit("other"))
+    cols = [F.col(id_col), F.col("n_chars").cast("int").alias("n_chars")]
+    for j, (nm, _) in enumerate(_SCRIPT_BLOCKS):
+        cols.append(frac(F.element_at("_cnt", j + 1)).alias(f"{nm}_frac"))
+    cols.append(frac(F.col("_dig")).alias("digit_frac"))
+    cols.append(script.alias("script"))
+    return staged.select(*cols)
+
+
 # CCNet bucket grid: scores quantize into centi-NLL bins before the
 # per-language ECDF cut, so the tertile rule is pure integer algebra
 # (engine- and oracle-reproducible) and the cumulative window runs
