@@ -834,3 +834,78 @@ def test_wds_shard_plan_zero_joins_bounded_windows(spark):
             assert "_salt" in desc or "shard_id" in desc, desc
         if "Exchange" in k:
             assert "SinglePartition" not in n.simpleString(200), n.simpleString(200)
+
+
+def _walk_nodes(df):
+    root = df._jdf.queryExecution().executedPlan()
+
+    def walk(node):
+        yield node
+        ch = node.children()
+        for i in range(ch.size()):
+            yield from walk(ch.apply(i))
+
+    return list(walk(root))
+
+
+def test_script_profile_zero_exchange(spark):
+    """Script profiling is one codegen'd projection — no shuffle, no
+    join, no Python boundary (SURVEY's 100 TB shape claim)."""
+    from sosse_spark.functions.text import script_profile
+
+    docs = spark.range(8).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("abc привет "), F.col("id").cast("string")).alias("text"),
+    )
+    kinds = [n.getClass().getSimpleName() for n in _walk_nodes(script_profile(docs))]
+    assert not any("Exchange" in k or "Join" in k or "Python" in k for k in kinds)
+
+
+def test_c4_span_dedup_thin_span_exchange(spark):
+    """The span-occurrence shuffle carries only (md5, id, p) — never
+    sentence text or the staged sentence array; and nothing in the
+    plan is a cartesian/broadcast-nested-loop join."""
+    from sosse_spark.operators.dedup import c4_span_dedup
+
+    docs = spark.range(30).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("u"), F.col("id").cast("string"),
+            F.lit(" one. common a. common b. common c. tail."),
+        ).alias("text"),
+    )
+    nodes = _walk_nodes(c4_span_dedup(docs))
+    kinds = [n.getClass().getSimpleName() for n in nodes]
+    assert not any("Cartesian" in k or "BroadcastNestedLoop" in k for k in kinds)
+    saw_span_exchange = False
+    for n, k in zip(nodes, kinds):
+        if "ShuffleExchange" not in k:
+            continue
+        out = n.output()
+        names = [out.apply(i).name() for i in range(out.size())]
+        if "h" in names:
+            assert "sent" not in names and "_sents" not in names, names
+            assert len(names) <= 4, names
+            saw_span_exchange = True
+        # the staged sentence ARRAY never rides any exchange
+        assert "_sents" not in names, names
+    assert saw_span_exchange
+
+
+def test_ccnet_buckets_no_cartesian_and_broadcast_nlang(spark):
+    """The tertile cut joins the 1-row-per-language count via
+    broadcast; nothing in the bigram-LM + bucket plan is a cartesian
+    product (the per-doc scores join thin hash keys only)."""
+    from sosse_spark.functions.text import ccnet_ppl_buckets
+
+    docs = spark.range(24).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("w"), (F.col("id") % 5).cast("string"), F.lit(" common words here")).alias("text"),
+        F.concat(F.lit("l"), (F.col("id") % 2).cast("string")).alias("lang"),
+    )
+    kinds = [
+        n.getClass().getSimpleName() for n in _walk_nodes(ccnet_ppl_buckets(docs))
+    ]
+    assert not any("Cartesian" in k for k in kinds)
+    assert any("BroadcastHashJoin" in k for k in kinds)
+    assert not any("Python" in k or "ArrowEval" in k for k in kinds)
