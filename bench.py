@@ -148,6 +148,12 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> dict[str, float]:
         "dsir_resample",
         "curate_aspect_bucket",
         "wds_shard_plan",
+        # late round-5 additions
+        "text_c4_clean",
+        "curate_url_filter",
+        "text_script",
+        "text_ccnet_buckets",
+        "dedup_c4_spans",
     ]
     qs = e.queries()
     out: dict[str, float] = {}
