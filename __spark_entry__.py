@@ -2371,6 +2371,123 @@ def q_text_script(spark, sf_dir):
     return script_profile(seeded)
 
 
+_FUNNEL_FILL_EN = (
+    "the quick brown fox jumps over the lazy dog again and again today run"
+)
+_FUNNEL_FILL_FR = (
+    "le chat est sur la table et une souris les voit de loin run"
+)
+
+
+def _funnel_verdicts(spark, sf_dir):
+    """Shared seeding + stage-verdict assembly for the two funnel
+    entries: line-structured text with arms for every stage (mod-23
+    French -> lang fails; mod-19 no filler -> Gopher word-count fails;
+    mod-11/13/17 lorem/brace/badword -> C4 page drops; mod-29
+    duplicated filler line -> FineWeb dup-char fails), then the four
+    certified stage verdicts (lang_id == en, gopher_pass, c4 keep,
+    fineweb keep) joined thin on doc_id into curation_funnel."""
+    from sosse_spark.functions.text import (
+        c4_clean,
+        fineweb_quality,
+        gopher_quality_flags,
+        lang_id_expr,
+    )
+    from sosse_spark.operators.curation import curation_funnel
+
+    d = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    did = i.cast("string")
+    w = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != F.lit(""))
+
+    def dline(start, n, tail):
+        return F.concat(F.concat_ws(" ", F.slice(w, start, n)), F.lit(tail))
+
+    fill = F.when(i % 23 == 0, F.lit(_FUNNEL_FILL_FR)).otherwise(
+        F.lit(_FUNNEL_FILL_EN)
+    )
+    base = F.when(
+        i % 23 == 0,
+        F.concat_ws(
+            "\n",
+            F.concat(F.lit("doc"), did, F.lit(" le chat est sur la table ici.")),
+            F.lit("et une souris les voit de loin encore."),
+            F.concat(F.lit("il dort dans la maison depuis hier doc"), did, F.lit(".")),
+        ),
+    ).otherwise(
+        F.concat_ws("\n", dline(1, 6, "."), dline(3, 6, "!"), dline(5, 6, "?"))
+    )
+    filler = F.when(
+        i % 19 != 0,
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(4)),
+                lambda j: F.concat(fill, F.lit(" "), j.cast("string"), F.lit(".")),
+            ),
+            "\n",
+        ),
+    )
+    dup_line = F.concat(fill, F.lit(" 1."))
+    seeded = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            base,
+            filler,
+            F.when(i % 11 == 0, F.lit("neque porro lorem ipsum dolor sit amet.")),
+            F.when(i % 13 == 0, F.lit("var config = { enabled: true };")),
+            F.when(i % 17 == 0, F.lit("this line contains frak badness today ok.")),
+            F.when(i % 29 == 0, F.concat_ws("\n", dup_line, dup_line)),
+        ).alias("text"),
+    )
+    base_v = seeded.select(
+        "doc_id",
+        (lang_id_expr(F.col("text")) == "en").alias("v_lang"),
+        gopher_quality_flags(F.col("text"))[-1].alias("v_gopher"),
+    )
+    c4v = c4_clean(seeded, badwords=("frak", "gorram")).select(
+        "doc_id", F.col("keep").alias("v_c4")
+    )
+    fwv = fineweb_quality(seeded).select("doc_id", F.col("keep").alias("v_fineweb"))
+    joined = base_v.join(c4v, "doc_id").join(fwv, "doc_id")
+    return curation_funnel(
+        joined,
+        [
+            ("lang", "v_lang"),
+            ("gopher", "v_gopher"),
+            ("c4", "v_c4"),
+            ("fineweb", "v_fineweb"),
+        ],
+    )
+
+
+def q_curate_funnel(spark, sf_dir):
+    """Ordered curation-funnel composition (the FineWeb §3 processing
+    shape: language ID → Gopher → C4 → custom filters, each doc
+    attributed to its FIRST failing stage; RefinedWeb Fig. 2 reports
+    the same per-stage attrition).  Four already-certified stage
+    verdicts compose through operators/curation.py curation_funnel;
+    the oracle rebuilds the seeded input and recomputes every stage
+    rule, first_failed and keep exactly.  Registry position ≥ 50 →
+    driver-invisible; certified by the local replica gate (pass-L)."""
+    return _funnel_verdicts(spark, sf_dir)
+
+
+def q_curate_funnel_stats(spark, sf_dir):
+    """Per-stage attrition over the curation funnel (the funnel table
+    pipeline reports publish — docs entering, removed by, surviving
+    each stage; n_in chains from the previous stage's n_out).  ONE
+    map-side-combinable global aggregation, K rows exploded from a
+    literal struct array on the 1-row result.  Registry position ≥ 50
+    → driver-invisible; certified by the local replica gate
+    (pass-L)."""
+    from sosse_spark.operators.curation import funnel_stats
+
+    return funnel_stats(
+        _funnel_verdicts(spark, sf_dir), ["lang", "gopher", "c4", "fineweb"]
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -2386,6 +2503,12 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver certifies exactly the FIRST 50 entries
     # of this dict (insertion order). Rounds 1-4 proved the tail 15 never
+    # --- curation-funnel shared CTE chain: seeded input + the four
+    # certified stage rules (langid markers, Gopher flags, C4 page
+    # rules, FineWeb fractions) + first-failed attribution — used by
+    # both curate_funnel (per-doc) and curate_funnel_stats (attrition).
+    # Literal braces are doubled (f-string); list_filter(IS NOT NULL)
+    # ≙ Spark concat_ws's NULL-skipping.
     # got driver rows, so round 5 rotates them to the front: the 8
     # never-certified entries first, then the 7 whose driver greens are
     # stale (r01-r03), then the r04-green entries. The 15 entries that
@@ -2514,6 +2637,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_ccnet_buckets": q_text_ccnet_buckets,
         "dedup_c4_spans": q_dedup_c4_spans,
         "text_script": q_text_script,
+        "curate_funnel": q_curate_funnel,
+        "curate_funnel_stats": q_curate_funnel_stats,
     }
 
 
@@ -2970,6 +3095,115 @@ def oracle_sql() -> dict[str, str]:
         )
 
     c_en, c_fr, c_de, c_es = (_marker(x) for x in ("en", "fr", "de", "es"))
+
+    funnel_cte = f"""
+        WITH w AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS words
+          FROM documents),
+        p AS (
+          SELECT doc_id, words,
+                 CASE WHEN doc_id % 23 = 0
+                      THEN '{_FUNNEL_FILL_FR}'
+                      ELSE '{_FUNNEL_FILL_EN}' END AS fl
+          FROM w),
+        seeded AS (
+          SELECT doc_id,
+            array_to_string(list_filter([
+              CASE WHEN doc_id % 23 = 0
+                   THEN 'doc' || CAST(doc_id AS VARCHAR) || ' le chat est sur la table ici.'
+                     || chr(10) || 'et une souris les voit de loin encore.'
+                     || chr(10) || 'il dort dans la maison depuis hier doc' || CAST(doc_id AS VARCHAR) || '.'
+                   ELSE array_to_string(list_slice(words, 1, 6), ' ') || '.'
+                     || chr(10) || array_to_string(list_slice(words, 3, 8), ' ') || '!'
+                     || chr(10) || array_to_string(list_slice(words, 5, 10), ' ') || '?' END,
+              CASE WHEN doc_id % 19 <> 0
+                   THEN fl || ' 1.' || chr(10) || fl || ' 2.' || chr(10)
+                     || fl || ' 3.' || chr(10) || fl || ' 4.' END,
+              CASE WHEN doc_id % 11 = 0 THEN 'neque porro lorem ipsum dolor sit amet.' END,
+              CASE WHEN doc_id % 13 = 0 THEN 'var config = {{ enabled: true }};' END,
+              CASE WHEN doc_id % 17 = 0 THEN 'this line contains frak badness today ok.' END,
+              CASE WHEN doc_id % 29 = 0 THEN fl || ' 1.' || chr(10) || fl || ' 1.' END
+            ], x -> x IS NOT NULL), chr(10)) AS text
+          FROM p),
+        lv AS (
+          SELECT doc_id,
+                 (greatest({c_en}, {c_fr}, {c_de}, {c_es}) > 0
+                  AND {c_en} = greatest({c_en}, {c_fr}, {c_de}, {c_es})) AS s_lang
+          FROM seeded),
+        gw AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS gwords,
+                 list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS glines,
+                 text
+          FROM seeded),
+        gm AS (
+          SELECT doc_id,
+                 len(gwords) AS n_words,
+                 length(array_to_string(gwords, '')) AS chars,
+                 greatest(len(glines), 1) AS n_lines,
+                 len(list_filter(glines, l -> regexp_matches(trim(l), '^[-*•]'))) AS bullet_lines,
+                 len(list_filter(glines, l -> ends_with(trim(l), '...'))) AS ellipsis_lines,
+                 len(list_filter(gwords, x -> regexp_matches(x, '\\pL'))) AS alpha_words,
+                 len(list_intersect(list_distinct(string_split_regex(lower(text), '[^a-z]+')),
+                     ['the','be','to','of','and','that','have','with'])) AS n_stop
+          FROM gw),
+        gv AS (
+          SELECT doc_id,
+            ((n_words >= 50 AND n_words <= 100000)
+             AND (CASE WHEN n_words > 0 THEN CAST(chars AS DOUBLE)/n_words ELSE 0.0 END) >= 3.0
+             AND (CASE WHEN n_words > 0 THEN CAST(chars AS DOUBLE)/n_words ELSE 0.0 END) <= 10.0
+             AND CAST(ellipsis_lines AS DOUBLE)/n_lines <= 0.3
+             AND CAST(bullet_lines AS DOUBLE)/n_lines <= 0.9
+             AND (CASE WHEN n_words > 0 THEN CAST(alpha_words AS DOUBLE)/n_words ELSE 0.0 END) >= 0.8
+             AND n_stop >= 2) AS s_gopher
+          FROM gm),
+        ct AS (
+          SELECT doc_id, text,
+                 list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+                             l -> l <> '') AS clines
+          FROM seeded),
+        ck AS (
+          SELECT doc_id, text, clines,
+                 list_filter(clines, l -> regexp_matches(l, '[.!?"]$')
+                    AND len(list_filter(string_split_regex(l, '\\s+'), x -> x <> '')) >= 5
+                    AND NOT contains(lower(l), 'javascript')) AS ckept
+          FROM ct),
+        cv AS (
+          SELECT doc_id,
+            (NOT regexp_matches(lower(text), '\\b(frak|gorram)\\b')
+             AND NOT contains(lower(text), 'lorem ipsum')
+             AND NOT contains(text, '{{')
+             AND coalesce(list_sum(list_transform(ckept,
+                   l -> len(regexp_extract_all(l, '[.!?]')))), 0) >= 3) AS s_c4
+          FROM ck),
+        fv AS (
+          SELECT doc_id,
+            ((CASE WHEN len(clines) > 0
+                   THEN round(len(list_filter(clines, l -> regexp_matches(l, '[.!?"]$'))) / len(clines), 6)
+                   ELSE 0.0 END) > 0.12
+             AND (CASE WHEN coalesce(list_sum(list_transform(clines, l -> length(l))), 0) > 0
+                  THEN round((list_sum(list_transform(clines, l -> length(l)))
+                              - list_sum(list_transform(list_distinct(clines), l -> length(l))))
+                             / list_sum(list_transform(clines, l -> length(l))), 6)
+                  ELSE 0.0 END) < 0.1
+             AND (CASE WHEN len(clines) > 0
+                  THEN round(len(list_filter(clines, l -> length(l) < 30)) / len(clines), 6)
+                  ELSE 0.0 END) < 0.67) AS s_fineweb
+          FROM ct),
+        v AS (
+          SELECT l.doc_id, l.s_lang, g.s_gopher, c.s_c4, f.s_fineweb,
+                 CASE WHEN NOT l.s_lang THEN 'lang'
+                      WHEN NOT g.s_gopher THEN 'gopher'
+                      WHEN NOT c.s_c4 THEN 'c4'
+                      WHEN NOT f.s_fineweb THEN 'fineweb'
+                      ELSE 'none' END AS first_failed
+          FROM lv l
+          JOIN gv g USING (doc_id)
+          JOIN cv c USING (doc_id)
+          JOIN fv f USING (doc_id))
+    """
+
 
     return {
         "f15_eligibility": _F_CTE
@@ -4775,4 +5009,24 @@ def oracle_sql() -> dict[str, str]:
                         list_position(cl, list_aggregate(cl, 'max'))]
                    ELSE 'other' END AS script
             FROM c""",
+        "curate_funnel": funnel_cte
+        + """
+            SELECT doc_id, s_lang, s_gopher, s_c4, s_fineweb, first_failed,
+                   (s_lang AND s_gopher AND s_c4 AND s_fineweb) AS keep
+            FROM v""",
+        "curate_funnel_stats": funnel_cte
+        + """
+            , a AS (
+              SELECT count(*) AS t,
+                     CAST(sum(CASE WHEN first_failed = 'lang' THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+                     CAST(sum(CASE WHEN first_failed = 'gopher' THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+                     CAST(sum(CASE WHEN first_failed = 'c4' THEN 1 ELSE 0 END) AS BIGINT) AS f3,
+                     CAST(sum(CASE WHEN first_failed = 'fineweb' THEN 1 ELSE 0 END) AS BIGINT) AS f4
+              FROM v)
+            SELECT CAST(1 AS INT) AS stage_no, 'lang' AS stage,
+                   CAST(t AS BIGINT) AS n_in, f1 AS n_failed, CAST(t - f1 AS BIGINT) AS n_out FROM a
+            UNION ALL SELECT 2, 'gopher', CAST(t - f1 AS BIGINT), f2, CAST(t - f1 - f2 AS BIGINT) FROM a
+            UNION ALL SELECT 3, 'c4', CAST(t - f1 - f2 AS BIGINT), f3, CAST(t - f1 - f2 - f3 AS BIGINT) FROM a
+            UNION ALL SELECT 4, 'fineweb', CAST(t - f1 - f2 - f3 AS BIGINT), f4,
+                   CAST(t - f1 - f2 - f3 - f4 AS BIGINT) FROM a""",
     }

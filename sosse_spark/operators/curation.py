@@ -51,6 +51,8 @@ __all__ = [
     "wds_shard_plan",
     "vlm_token_plan",
     "image_dedup_keep_best",
+    "curation_funnel",
+    "funnel_stats",
 ]
 
 DIMS = 15  # one per phash nibble (60-bit phash, functions/images.py)
@@ -595,3 +597,79 @@ def image_dedup_keep_best(
     )
     w_best = Window.partitionBy("cluster").orderBy(F.desc("pixels"), id_col)
     return staged.withColumn("keep_best", F.row_number().over(w_best) == 1)
+
+
+def curation_funnel(
+    df: DataFrame,
+    stages: list[tuple[str, Column | str]],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Ordered curation-funnel composition — the FineWeb processing
+    shape (Penedo et al. 2024 §3: URL filter → language ID → Gopher →
+    C4 → custom filters, each stage's removal rate reported
+    separately; RefinedWeb Fig. 2 publishes the same per-stage
+    attrition).  `stages` is the ORDERED list of (name, boolean
+    keep-verdict) — a Column expression or a column name already on
+    `df`; a document is attributed to its FIRST failing stage.
+
+    Output: (id, s_<name> bool per stage, first_failed in
+    {stage names, 'none'}, keep).
+
+    100 TB shape: pure column algebra over whatever frame the caller
+    assembled — no shuffle, no UDF of its own.  Verdicts given as
+    inline Columns fuse into one projection; frame-level verdicts
+    (c4_clean etc.) join in thin on the id key upstream."""
+    sel = [F.col(id_col)]
+    names = []
+    for name, verdict in stages:
+        col = F.col(verdict) if isinstance(verdict, str) else verdict
+        sel.append(col.alias(f"s_{name}"))
+        names.append(name)
+    v = df.select(*sel)
+    first_failed = F.lit("none")
+    for name in reversed(names):
+        first_failed = F.when(~F.col(f"s_{name}"), F.lit(name)).otherwise(first_failed)
+    keep = F.col(f"s_{names[0]}")
+    for name in names[1:]:
+        keep = keep & F.col(f"s_{name}")
+    return v.select(
+        id_col,
+        *[f"s_{n}" for n in names],
+        first_failed.alias("first_failed"),
+        keep.alias("keep"),
+    )
+
+
+def funnel_stats(
+    verdicts: DataFrame, stage_names: list[str], id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-stage attrition over a curation_funnel output — the funnel
+    table every pipeline report publishes (FineWeb §3 / RefinedWeb
+    Fig. 2: documents entering each stage, removed by it, surviving):
+    (stage_no, stage, n_in, n_failed, n_out) with n_in chained from
+    the previous stage's n_out.
+
+    100 TB shape: ONE map-side-combinable global aggregation (a count
+    plus one conditional sum per stage — a single ~K-column row), then
+    the K output rows explode from a literal struct array on that one
+    row.  No window, no per-stage pass, nothing driver-side."""
+    aggs = [F.count(F.lit(1)).alias("_total")] + [
+        F.sum((F.col("first_failed") == s).cast("long")).alias(f"_f_{s}")
+        for s in stage_names
+    ]
+    row = verdicts.agg(*aggs)
+    structs = []
+    n_in = F.col("_total")
+    for idx, s in enumerate(stage_names):
+        n_failed = F.coalesce(F.col(f"_f_{s}"), F.lit(0))
+        structs.append(
+            F.struct(
+                F.lit(idx + 1).alias("stage_no"),
+                F.lit(s).alias("stage"),
+                n_in.cast("long").alias("n_in"),
+                n_failed.cast("long").alias("n_failed"),
+                (n_in - n_failed).cast("long").alias("n_out"),
+            )
+        )
+        n_in = n_in - n_failed
+    return row.select(F.explode(F.array(*structs)).alias("r")).select("r.*")
