@@ -154,6 +154,7 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> dict[str, float]:
         "text_script",
         "text_ccnet_buckets",
         "dedup_c4_spans",
+        "curate_funnel_stats",
     ]
     qs = e.queries()
     out: dict[str, float] = {}
