@@ -2046,10 +2046,10 @@ def q_vlm_token_plan(spark, sf_dir):
     ViT patch rule arXiv:2010.11929 §3.1 over the bucket resolution +
     the shared _lm_tokens caption count).  The oracle recomputes the
     bucket argmin, the ceil-divided patch grid, the token filter, and
-    the total.  NOTE: registered past position 50 (the driver window is
-    fully packed with never-certified entries) — certified by the local
-    replica gate (tests/test_entry_oracle.py) like the other pass-L
-    rows."""
+    the total.  Rotated into the driver certification window (position
+    8) late in round 5; also green in the local replica gate
+    (tests/test_entry_oracle.py) and the one-off sf0.01 window replica
+    (jobs/gate_replica.py)."""
     from sosse_spark.operators.curation import (
         aspect_bucket_grid,
         assign_aspect_buckets,
@@ -2069,8 +2069,9 @@ def q_dedup_image_keep_best(spark, sf_dir):
     perturbations) -> banded hamming pairs -> connected components ->
     keep the highest-resolution member per cluster.  The oracle
     recomputes pairs by brute force, the closure by recursive CTE with
-    min-id labels, and the keep rule by window.  pass-L (past the
-    packed driver window), certified by the local replica gate."""
+    min-id labels, and the keep rule by window.  Rotated into the
+    driver certification window (position 9) late in round 5; also
+    green in the local replica gate and the sf0.01 window replica."""
     from sosse_spark.operators.curation import image_dedup_keep_best
 
     imgs = _image_caption_table(spark, sf_dir)
@@ -2129,8 +2130,9 @@ def q_p11_css_assets(spark, sf_dir):
     synthesized five-arm sheets; browsable targets absolutize against
     the page base (root-relative and dirname-relative arms) and *.css
     targets raise force_css; the #fragment and data: arms must NOT
-    appear.  Registry position ≥ 50 → driver-invisible; certified by
-    the local replica gate (pass-L)."""
+    appear.  Rotated into the driver certification window (position
+    10) late in round 5; also green in the local replica gate and the
+    sf0.01 window replica."""
     from sosse_spark.operators.csssnap import css_asset_urls, css_segments
 
     return css_asset_urls(css_segments(_css_sheets(spark, sf_dir)))
@@ -2141,9 +2143,9 @@ def q_p11_css_rewrite(spark, sf_dir):
     se/html_snapshot.py:92-117): scan → absolutize → reassemble with
     every browsable asset re-emitted as url("<resolved>") and
     non-browsable spans kept verbatim; identity download map (the
-    routed-ref join is pytest-covered in test_csssnap).  Registry
-    position ≥ 50 → driver-invisible; certified by the local replica
-    gate (pass-L)."""
+    routed-ref join is pytest-covered in test_csssnap).  Rotated into
+    the driver certification window (position 11) late in round 5; also
+    green in the local replica gate and the sf0.01 window replica."""
     from sosse_spark.operators.csssnap import css_rewrite, css_segments
 
     return css_rewrite(css_segments(_css_sheets(spark, sf_dir)))
