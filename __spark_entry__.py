@@ -1176,6 +1176,128 @@ def q_p2_html_parse(spark, sf_dir):
     )
 
 
+def q_p9_preview_meta(spark, sf_dir):
+    """P9 preview metadata + thumbnail plan (operators/preview.py,
+    se/document_meta.py): synthesizes one preview-HTML arm per doc_id%8
+    over the documents table — OpenGraph / TwitterCard / Microdata /
+    JSON-LD model resolution, the get_preview_urls space-split quirk
+    (se/document_meta.py:41-47) on a JSON-LD description, the
+    with-space og:image arm (chosen candidate percent-encodes the
+    space), a relative og:image absolutized against the doc url, a
+    data-URI arm whose base64 payload the kernel actually decodes
+    (inline_len certifies the decode), a generic first-<img> arm and a
+    bare no-preview arm — end-to-end through the mapInPandas kernel.
+    Also certifies Pillow Image.thumbnail geometry (float-exact column
+    algebra, se/document_meta.py:86-91) over doc_id-derived sizes and
+    the md5 image_name path stem (se/document.py:222-227).  Registry
+    position ≥ 50: never driver-certified (the window is packed) —
+    pass-L via tests/test_entry_oracle.py and jobs/gate_replica.py
+    --all."""
+    from sosse_spark.operators.preview import (
+        image_name_col,
+        preview_batch,
+        thumb_size_cols,
+    )
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id").cast("string")
+    arm = F.col("doc_id") % 8
+    img = F.concat(F.lit("http://img.example.com/i/"), did, F.lit(".png"))
+    payload = F.concat(
+        F.lit("PNG"), F.substring(F.md5(did), F.lit(1), (F.col("doc_id") % 16 + 1).cast("int"))
+    )
+    b64 = F.base64(payload.cast("binary"))
+    desc_quirk = F.concat(F.lit("http://alt.example.com/"), did, F.lit(".jpg x"))
+    html = (
+        F.when(arm == 0, F.concat(
+            F.lit('<html><head><meta property="og:image" content="'), img,
+            F.lit('"><meta property="og:description" content="plain words '), did,
+            F.lit('"></head><body></body></html>')))
+        .when(arm == 1, F.concat(
+            F.lit('<html><head><meta name="twitter:image" content="'), img,
+            F.lit('"><meta name="twitter:description" content="tw '), did,
+            F.lit('"></head><body></body></html>')))
+        .when(arm == 2, F.concat(
+            F.lit('<html><head><meta itemprop="image" content="'), img,
+            F.lit('"></head><body></body></html>')))
+        .when(arm == 3, F.concat(
+            F.lit('<html><head><script type="application/ld+json">{"image": "'), img,
+            F.lit('", "description": "'), desc_quirk,
+            F.lit('"}</script></head><body></body></html>')))
+        .when(arm == 4, F.concat(
+            F.lit('<html><head><meta property="og:image" content="'), img,
+            F.lit(' 2x"></head><body></body></html>')))
+        .when(arm == 5, F.concat(
+            F.lit('<html><head><meta property="og:image" content="/img/'), did,
+            F.lit('.png"></head><body></body></html>')))
+        .when(arm == 6, F.concat(
+            F.lit('<html><head><meta name="twitter:image" content="data:image/png;base64,'),
+            b64, F.lit('"></head><body></body></html>')))
+        .when(F.col("doc_id") % 16 == 7, F.concat(
+            F.lit('<html><body><img src="'), img, F.lit('"></body></html>')))
+        .otherwise(F.lit("<html><body>bare</body></html>"))
+    )
+    pages = d.select(
+        F.col("doc_id"),
+        F.concat(
+            F.lit("http://h"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.com/p/"), did,
+        ).alias("url"),
+        html.alias("content"),
+    )
+    # doc_id re-derived from the url: thumbnail sizes are pure functions
+    # of it, so the geometry stays a zero-shuffle projection (no join)
+    out = preview_batch(pages).withColumn(
+        "doc_id", F.split(F.col("url"), "/p/").getItem(1).cast("long")
+    )
+    w = F.col("doc_id") % 500 + 1
+    h = (F.col("doc_id") * 7) % 400 + 1
+    tw, th = thumb_size_cols(w, h)
+    return out.select(
+        "doc_id",
+        "preview_image",
+        "preview_description",
+        F.size("candidates").alias("n_candidates"),
+        F.try_element_at("candidates", F.lit(1)).alias("first_candidate"),
+        F.try_element_at("candidates", F.lit(2)).alias("second_candidate"),
+        "chosen_url",
+        "chosen_kind",
+        "inline_len",
+        F.size("viable").alias("n_viable"),
+        tw.alias("thumb_w"),
+        th.alias("thumb_h"),
+        image_name_col(F.col("url")).alias("image_name"),
+    )
+
+
+def q_sample_unimax(spark, sf_dir):
+    """UniMax language-budget allocation (operators/sampling.py
+    unimax_allocation — Chung et al. 2023, arXiv:2304.09151 Algorithm
+    1) over a synthetic skewed language split (en 60% / fr 20% / de
+    10% / rm 10% of docs), weight = text length in chars, budget = 2×
+    corpus chars, cap 3 epochs: at every scale the three small
+    languages hit the 3-epoch cap and English absorbs the remainder,
+    so both the capped and shared arms are value-certified.  Language
+    sizes are exact LONG sums; every double downstream is a single-op
+    function of them, so the DuckDB oracle's closed-form window chain
+    reproduces allocations bit-for-bit (round-6 guard).  Registry
+    position ≥ 50: never driver-certified (window packed) — pass-L via
+    tests/test_entry_oracle.py and jobs/gate_replica.py --all."""
+    from sosse_spark.operators.sampling import unimax_allocation
+
+    d = _docs(spark, sf_dir)
+    m = F.col("doc_id") % 10
+    lang = F.when(m < 6, "en").when(m < 8, "fr").when(m == 8, "de").otherwise("rm")
+    docs = d.select(F.col("doc_id"), lang.alias("lang"), F.length("text").alias("chars"))
+    return unimax_allocation(
+        docs,
+        max_epochs=3.0,
+        lang_col="lang",
+        weight_col="chars",
+        budget_corpus_epochs=2.0,
+    )
+
+
 def _doctyped_content(d):
     """Synthetic doctype variants over documents.text (html / rss / atom /
     rss1.0-rdf / plain) — shared by the P1 sniff and P14 filename
@@ -2641,6 +2763,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_script": q_text_script,
         "curate_funnel": q_curate_funnel,
         "curate_funnel_stats": q_curate_funnel_stats,
+        "p9_preview_meta": q_p9_preview_meta,
+        "sample_unimax": q_sample_unimax,
     }
 
 
@@ -5031,4 +5155,128 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 3, 'c4', CAST(t - f1 - f2 AS BIGINT), f3, CAST(t - f1 - f2 - f3 AS BIGINT) FROM a
             UNION ALL SELECT 4, 'fineweb', CAST(t - f1 - f2 - f3 AS BIGINT), f4,
                    CAST(t - f1 - f2 - f3 - f4 AS BIGINT) FROM a""",
+        # p9 preview: every arm recomputed from the same doc_id algebra;
+        # thumbnail geometry replays Pillow's float keys in DOUBLEs —
+        # Spark, DuckDB and CPython share IEEE-754, so ties match
+        "p9_preview_meta": """
+            WITH base AS (
+              SELECT doc_id, doc_id % 8 AS arm,
+                     CAST(doc_id AS VARCHAR) AS did,
+                     'http://h' || CAST(doc_id % 7 AS VARCHAR)
+                        || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS url,
+                     'http://img.example.com/i/' || CAST(doc_id AS VARCHAR) || '.png' AS img
+              FROM documents),
+            armed AS (
+              SELECT *,
+                CASE WHEN arm IN (0, 1, 2, 3) THEN img
+                     WHEN arm = 4 THEN img || ' 2x'
+                     WHEN arm = 5 THEN '/img/' || did || '.png'
+                     WHEN arm = 6 THEN 'data:image/png;base64,'
+                        || to_base64(encode('PNG' || substr(md5(did), 1,
+                                            CAST(doc_id % 16 + 1 AS INT))))
+                     WHEN doc_id % 16 = 7 THEN img
+                     ELSE NULL END AS pimage,
+                CASE WHEN arm = 0 THEN 'plain words ' || did
+                     WHEN arm = 1 THEN 'tw ' || did
+                     WHEN arm = 3 THEN 'http://alt.example.com/' || did || '.jpg x'
+                     ELSE NULL END AS pdesc
+              FROM base),
+            geom AS (
+              SELECT doc_id,
+                     CAST(doc_id % 500 + 1 AS BIGINT) AS w,
+                     CAST((doc_id * 7) % 400 + 1 AS BIGINT) AS h
+              FROM documents),
+            thumb AS (
+              SELECT doc_id, w, h, w / h AS aspect,
+                     100 * (w / h) AS v1,
+                     160 / (w / h) AS v2
+              FROM geom),
+            tsel AS (
+              SELECT doc_id,
+                CAST(CASE
+                  WHEN 160 >= w AND 100 >= h THEN w
+                  WHEN 160.0 / 100.0 >= aspect THEN
+                    greatest(CASE WHEN abs(aspect - floor(v1) / 100)
+                                       <= abs(aspect - ceil(v1) / 100)
+                                  THEN floor(v1) ELSE ceil(v1) END, 1)
+                  ELSE 160 END AS BIGINT) AS thumb_w,
+                CAST(CASE
+                  WHEN 160 >= w AND 100 >= h THEN h
+                  WHEN 160.0 / 100.0 >= aspect THEN 100
+                  ELSE greatest(CASE WHEN
+                         (CASE WHEN floor(v2) = 0 THEN 0.0
+                               ELSE abs(aspect - 160 / floor(v2)) END)
+                         <= (CASE WHEN ceil(v2) = 0 THEN 0.0
+                                  ELSE abs(aspect - 160 / ceil(v2)) END)
+                       THEN floor(v2) ELSE ceil(v2) END, 1) END AS BIGINT) AS thumb_h
+              FROM thumb)
+            SELECT a.doc_id,
+                   a.pimage AS preview_image,
+                   a.pdesc AS preview_description,
+                   CASE WHEN a.pimage IS NULL THEN 0
+                        WHEN a.arm IN (3, 4) THEN 2 ELSE 1 END AS n_candidates,
+                   a.pimage AS first_candidate,
+                   CASE WHEN a.arm = 4 THEN a.img
+                        WHEN a.arm = 3 THEN 'http://alt.example.com/' || a.did || '.jpg'
+                        ELSE NULL END AS second_candidate,
+                   CASE WHEN a.pimage IS NULL THEN NULL
+                        WHEN a.arm = 4 THEN a.img || '%202x'
+                        WHEN a.arm = 5 THEN 'http://h' || CAST(a.doc_id % 7 AS VARCHAR)
+                           || '.example.com/img/' || a.did || '.png'
+                        ELSE a.pimage END AS chosen_url,
+                   CASE WHEN a.pimage IS NULL THEN 'none'
+                        WHEN a.arm = 6 THEN 'data' ELSE 'http' END AS chosen_kind,
+                   CASE WHEN a.arm = 6 THEN CAST(a.doc_id % 16 + 4 AS BIGINT)
+                        ELSE NULL END AS inline_len,
+                   CASE WHEN a.pimage IS NULL THEN 0
+                        WHEN a.arm IN (3, 4) THEN 2 ELSE 1 END AS n_viable,
+                   t.thumb_w, t.thumb_h,
+                   substr(md5(a.url), 1, 2) || '/' || md5(a.url) AS image_name
+            FROM armed a JOIN tsel t USING (doc_id)""",
+        # UniMax closed form: capped prefix (ascending size) + constant
+        # share for the rest; exact-long sizes → single-op doubles match
+        "sample_unimax": """
+            WITH langd AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 10 < 6 THEN 'en'
+                          WHEN doc_id % 10 < 8 THEN 'fr'
+                          WHEN doc_id % 10 = 8 THEN 'de'
+                          ELSE 'rm' END AS lang,
+                     length(text) AS chars
+              FROM documents),
+            stats AS (
+              SELECT lang, CAST(sum(chars) AS BIGINT) AS size
+              FROM langd GROUP BY lang),
+            tot AS (
+              SELECT CAST(count(*) AS BIGINT) AS kk,
+                     CAST(sum(size) AS BIGINT) AS total
+              FROM stats),
+            ranked AS (
+              SELECT lang, size,
+                     CAST(row_number() OVER (ORDER BY size, lang) AS INT) AS rank,
+                     CAST(coalesce(sum(size) OVER (ORDER BY size, lang
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                          AS BIGINT) AS cum_prev
+              FROM stats),
+            j AS (
+              SELECT r.*, t.kk, t.total,
+                     (2.0 * t.total - 3.0 * r.cum_prev) / (t.kk - r.rank + 1) AS share
+              FROM ranked r, tot t),
+            tt AS (
+              SELECT coalesce(min(CASE WHEN size * 3.0 >= share THEN rank END),
+                              (SELECT kk FROM tot) + 1) AS t
+              FROM j),
+            cs AS (
+              SELECT coalesce(min(CASE WHEN j.rank = tt.t THEN j.cum_prev END),
+                              (SELECT total FROM tot)) AS capped_sum
+              FROM j, tt)
+            SELECT j.lang, j.size, j.rank,
+                   (j.rank < tt.t) AS capped,
+                   round(CASE WHEN j.rank < tt.t THEN j.size * 3.0
+                              ELSE (2.0 * j.total - 3.0 * cs.capped_sum)
+                                   / (j.kk - tt.t + 1) END, 6) AS allocation,
+                   round((CASE WHEN j.rank < tt.t THEN j.size * 3.0
+                               ELSE (2.0 * j.total - 3.0 * cs.capped_sum)
+                                    / (j.kk - tt.t + 1) END) / j.size, 6) AS epochs
+            FROM j, tt, cs""",
     }

@@ -56,6 +56,8 @@ def main():
     ap.add_argument("--all", action="store_true",
                     help="run every oracle entry, not just the first 50")
     ap.add_argument("--window", type=int, default=50)
+    ap.add_argument("--only", default=None,
+                    help="comma-separated entry names to run (overrides --all/--window)")
     args = ap.parse_args()
 
     if os.path.isdir("/dev/shm"):
@@ -91,7 +93,13 @@ def main():
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     names = list(queries)
-    if not args.all:
+    if args.only:
+        wanted = [n.strip() for n in args.only.split(",") if n.strip()]
+        missing = [n for n in wanted if n not in queries]
+        if missing:
+            raise SystemExit(f"unknown entries: {missing}")
+        names = wanted
+    elif not args.all:
         names = names[: args.window]
 
     failures = []

@@ -28,6 +28,7 @@ __all__ = [
     "mixture_resample",
     "dsir_weights",
     "dsir_gumbel_topk",
+    "unimax_allocation",
 ]
 
 
@@ -339,4 +340,102 @@ def dsir_gumbel_topk(
         weights.withColumn("gumbel_key", key)
         .orderBy(F.col("gumbel_key").desc(), F.col(id_col))
         .limit(int(k))
+    )
+
+
+def unimax_allocation(
+    docs: DataFrame,
+    total_budget: float | None = None,
+    max_epochs: float = 4.0,
+    lang_col: str = "lang",
+    weight_col: str | None = None,
+    budget_corpus_epochs: float | None = None,
+) -> DataFrame:
+    """UniMax language sampling (Chung et al. 2023, ICLR,
+    arXiv:2304.09151 Algorithm 1): spread a total training budget over
+    languages as uniformly as possible while repeating no language more
+    than ``max_epochs`` times.  The paper's sequential loop (ascending
+    by size: give each language min(size*N, remaining/remaining_langs))
+    has a closed form this implements relationally: a language is
+    CAPPED (gets size*N) while its cap sits below the running uniform
+    share; once one language is uncapped, every larger one is too and
+    they all take the SAME share — removing an uncapped language leaves
+    the share invariant (U/L == (U - U/L)/(L - 1)) and sizes only grow.
+    So the first rank whose cap reaches its share (computed with the
+    all-capped-prefix cumulative sum, which is exact up to that point)
+    splits the order: below it caps, from it equal shares of what the
+    caps left.
+
+    Budget: pass ``total_budget`` absolute, or ``budget_corpus_epochs``
+    = budget as a multiple of the corpus size (kept in-plan as a 1-row
+    aggregate — scale-invariant, no driver round-trip).
+
+    Sizes are exact LONG sums (per-language weight totals); every
+    floating-point value downstream is a single-op function of exact
+    longs, so the DuckDB oracle reproduces allocations bit-for-bit.
+
+    Output per language: (lang, size, rank, capped, allocation,
+    epochs); ``epochs`` = allocation/size <= max_epochs is exactly the
+    per-source ``factor`` mixture_resample consumes for the per-doc
+    repeat fan-out.
+
+    Scale shape: one map-side-combinable agg down to K language rows;
+    the planning windows sort those K rows only (K = number of
+    languages, O(100)) — a deliberate single-partition window over a
+    TINY aggregate, never over documents; the three 1-row planning
+    aggregates broadcast."""
+    if (total_budget is None) == (budget_corpus_epochs is None):
+        raise ValueError("pass exactly one of total_budget / budget_corpus_epochs")
+    N = float(max_epochs)
+    size = (F.count("*") if weight_col is None else F.sum(weight_col)).cast("long")
+    stats = docs.groupBy(lang_col).agg(size.alias("size"))
+
+    w = Window.orderBy("size", lang_col)
+    ranked = stats.select(
+        lang_col,
+        "size",
+        F.row_number().over(w).alias("rank"),
+        F.coalesce(
+            F.sum("size").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0).cast("long"),
+        ).alias("cum_prev"),
+    )
+    totals = stats.agg(
+        F.count("*").alias("kk"), F.sum("size").cast("long").alias("total")
+    )
+    ranked = ranked.crossJoin(F.broadcast(totals))
+    budget = (
+        F.lit(float(total_budget))
+        if total_budget is not None
+        else F.lit(float(budget_corpus_epochs)) * F.col("total")
+    )
+    share = (budget - F.lit(N) * F.col("cum_prev")) / (
+        F.col("kk") - F.col("rank") + 1
+    )
+    fail = F.col("size") * F.lit(N) >= share
+    flagged = ranked.withColumn("_fail", fail)
+    t = flagged.agg(
+        F.coalesce(F.min(F.when(F.col("_fail"), F.col("rank"))), F.max("kk") + 1).alias(
+            "t"
+        )
+    )
+    flagged = flagged.crossJoin(F.broadcast(t))
+    csum = flagged.agg(
+        F.coalesce(
+            F.min(F.when(F.col("rank") == F.col("t"), F.col("cum_prev"))),
+            F.max("total"),
+        ).alias("capped_sum")
+    )
+    flagged = flagged.crossJoin(F.broadcast(csum))
+    capped = F.col("rank") < F.col("t")
+    alloc = F.when(capped, F.col("size") * F.lit(N)).otherwise(
+        (budget - F.lit(N) * F.col("capped_sum")) / (F.col("kk") - F.col("t") + 1)
+    )
+    return flagged.select(
+        lang_col,
+        "size",
+        "rank",
+        capped.alias("capped"),
+        F.round(alloc, 6).alias("allocation"),
+        F.round(alloc / F.col("size"), 6).alias("epochs"),
     )
