@@ -155,6 +155,8 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> dict[str, float]:
         "text_ccnet_buckets",
         "dedup_c4_spans",
         "curate_funnel_stats",
+        "p9_preview_meta",
+        "sample_unimax",
     ]
     qs = e.queries()
     out: dict[str, float] = {}

@@ -909,3 +909,57 @@ def test_ccnet_buckets_no_cartesian_and_broadcast_nlang(spark):
     assert not any("Cartesian" in k for k in kinds)
     assert any("BroadcastHashJoin" in k for k in kinds)
     assert not any("Python" in k or "ArrowEval" in k for k in kinds)
+
+
+def test_preview_batch_is_narrow_python_stage(spark):
+    """Preview extraction pipelines with the scan: one Arrow mapInPandas
+    stage, no shuffle, no join — the same narrow shape as the P2 walk;
+    the thumbnail geometry is pure JVM column algebra (no Python)."""
+    from sosse_spark.operators.preview import preview_batch, thumb_size_cols
+
+    pages = spark.range(12).select(
+        F.concat(F.lit("http://h/p/"), F.col("id").cast("string")).alias("url"),
+        F.concat(
+            F.lit('<meta property="og:image" content="/i/'),
+            F.col("id").cast("string"),
+            F.lit('.png">'),
+        ).alias("content"),
+    )
+    kinds = [n.getClass().getSimpleName() for n in _walk_nodes(preview_batch(pages))]
+    assert not any("Exchange" in k or "Join" in k for k in kinds)
+    assert any("MapInPandas" in k or "Python" in k for k in kinds)
+
+    geom = spark.range(12).select(
+        (F.col("id") % 300 + 1).alias("w"), (F.col("id") % 200 + 1).alias("h")
+    )
+    tw, th = thumb_size_cols(F.col("w"), F.col("h"))
+    kinds2 = [
+        n.getClass().getSimpleName()
+        for n in _walk_nodes(geom.select(tw.alias("tw"), th.alias("th")))
+    ]
+    assert not any("Exchange" in k or "Python" in k or "Join" in k for k in kinds2)
+
+
+def test_unimax_planning_joins_broadcast(spark):
+    """UniMax: the documents shuffle once (the language agg — map-side
+    combinable); the three planning frames (totals, first-uncapped rank,
+    capped prefix sum — 1-row each) join back by BROADCAST nested loop;
+    nothing is a cartesian/sort-merge join and nothing crosses into
+    Python.  The single-partition window only ever sees the K-language
+    aggregate, never documents."""
+    from sosse_spark.operators.sampling import unimax_allocation
+
+    docs = spark.range(64).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("l"), (F.col("id") % 5).cast("string")).alias("lang"),
+        (F.col("id") % 7 + 1).alias("w"),
+    )
+    out = unimax_allocation(docs, total_budget=200.0, max_epochs=3.0, weight_col="w")
+    kinds = [n.getClass().getSimpleName() for n in _walk_nodes(out)]
+    assert not any("Cartesian" in k for k in kinds)
+    assert not any("SortMergeJoin" in k or "ShuffledHashJoin" in k for k in kinds)
+    assert not any("Python" in k or "ArrowEval" in k for k in kinds)
+    # 3 planning crossJoins in the main chain; the 1-row aggregates
+    # re-derive upstream subtrees (K-row recompute, deliberately cheap)
+    assert sum(1 for k in kinds if "BroadcastNestedLoop" in k) >= 3
+    assert any("HashAggregate" in k for k in kinds)  # map-side combine on sizes
