@@ -583,3 +583,63 @@ def webhook_status_line(result: dict) -> tuple[bool, str]:
         status = f"{result.get('status_code')} {result.get('status_string')}"
     message = result.get("error") or result.get("response") or ""
     return ok, f"{status}\n{message}"
+
+
+# ---------------------------------------------------------------------------
+# /download/ view context (se/download.py:27-56) + mimetype icons
+# ---------------------------------------------------------------------------
+
+# Representative subset of the reference's unicode_mime_icons table
+# (se/deps/unicode_mime_icons — a regex → glyph JSON the reference scans
+# in order, se/utils.py:206-217).  The full table is a vendored dataset;
+# the SEMANTICS ported here are first-match-in-order with the 🗎
+# default.  Ordering matters: specific types precede family globs.
+MIMETYPE_ICONS: tuple = (
+    (r"^application/pdf", "📕"),
+    (r"^application/(zip|gzip|x-tar|x-7z-compressed|x-rar)", "🗜"),
+    (r"^application/(json|xml)", "🗒"),
+    (r"^text/html", "🌐"),
+    (r"^text/", "🗒"),
+    (r"^image/", "🖼"),
+    (r"^audio/", "🎵"),
+    (r"^video/", "🎞"),
+    (r"^font/", "🔤"),
+)
+
+
+def mimetype_icon(mime: str | None) -> str:
+    """``mimetype_icon`` (se/utils.py:206-217): first regex in table
+    order that matches the mimetype wins; anything else (including
+    None) gets the generic document glyph."""
+    import re as _re
+
+    if mime:
+        for regex, icon in MIMETYPE_ICONS:
+            if _re.match(regex, mime):
+                return icon
+    return "🗎"
+
+
+def download_context(
+    url: str, asset_filename: str, asset_size: int, mimetype: str
+) -> dict:
+    """DownloadView.get_context_data (se/download.py:29-55): the
+    download filename takes the LAST url path segment (trailing slash
+    stripped, percent-unquoted), drops its extension, and adopts the
+    stored asset's extension; plus size, icon and mime family for the
+    template.  The caller resolves the newest HTMLAsset row for the url
+    (``ORDER BY download_date DESC LIMIT 1`` over the assets table) and
+    redirects to the archive view when none exists — the
+    RedirectException arm (se/download.py:33-34)."""
+    from urllib.parse import unquote
+
+    filename = unquote(url.rstrip("/").rsplit("/", 1)[1])
+    if "." in filename:
+        filename = filename.rsplit(".", 1)[0]
+    extension = asset_filename.rsplit(".", 1)[1]
+    return {
+        "filename": f"{filename}.{extension}",
+        "filesize": asset_size,
+        "icon": mimetype_icon(mimetype),
+        "mimebase": mimetype.split("/", 1)[0],
+    }

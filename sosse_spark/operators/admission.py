@@ -83,6 +83,14 @@ class CollectionPolicy:
     # (≙ authfield_set, se/browser_request.py:264-265)
     auth_login_url_re: str = ""
     auth_fields: tuple = field(default_factory=tuple)
+    # P9 thumbnails (Collection.thumbnail_mode, se/collection.py:98-110):
+    # preview | prevscreen | screenshot | none.  The preview-metadata
+    # path runs under preview/prevscreen in html_mode; the screenshot
+    # arm is browser-bound and not portable (SURVEY §7.4), so under
+    # screenshot/none no preview is attempted.  In the image graft the
+    # document thumbnails ITSELF whenever the mode is active
+    # (se/document.py:484-487).
+    thumbnail_mode: str = "prevscreen"
 
 
 def admit_links(

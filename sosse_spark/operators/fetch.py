@@ -45,6 +45,8 @@ __all__ = [
     "fetch_robots_for_domains",
     "fetch_favicons_for_domains",
     "fetch_favicons_for_urls",
+    "fetch_previews_for_urls",
+    "PREVIEW_FETCH_SCHEMA",
 ]
 
 FETCH_SCHEMA = (
@@ -52,6 +54,7 @@ FETCH_SCHEMA = (
     "image_id string, bytes binary, w int, h int, fmt string, "
     "caption string, title string, phash bigint, links array<string>, "
     "max_age bigint, favicon_url string, "
+    "preview_url string, preview_kind string, preview_inline_len int, "
     "set_cookies array<struct<name:string,value:string,domain_attr:string,"
     "path:string,secure:boolean,origin_url:string>>"
 )
@@ -75,6 +78,9 @@ def _fetch_row(url: str, cfg: WebConfig, cookie: str | None) -> dict:
         "links": res.links,
         "max_age": None,
         "favicon_url": None,
+        "preview_url": None,
+        "preview_kind": None,
+        "preview_inline_len": None,
         "set_cookies": [],
     }
     if res.error is None and res.doc_index is not None:
@@ -103,7 +109,7 @@ def _fetch_row(url: str, cfg: WebConfig, cookie: str | None) -> dict:
             parsed_feed = parse_feed(html)
             if parsed_feed is not None:
                 html = feed_html(parsed_feed)
-            parsed = parse_html(res.final_url, html)
+            parsed = parse_html(res.final_url, html, with_preview=True)
             row.update(
                 image_id=image_id_for(i),
                 bytes=html.encode("utf-8"),
@@ -115,6 +121,12 @@ def _fetch_row(url: str, cfg: WebConfig, cookie: str | None) -> dict:
                 # P8 <link rel~=icon> selection from the parsed head
                 # (FavIcon.extract url derivation, se/models.py:383-391)
                 favicon_url=parsed["favicon"],
+                # P9 preview candidate off the same tree (se/document_
+                # meta.py:98-106): data: URIs decoded in-kernel, http
+                # candidates resolved by the per-round preview fetch
+                preview_url=parsed["preview_url"],
+                preview_kind=parsed["preview_kind"],
+                preview_inline_len=parsed["preview_inline_len"],
             )
         else:
             w, h = dims_for(i)
@@ -154,6 +166,9 @@ def _error_row(url: str, error: str) -> dict:
         "links": [],
         "max_age": None,
         "favicon_url": None,
+        "preview_url": None,
+        "preview_kind": None,
+        "preview_inline_len": None,
         "set_cookies": [],
     }
 
@@ -165,7 +180,7 @@ def _int64_fix(rows: list[dict]) -> pd.DataFrame:
     # corrupt low bits of large phashes; Int64 cast from object is
     # exact.
     out = pd.DataFrame(rows, dtype=object)
-    for col in ("phash", "w", "h", "redirect_count", "max_age"):
+    for col in ("phash", "w", "h", "redirect_count", "max_age", "preview_inline_len"):
         out[col] = out[col].astype("Int64")
     return out
 
@@ -406,3 +421,67 @@ def fetch_favicons_for_urls(urls: DataFrame, cfg: WebConfig) -> DataFrame:
             yield out
 
     return urls.select("favicon_url").distinct().mapInPandas(run, FAVICON_FETCH_SCHEMA)
+
+
+PREVIEW_FETCH_SCHEMA = (
+    "preview_url string, mimetype string, missing boolean, "
+    "content_len int, w int, h int"
+)
+
+
+def fetch_previews_for_urls(urls: DataFrame, cfg: WebConfig) -> DataFrame:
+    """P9 preview-image resolution for http(s) candidates the parse
+    kernel chose (the network half of DocumentMeta.preview_file_from_url,
+    se/document_meta.py:64-78): fetch once per DISTINCT preview URL,
+    require a 200 + an image/* magic sniff to store; anything else
+    leaves missing=True and the document keeps has_thumbnail=False
+    (create_preview's silent-failure arm).  ``w``/``h`` carry the
+    decoded dimensions so the 160×100 thumbnail geometry
+    (preview.thumb_size_cols) stays pure column algebra downstream.
+
+    Input: one column ``preview_url`` (already distinct + anti-joined
+    against the previews table by the caller).  Same mapInPandas shape
+    as the favicon fetchers.  Synthetic web: ``/meta/{i}.png`` serves
+    the doc-i pattern at dims_for(i); ``/meta/missing/...`` 404s."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for purl in pdf["preview_url"]:
+                row = {
+                    "preview_url": purl,
+                    "mimetype": None,
+                    "missing": True,
+                    "content_len": None,
+                    "w": None,
+                    "h": None,
+                }
+                tail = purl.rsplit("/", 1)[-1]
+                doc_i = None
+                if "/meta/missing/" not in purl and "/meta/" in purl:
+                    try:
+                        doc_i = int(tail.split(".", 1)[0])
+                    except ValueError:
+                        doc_i = None
+                if doc_i is not None and 0 <= doc_i < cfg.n_docs:
+                    w, h = dims_for(doc_i)
+                    data = encode_image(render_pattern(doc_i, w, h), "png")
+                    mime = _magic_mime(data)
+                    # non-image body → missing stays True
+                    # (se/document_meta.py:70-72 magic gate)
+                    if mime.startswith("image/"):
+                        row.update(
+                            mimetype=mime,
+                            missing=False,
+                            content_len=len(data),
+                            w=w,
+                            h=h,
+                        )
+                rows.append(row)
+            out = pd.DataFrame(rows, dtype=object)
+            for col in ("content_len", "w", "h"):
+                out[col] = out[col].astype("Int64")
+            out["missing"] = out["missing"].astype("bool")
+            yield out
+
+    return urls.select("preview_url").distinct().mapInPandas(run, PREVIEW_FETCH_SCHEMA)

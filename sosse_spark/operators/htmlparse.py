@@ -321,6 +321,7 @@ def parse_html(
     *,
     remove_nav: bool = True,
     store_extern_links: bool = False,
+    with_preview: bool = False,
 ) -> dict:
     """Parse one page → ``{"title", "text", "base_url", "links"}``.
 
@@ -345,13 +346,34 @@ def parse_html(
         links = [l for l in links if l["browsable"]]
         for i, l in enumerate(links):
             l["a_no"] = i
-    return {
+    out = {
         "title": _title_of(root),
         "text": state.text,
         "base_url": base,
         "links": links,
         "favicon": favicon_url_of(url, root),
     }
+    if with_preview:
+        # P9 preview metadata off the SAME tree (DocumentMeta.
+        # get_preview_urls + the create_preview selection,
+        # se/document_meta.py:32-106) — local import: preview.py
+        # imports this module's tree helpers
+        from sosse_spark.operators.preview import (
+            preview_meta,
+            preview_urls,
+            select_preview,
+        )
+
+        meta = preview_meta(root)
+        sel = select_preview(url, preview_urls(root, meta))
+        out["preview_image"] = meta["image"]
+        out["preview_description"] = meta["description"]
+        out["preview_url"] = sel["chosen_url"]
+        out["preview_kind"] = sel["chosen_kind"]
+        out["preview_inline_len"] = (
+            len(sel["inline"]) if sel["inline"] is not None else None
+        )
+    return out
 
 
 HTML_PARSE_SCHEMA = (

@@ -155,11 +155,13 @@ def preview_meta(root: _Node) -> dict:
 _URLISH_PREFIXES = ("http:", "https:", ":/", "/")  # se/document_meta.py:46
 
 
-def preview_urls(root: _Node) -> list:
+def preview_urls(root: _Node, meta: Optional[dict] = None) -> list:
     """``DocumentMeta.get_preview_urls`` (se/document_meta.py:32-47):
     the resolved image, then the first space-split token of any
-    URL-ish image/description value containing a space."""
-    meta = preview_meta(root)
+    URL-ish image/description value containing a space.  ``meta`` may
+    carry an already-resolved preview_meta() to avoid a second scan."""
+    if meta is None:
+        meta = preview_meta(root)
     out = []
     if meta["image"]:
         out.append(meta["image"])

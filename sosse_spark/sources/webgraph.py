@@ -134,6 +134,36 @@ DATA_URI_ICON = (
     "AAAADUlEQVR42mP8z8BQDwAEhQGAhKmMIQAAAABJRU5ErkJggg=="
 )
 
+# the same PNG as a P9 preview payload (the data:-arm of
+# DocumentMeta.preview_file_from_url, se/document_meta.py:55-64)
+DATA_URI_PREVIEW = DATA_URI_ICON
+
+
+def preview_meta_of(i: int, cfg: WebConfig) -> str:
+    """P9 preview-meta arms of doc i (DocumentMeta.get_preview_urls
+    surface, se/document_meta.py:32-47), all deterministic in i:
+
+      * ``i % 9 == 3`` — an OpenGraph image pointing at an http
+        preview asset (``/meta/{i}.png`` on the doc's own host) plus an
+        og:description; the ``i % 27 == 3`` subset points at
+        ``/meta/missing/{i}.png``, which the preview fetch 404s
+        (has_thumbnail stays False — the reference's failed
+        preview_file_from_url arm);
+      * ``i % 9 == 6`` — a TwitterCard data:-URI image (decodes in the
+        parse kernel, no fetch);
+      * otherwise no preview metadata (create_preview yields nothing).
+    """
+    if i % 9 == 3:
+        path = f"/meta/missing/{i}.png" if i % 27 == 3 else f"/meta/{i}.png"
+        return (
+            f'<meta property="og:image" content="http://img{host_no(i, cfg)}'
+            f'.example.com{path}">'
+            f'<meta property="og:description" content="preview of doc {i}">'
+        )
+    if i % 9 == 6:
+        return f'<meta name="twitter:image" content="{DATA_URI_PREVIEW}">'
+    return ""
+
 
 def html_page(i: int, cfg: WebConfig, title: str) -> str:
     """Real-HTML rendering of doc i (cfg.html_mode): the SAME out-links
@@ -166,8 +196,9 @@ def html_page(i: int, cfg: WebConfig, title: str) -> str:
         )
     else:
         icon = ""
+    preview = preview_meta_of(i, cfg)
     return (
-        f"<html><head><title>{title}</title>{base}{icon}</head>"
+        f"<html><head><title>{title}</title>{base}{icon}{preview}</head>"
         f"<body>{nav}<div>{title}</div><p>{anchors}</p></body></html>"
     )
 

@@ -109,6 +109,14 @@ class CrawlEngine:
         # round_no) — the queryable log behind documents.webhooks_result
         self.webhook_results = AppendTable(root, "webhook_results")
         self.favicons = AppendTable(root, "favicons")
+        # P9 preview-image cache, url-unique (the thumbnail files of
+        # DocumentMeta.preview_file_from_url, se/document_meta.py:50-78):
+        # one row per DISTINCT http preview URL ever chosen by a page.
+        # Retained on document delete like the favicon cache — the
+        # reference's per-doc thumbnail FILE maps to the doc row's
+        # has_thumbnail state, which cascades with the row; the shared
+        # cache row is not refcounted (documented delta).
+        self.previews = AppendTable(root, "previews")
         # P3 pending-extern side table: the extern link rows whose target
         # has not been crawled yet, bucketed on dst_url.  The per-round
         # repoint probe reads THIS table, O(pending externs) — never the
@@ -150,6 +158,7 @@ class CrawlEngine:
             self.webhook_events,
             self.webhook_results,
             self.favicons,
+            self.previews,
         ):
             table.truncate_from(r)
         # pending_externs commits before the frontier commit point, so a
@@ -617,6 +626,38 @@ class CrawlEngine:
                     spark, fetch_favicons_for_urls(fav_urls, self.web), round_no
                 )
 
+        # --- P9 preview images, keyed by the CHOSEN candidate URL -------
+        # (DocumentMeta.create_preview, se/document_meta.py:98-106 — run
+        # under Collection.thumbnail_mode preview/prevscreen only,
+        # se/document.py:466-471).  data: candidates already decoded in
+        # the parse kernel; http candidates fetch ONCE per distinct URL
+        # (anti-join against the url-unique previews cache), and the
+        # outcome joins back into this round's document rows as
+        # has_thumbnail.  The screenshot fallback arm of prevscreen is
+        # browser-bound and not portable (SURVEY §7.4).
+        preview_enabled = getattr(self.web, "html_mode", False) and (
+            self.policy.thumbnail_mode in ("preview", "prevscreen")
+        )
+        prev_results = None
+        if preview_enabled:
+            from sosse_spark.operators.fetch import fetch_previews_for_urls
+
+            want = (
+                joined.filter(is_success & (F.col("f.preview_kind") == "http"))
+                .select(F.col("f.preview_url").alias("preview_url"))
+                .filter(F.col("preview_url").isNotNull())
+                .distinct()
+            )
+            prev_table = self.previews.read(spark)
+            if prev_table is not None:
+                known = prev_table.select("preview_url").distinct()
+                want = want.join(known, "preview_url", "left_anti")
+            if want.limit(1).count():
+                self.previews.append(
+                    spark, fetch_previews_for_urls(want, self.web), round_no
+                )
+            prev_results = self.previews.read(spark)
+
         # --- link extraction & admission ---------------------------------
         # parse skipped when hash unchanged and recrawl_condition=change
         # (se/document.py:449-455)
@@ -849,10 +890,46 @@ class CrawlEngine:
                 F.col("f.phash").alias("phash"),
                 new_hash.alias("content_hash"),
                 changed_content.alias("changed"),
+                F.col("f.preview_url").alias("preview_url"),
+                F.col("f.preview_kind").alias("preview_kind"),
                 wh_result.alias("webhooks_result"),
                 F.lit(round_no).alias("round_no"),
                 now_col.alias("fetched_at"),
             )
+            # has_thumbnail (Document.has_thumbnail, se/document.py:
+            # 466-487): data: previews decoded in-kernel; http previews
+            # take the fetch outcome (missing → False, the reference's
+            # silent preview_file_from_url failure); image-graft docs
+            # thumbnail THEMSELVES whenever the mode is active
+            if preview_enabled:
+                docs = docs.withColumn(
+                    "has_thumbnail", F.col("preview_kind") == F.lit("data")
+                )
+                if prev_results is not None:
+                    prev_ok = prev_results.filter(~F.col("missing")).select(
+                        "preview_url", F.lit(True).alias("_prev_ok")
+                    )
+                    docs = (
+                        docs.join(prev_ok, "preview_url", "left")
+                        .withColumn(
+                            "has_thumbnail",
+                            F.when(
+                                F.col("preview_kind") == "http",
+                                F.coalesce(F.col("_prev_ok"), F.lit(False)),
+                            ).otherwise(F.col("has_thumbnail")),
+                        )
+                        .drop("_prev_ok")
+                    )
+            elif getattr(self.web, "html_mode", False):
+                # screenshot/none modes: the portable preview path is
+                # off and browser capture is out of scope
+                docs = docs.withColumn("has_thumbnail", F.lit(False))
+            else:
+                docs = docs.withColumn(
+                    "has_thumbnail",
+                    F.lit(self.policy.thumbnail_mode != "none")
+                    & F.col("phash").isNotNull(),
+                )
             if wh_folded is not None:
                 # real delivery outcomes: per-doc folded JSON +
                 # "Webhook {name} failed" (≙ doc.error, se/webhook.py:
@@ -1356,6 +1433,7 @@ class CrawlEngine:
             "webhook_events": self.webhook_events.vacuum(),
             "webhook_results": self.webhook_results.vacuum(),
             "favicons": self.favicons.vacuum(),
+            "previews": self.previews.vacuum(),
             "host_rules": self.host_rules.vacuum(),
         }
 

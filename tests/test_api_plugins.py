@@ -578,3 +578,31 @@ def test_webhook_status_line():
         {"status_code": None, "status_string": None, "response": None, "error": "timeout"}
     )
     assert not ok and line == "Error\ntimeout"
+
+
+# --- /download/ context (se/download.py:29-55) -----------------------------
+
+
+def test_download_context_filename_munging():
+    from sosse_spark.api import download_context
+
+    # last path segment, unquoted, extension swapped for the asset's
+    ctx = download_context(
+        "http://x/docs/Annual%20Report.html/", "5f/2a9c.pdf", 2048, "application/pdf"
+    )
+    assert ctx["filename"] == "Annual Report.pdf"
+    assert ctx["filesize"] == 2048
+    assert ctx["mimebase"] == "application"
+    # a segment with no extension keeps its whole name
+    ctx2 = download_context("http://x/raw/datafile", "ab/cd.bin", 1, "application/octet-stream")
+    assert ctx2["filename"] == "datafile.bin"
+
+
+def test_mimetype_icon_first_match_order():
+    from sosse_spark.api import mimetype_icon
+
+    # specific rows beat family globs (table-order scan, se/utils.py:214)
+    assert mimetype_icon("text/html") != mimetype_icon("text/plain")
+    assert mimetype_icon("image/webp") == mimetype_icon("image/png")
+    # unknown mimetypes and None take the generic glyph
+    assert mimetype_icon("application/x-unknown") == mimetype_icon(None)

@@ -61,9 +61,9 @@ def test_fetch_row_html_base_page():
     assert row["links"][1:] == expected
 
 
-def _crawl(spark, root, web, max_rounds=8):
+def _crawl(spark, root, web, max_rounds=8, extra_seeds=()):
     eng = CrawlEngine(spark, root, web, POLICY, n_buckets=4, batch_size=32, per_host_budget=8)
-    eng.seed([url_of(2, web), url_of(15, web), url_of(11, web)], T0)
+    eng.seed([url_of(2, web), url_of(15, web), url_of(11, web), *extra_seeds], T0)
     eng.run_until_quiescent(T0, timedelta(minutes=1), max_rounds=max_rounds)
     return eng
 
@@ -150,4 +150,65 @@ def test_html_mode_favicon_link_rel_sequence(spark, tmp_path_factory):
     # url-unique: no favicon URL appears twice in the cache table
     all_rows = eng.favicons.read(spark).groupBy("favicon_url").count().collect()
     assert all(r["count"] == 1 for r in all_rows)
+    eng.close()
+
+
+def test_html_mode_preview_sequence(spark, tmp_path_factory):
+    """P9 e2e (DocumentMeta.create_preview → Document.has_thumbnail,
+    se/document.py:466-471): over an html_mode web whose heads declare
+    og:image / twitter:image arms — data: URIs decode in the parse
+    kernel (no fetch), http candidates fetch url-unique into the
+    previews cache with decoded dims, a 404 preview leaves
+    has_thumbnail False, and pages with no preview metadata get
+    none/False."""
+    from sosse_spark.sources.corpus import dims_for
+    from sosse_spark.sources.webgraph import DATA_URI_PREVIEW, host_no
+
+    # a 36-doc web so a CRAWLABLE 404-preview doc exists: i=30 has
+    # i%27==3 (missing arm) and dodges the synthetic error/private/
+    # redirect injections (i=3, the other candidate, is error-injected
+    # at i%100==3 and never yields a document row)
+    web = WebConfig(n_docs=36, n_hosts=3, html_mode=True)
+    eng = _crawl(
+        spark,
+        str(tmp_path_factory.mktemp("prevhtml")),
+        web,
+        extra_seeds=[url_of(30, web)],
+    )
+    docs = {int(d["image_id"].split("-")[-1]): d for d in eng.documents.read(spark).collect()}
+    assert docs  # non-trivial crawl
+    prev_table = eng.previews.read(spark)
+    previews = {r["preview_url"]: r for r in prev_table.collect()} if prev_table is not None else {}
+
+    saw_http_ok = saw_http_missing = saw_data = saw_none = False
+    for i, d in docs.items():
+        if i % 9 == 3 and i % 27 != 3:
+            h = host_no(i, web)
+            purl = f"http://img{h}.example.com/meta/{i}.png"
+            assert d["preview_kind"] == "http" and d["preview_url"] == purl
+            assert d["has_thumbnail"] is True
+            row = previews[purl]
+            assert not row["missing"] and row["mimetype"].startswith("image/")
+            assert (row["w"], row["h"]) == dims_for(i)
+            saw_http_ok = True
+        elif i % 27 == 3:
+            assert d["preview_kind"] == "http"
+            assert d["has_thumbnail"] is False  # 404 → silent failure arm
+            assert previews[d["preview_url"]]["missing"] is True
+            saw_http_missing = True
+        elif i % 9 == 6:
+            assert d["preview_kind"] == "data"
+            assert d["preview_url"] == DATA_URI_PREVIEW
+            assert d["has_thumbnail"] is True  # decoded in-kernel
+            assert DATA_URI_PREVIEW not in previews  # data: never fetched
+            saw_data = True
+        else:
+            assert d["preview_kind"] == "none" and d["preview_url"] is None
+            assert d["has_thumbnail"] is False
+            saw_none = True
+    assert saw_http_ok and saw_http_missing and saw_data and saw_none
+
+    # url-unique: each http preview fetched exactly once across rounds
+    counts = prev_table.groupBy("preview_url").count().collect()
+    assert all(r["count"] == 1 for r in counts)
     eng.close()
