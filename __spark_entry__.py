@@ -2612,6 +2612,81 @@ def q_curate_funnel_stats(spark, sf_dir):
     )
 
 
+def q_sim_ann_sq8(spark, sf_dir):
+    """Scalar-quantized (SQ8) ANN top-k (similarity.py sq_topk — the
+    FAISS IndexScalarQuantizer QT_8bit recipe, completing the index
+    family next to lsh/ivf/pq/ivfpq): per-dim [min,max] bounds trained
+    on a hash-ordered sample, int8 codes scanned via one affine matmul
+    per Arrow batch, shortlist 8·k exactly re-ranked.  Oracle = the
+    exact top-k SQL: with 256 quantization levels the reconstruction
+    error (~span/510 per dim) is far below the synthetic embeddings'
+    score gaps, so the shortlist covers the true top-5 (verified at
+    sf0.001/0.01).  Registry position ≥ 50 (window packed since mid
+    round 5) → driver-invisible; certified by the local replica gate
+    (pass-L)."""
+    from sosse_spark.operators.similarity import sq_topk, sq_train
+
+    emb = _emb(spark, sf_dir).withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    bounds = sq_train(emb, max_train=20_000)
+    out = sq_topk(emb, queries, bounds, k=5, shortlist_mult=8)
+    return out.select("query_id", "vec_id", "rank", F.round("cos_sim", 4).alias("cos4"))
+
+
+def q_dedup_lines_corpus(spark, sf_dir):
+    """RefinedWeb-style corpus-level line dedup (dedup.py
+    corpus_line_dedup): multi-line docs synthesized by appending a
+    corpus-wide boilerplate line, a doc_id%7 footer (both over the
+    min_count=3 removal threshold at every SF) and a unique
+    'u <doc_id>' line (always kept) to each text — every occurrence of
+    an over-frequent line is removed (no keep-first), and docs losing
+    > 50% of their line chars flag dropped.  Registry position ≥ 50
+    (window packed since mid round 5) → driver-invisible; certified by
+    the local replica gate (pass-L)."""
+    from sosse_spark.operators.dedup import corpus_line_dedup
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\nshared boilerplate banner\nfooter "),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit("\nu "),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    out = corpus_line_dedup(d, "doc_id", "text", min_count=3, drop_char_ratio=0.5)
+    return out.select(
+        F.col("_id").alias("doc_id"), "text", "kept_lines", "removed_lines", "dropped"
+    )
+
+
+def q_text_entropy(spark, sf_dir):
+    """Character-entropy gibberish gate (functions/text.py
+    char_entropy): Shannon entropy over the first-256-char prefix, the
+    low/high-entropy screen next to the Gopher rules.  A doc_id%89==0
+    slice is degraded to a repeated-char string ('aaaa…' — entropy ≈ 0,
+    fails the gate) so both arms carry rows at every SF.  Registry
+    position ≥ 50 (window packed since mid round 5) → driver-invisible;
+    certified by the local replica gate (pass-L)."""
+    from sosse_spark.functions.text import char_entropy
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 89 == 0, F.repeat(F.lit("a"), 300))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    out = char_entropy(d, "doc_id", "text", prefix=256, lo=2.0, hi=6.0)
+    return out.select(
+        F.col("_id").alias("doc_id"), "n_chars", "entropy", "entropy_pass"
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -2765,6 +2840,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_funnel_stats": q_curate_funnel_stats,
         "p9_preview_meta": q_p9_preview_meta,
         "sample_unimax": q_sample_unimax,
+        "sim_ann_sq8": q_sim_ann_sq8,
+        "dedup_lines_corpus": q_dedup_lines_corpus,
+        "text_entropy": q_text_entropy,
     }
 
 
@@ -5279,4 +5357,74 @@ def oracle_sql() -> dict[str, str]:
                                ELSE (2.0 * j.total - 3.0 * cs.capped_sum)
                                     / (j.kk - tt.t + 1) END) / j.size, 6) AS epochs
             FROM j, tt, cs""",
+        # SQ8's oracle is the EXACT top-k (same contract as lsh/ivf/pq:
+        # the quantized scan must recover the true top-5 via its 8·k
+        # shortlist + exact re-rank)
+        "sim_ann_sq8": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
+            scored AS (
+              SELECT q.query_id, e.vec_id,
+                     round(list_dot_product(e.v, q.qv)
+                           / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos_sim
+              FROM e CROSS JOIN q)
+            SELECT query_id, vec_id, rank, round(cos_sim, 4) AS cos4 FROM (
+              SELECT query_id, vec_id, cos_sim,
+                     ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id ASC) AS rank
+              FROM scored) WHERE rank <= 5""",
+        "dedup_lines_corpus": """
+            WITH d AS (
+              SELECT doc_id,
+                     text || chr(10) || 'shared boilerplate banner' || chr(10)
+                          || 'footer ' || CAST(doc_id % 7 AS VARCHAR) || chr(10)
+                          || 'u ' || CAST(doc_id AS VARCHAR) AS text
+              FROM documents),
+            p0 AS (
+              SELECT doc_id, unnest(parts) AS line,
+                     unnest(generate_series(1, len(parts))) AS pos
+              FROM (SELECT doc_id, string_split(text, chr(10)) AS parts FROM d)),
+            p AS (SELECT * FROM p0 WHERE trim(line) <> ''),
+            cnt AS (SELECT line, count(*) AS c FROM p GROUP BY 1),
+            t AS (SELECT p.doc_id, p.pos, p.line, (c.c >= 3) AS rm
+                  FROM p JOIN cnt c USING (line)),
+            stats AS (
+              SELECT doc_id,
+                     CAST(sum(CASE WHEN NOT rm THEN 1 ELSE 0 END) AS INT) AS kept_lines,
+                     CAST(sum(CASE WHEN rm THEN 1 ELSE 0 END) AS INT) AS removed_lines,
+                     CAST(sum(CASE WHEN rm THEN length(line) ELSE 0 END) AS BIGINT) AS rm_chars,
+                     CAST(sum(length(line)) AS BIGINT) AS tot_chars
+              FROM t GROUP BY 1),
+            re AS (
+              SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+              FROM t WHERE NOT rm GROUP BY 1)
+            SELECT s.doc_id,
+                   coalesce(re.text, '') AS text,
+                   s.kept_lines, s.removed_lines,
+                   coalesce(s.rm_chars > s.tot_chars * 0.5, FALSE) AS dropped
+            FROM stats s LEFT JOIN re USING (doc_id)""",
+        "text_entropy": """
+            WITH d AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 89 = 0 THEN repeat('a', 300)
+                          ELSE text END AS text
+              FROM documents),
+            ch0 AS (
+              SELECT doc_id, unnest(string_split(substr(text, 1, 256), '')) AS ch
+              FROM d),
+            ch AS (SELECT * FROM ch0 WHERE ch <> ''),
+            pc AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2),
+            pd AS (
+              SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars,
+                     -sum(c * log2(c)) AS num
+              FROM pc GROUP BY 1),
+            s AS (
+              SELECT d.doc_id,
+                     CAST(coalesce(pd.n_chars, 0) AS INT) AS n_chars,
+                     coalesce(round(CASE WHEN pd.n_chars > 0
+                                         THEN pd.num / pd.n_chars + log2(pd.n_chars)
+                                         ELSE 0.0 END, 6), 0.0) AS entropy
+              FROM d LEFT JOIN pd USING (doc_id))
+            SELECT doc_id, n_chars, entropy,
+                   (entropy >= 2.0 AND entropy <= 6.0) AS entropy_pass
+            FROM s""",
     }

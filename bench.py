@@ -157,6 +157,10 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> dict[str, float]:
         "curate_funnel_stats",
         "p9_preview_meta",
         "sample_unimax",
+        # final round-5 session additions
+        "dedup_lines_corpus",
+        "sim_ann_sq8",
+        "text_entropy",
     ]
     qs = e.queries()
     out: dict[str, float] = {}

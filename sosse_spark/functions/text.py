@@ -39,6 +39,7 @@ __all__ = [
     "bigram_logprob",
     "c4_clean",
     "fineweb_quality",
+    "char_entropy",
 ]
 
 # Tiny deterministic stopword lists for the lang-ID heuristic.  Scoring is
@@ -866,4 +867,66 @@ def fineweb_quality(
         f_dup.alias("r_dup_char"),
         f_short.alias("r_short"),
         (f_punct & f_dup & f_short).alias("keep"),
+    )
+
+
+def char_entropy(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prefix: int = 256,
+    lo: float = 2.0,
+    hi: float = 6.0,
+):
+    """Character-level Shannon entropy gate — the classic gibberish /
+    degenerate-text screen (low entropy = repeated-character spam like
+    "aaaa…" or boilerplate padding; implausibly high entropy = random
+    bytes / encoder junk; used as a cheap quality signal in web-corpus
+    pipelines alongside the Gopher rules).
+
+        H = -sum_c p_c * log2(p_c)   over the characters of the first
+                                     `prefix` chars of the document
+
+    Output: (_id, n_chars, entropy double rounded 6, entropy_pass bool
+    = lo <= H <= hi).  Empty/whitespace-only prefixes score H = 0 and
+    fail the gate (n_chars counts every prefix char, including spaces —
+    entropy is over the raw prefix, case-sensitive).
+
+    100 TB shape: the prefix bound caps the explode at `prefix` rows
+    per document regardless of document size, then ONE hash aggregation
+    keyed by (doc, char) with map-side combine and ONE re-aggregation
+    keyed by doc.  All JVM expression algebra — no UDF, no window."""
+    chars = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(F.split(F.substring(F.col(text_col), 1, prefix), "")).alias("ch"),
+        )
+        # both engines: guard against empty-string artifacts of char-split
+        .filter(F.col("ch") != "")
+    )
+    per_char = chars.groupBy("_id", "ch").agg(F.count("*").alias("_c"))
+    per_doc = per_char.groupBy("_id").agg(
+        F.sum("_c").alias("n_chars"),
+        (-F.sum(F.col("_c") * F.log2(F.col("_c")))).alias("_num"),
+    )
+    # -sum(c*log2(c))/n + log2(n)  ==  -sum(p*log2(p))
+    ent = F.round(
+        F.when(
+            F.col("n_chars") > 0,
+            F.col("_num") / F.col("n_chars") + F.log2(F.col("n_chars")),
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    base = df.select(F.col(id_col).alias("_id")).distinct()
+    return (
+        base.join(per_doc, "_id", "left")
+        .select(
+            "_id",
+            F.coalesce("n_chars", F.lit(0)).cast("int").alias("n_chars"),
+            F.coalesce(ent, F.lit(0.0)).alias("entropy"),
+        )
+        .withColumn(
+            "entropy_pass",
+            (F.col("entropy") >= F.lit(lo)) & (F.col("entropy") <= F.lit(hi)),
+        )
     )

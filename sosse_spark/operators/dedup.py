@@ -42,6 +42,7 @@ __all__ = [
     "dedup_canonical",
     "dedup_substring",
     "c4_span_dedup",
+    "corpus_line_dedup",
 ]
 
 
@@ -857,4 +858,82 @@ def c4_span_dedup(
         (F.col("_total") - F.coalesce("_kept", F.lit(0)))
         .cast("int")
         .alias("removed_sentences"),
+    )
+
+
+def corpus_line_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    min_count: int = 3,
+    drop_char_ratio: float = 0.5,
+) -> DataFrame:
+    """RefinedWeb-style corpus-level line deduplication (Penedo et al.
+    2023, "The RefinedWeb Dataset for Falcon LLM", arXiv:2306.01116 —
+    line-wise corrections): any non-blank line whose exact text occurs
+    at least `min_count` times ACROSS THE CORPUS is removed from EVERY
+    document (including its first occurrence — unlike dedup_paragraphs'
+    C4 keep-first rule, this targets boilerplate: nav bars, cookie
+    banners, like-button labels that repeat on many pages); a document
+    that loses more than `drop_char_ratio` of its non-blank line
+    characters is flagged dropped, per the paper's "if removals exceed
+    a fraction of the document, drop it" rule.
+
+    Output: (_id, text, kept_lines, removed_lines, dropped) — text ''
+    when every line was boilerplate; blank lines are neither counted
+    nor reassembled (same blank handling as dedup_paragraphs); docs
+    with no non-blank lines keep text '' with dropped = false.
+
+    Scale shape: line rows shuffle ONCE keyed by md5(line) (16-byte
+    digest, never the text — same digest-grouping as exact_dedup) with
+    a map-side-combining count, the verdict joins back thin on the
+    digest, and one per-doc shuffle reassembles survivors in original
+    order.  No windows, no driver state."""
+    lines = (
+        docs.select(
+            F.col(id_col).alias("_id"),
+            # \Q...\E: sep is a LITERAL separator, not a regex
+            F.posexplode(F.split(F.col(text_col), "\\Q" + sep + "\\E")).alias("pos", "line"),
+        )
+        .filter(F.trim("line") != "")
+        .withColumn("md5", F.md5("line"))
+    )
+    counts = lines.groupBy("md5").agg(F.count("*").alias("_cnt"))
+    tagged = lines.join(counts, "md5").withColumn(
+        "_rm", F.col("_cnt") >= F.lit(min_count)
+    )
+    stats = tagged.groupBy("_id").agg(
+        F.sum(F.when(~F.col("_rm"), 1).otherwise(0)).alias("kept_lines"),
+        F.sum(F.when(F.col("_rm"), 1).otherwise(0)).alias("removed_lines"),
+        F.sum(F.when(F.col("_rm"), F.length("line")).otherwise(0)).alias("_rm_chars"),
+        F.sum(F.length("line")).alias("_tot_chars"),
+    )
+    reassembled = (
+        tagged.filter(~F.col("_rm"))
+        .groupBy("_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda x: x["line"],
+                ),
+                sep,
+            ).alias("text")
+        )
+    )
+    base = docs.select(F.col(id_col).alias("_id")).distinct()
+    return (
+        base.join(stats, "_id", "left")
+        .join(reassembled, "_id", "left")
+        .select(
+            "_id",
+            F.coalesce("text", F.lit("")).alias("text"),
+            F.coalesce("kept_lines", F.lit(0)).cast("int").alias("kept_lines"),
+            F.coalesce("removed_lines", F.lit(0)).cast("int").alias("removed_lines"),
+            F.coalesce(
+                F.col("_rm_chars") > F.col("_tot_chars") * F.lit(drop_char_ratio),
+                F.lit(False),
+            ).alias("dropped"),
+        )
     )

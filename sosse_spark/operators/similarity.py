@@ -37,6 +37,9 @@ __all__ = [
     "pq_encode",
     "pq_topk",
     "ivfpq_topk",
+    "sq_train",
+    "sq_encode",
+    "sq_topk",
 ]
 
 
@@ -804,6 +807,182 @@ def ivfpq_topk(
     )
 
     # --- exact re-rank of the shortlist --------------------------------
+    qvdf = queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec"))
+    cvdf = corpus.select(F.col(id_col), F.col(vec_col).alias("_cvec"))
+    exact = (
+        shortlist.join(F.broadcast(qvdf), query_id_col)
+        .join(cvdf, id_col)
+        .select(
+            query_id_col,
+            id_col,
+            F.round(cosine_sim(F.col("_cvec"), F.col("_qvec")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
+    return exact.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def sq_train(
+    corpus: DataFrame,
+    max_train: int = 100_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list:
+    """Train a scalar quantizer (the FAISS IndexScalarQuantizer QT_8bit
+    recipe — public): per-dimension [vmin, vmax] bounds taken over a
+    bounded hash-ordered sample of L2-NORMALIZED vectors; each dimension
+    later encodes to round((x - vmin) / (vmax - vmin) * 255) clipped to
+    [0, 255].
+
+    -> [vmin list, vmax list].  Same bounded-collect contract as
+    ivf_train / pq_train: the driver holds <= max_train sample rows and
+    2*dim floats, never the corpus.
+    """
+    import numpy as np
+
+    rows = (
+        corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+        .orderBy(F.xxhash64(F.col("_id").cast("string")), F.col("_id"))
+        .limit(max_train)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("sq_train: corpus is empty — nothing to train on")
+    x = np.array([r["_v"] for r in rows], dtype=np.float64)
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    return [x.min(axis=0).tolist(), x.max(axis=0).tolist()]
+
+
+def _sq_code_udf(bounds: list):
+    """pandas UDF: vectors -> dim uint8 codes (normalize, affine-map to
+    [0,255], round via np.floor(x+0.5) = HALF_UP — matching Spark
+    F.round / DuckDB round, NOT np.rint's banker's rounding, so oracle
+    twins can recompute codes in SQL), vectorized per Arrow batch."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    vmin = np.array(bounds[0], dtype=np.float64)
+    span = np.maximum(np.array(bounds[1], dtype=np.float64) - vmin, 1e-12)
+
+    def _codes(vecs):
+        v = np.stack(vecs.to_numpy()).astype(np.float64)
+        v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+        scaled = (v - vmin[None, :]) / span[None, :] * 255.0
+        codes = np.clip(np.floor(scaled + 0.5), 0.0, 255.0).astype(np.int32)
+        return pd.Series(list(codes))
+
+    return pandas_udf(_codes, T.ArrayType(T.IntegerType()), PandasUDFType.SCALAR)
+
+
+def sq_encode(
+    corpus: DataFrame,
+    bounds: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Index build: -> (id, codes array<int> of length dim, one byte of
+    information each).  At 100 TB the resident index is dim bytes per
+    vector (4x smaller than float32, 8x smaller than the float64 the
+    exact path computes in); the float vectors stay in cold storage and
+    are fetched only for the exact re-rank of shortlists."""
+    code = _sq_code_udf(bounds)
+    return corpus.select(F.col(id_col), code(F.col(vec_col)).alias("codes"))
+
+
+def sq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    bounds: list,
+    k: int = 5,
+    shortlist_mult: int = 4,
+    codes: Optional[DataFrame] = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    max_query_batch: Optional[int] = None,
+) -> DataFrame:
+    """Scalar-quantized (SQ8) top-k with exact re-rank, completing the
+    FAISS index family next to lsh/ivf/pq/ivfpq_topk.  The asymmetric
+    score of a code row against a (full-precision, normalized) query is
+    AFFINE in the codes:
+
+        q . x_hat = sum_d q_d*(vmin_d + code_d/255*span_d)
+                  = (q . vmin) + (q*span/255) . code
+
+    so the scan is ONE matmul per Arrow batch (codes @ W.T + c) over the
+    codes-only table, a per-query shortlist of shortlist_mult*k
+    survives, and only the shortlist is exactly re-scored against true
+    vectors.  -> (query_id, vec_id, cos_sim, rank) — identical contract
+    to brute_force_topk; with 8-bit codes the reconstruction error is
+    ~span/510 per dimension, so a modest shortlist recovers the exact
+    top-k (oracle-checked at sf0.001/0.01; the driver gate would run it
+    at sf0.01).
+
+    Scale shape: the scan side touches only (id, codes); queries (with
+    their affine weights) ride inside the kernel closure; true vectors
+    join back once for shortlist_mult*k*|Q| rows.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    _guard_query_batch(queries, max_query_batch)
+    q_rows = queries.select(F.col(query_id_col).alias("_qid"), F.col(vec_col).alias("_qv")).collect()
+    if not q_rows:
+        return (
+            corpus.select(F.col(id_col))
+            .limit(0)
+            .select(
+                F.lit(None).cast("long").alias(query_id_col),
+                F.col(id_col),
+                F.lit(0.0).alias("cos_sim"),
+                F.lit(0).alias("rank"),
+            )
+        )
+    vmin = np.array(bounds[0], dtype=np.float64)
+    span = np.maximum(np.array(bounds[1], dtype=np.float64) - vmin, 1e-12)
+    q_ids = [r["_qid"] for r in q_rows]
+    qv = np.array([r["_qv"] for r in q_rows], dtype=np.float64)
+    qv /= np.maximum(np.linalg.norm(qv, axis=1, keepdims=True), 1e-12)
+    weights = qv * span[None, :] / 255.0  # (Q, dim)
+    consts = qv @ vmin  # (Q,)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("_qid", T.LongType()),
+            T.StructField("_id", T.LongType()),
+            T.StructField("approx", T.DoubleType()),
+        ]
+    )
+    shortlist_n = shortlist_mult * k
+
+    def _scan(batches):
+        for pdf in batches:
+            codes_arr = np.stack(pdf["codes"].to_numpy()).astype(np.float64)  # (n, dim)
+            ids = pdf["_id"].to_numpy()
+            scores = weights @ codes_arr.T + consts[:, None]  # (Q, n)
+            top = min(shortlist_n, len(ids))
+            idx = np.argpartition(-scores, top - 1, axis=1)[:, :top]
+            yield pd.DataFrame(
+                {
+                    "_qid": np.repeat(q_ids, top),
+                    "_id": ids[idx.ravel()],
+                    "approx": np.take_along_axis(scores, idx, axis=1).ravel(),
+                }
+            )
+
+    code_rows = (codes if codes is not None else sq_encode(corpus, bounds, id_col, vec_col)).select(
+        F.col(id_col).alias("_id"), "codes"
+    )
+    scored = code_rows.mapInPandas(_scan, out_schema)
+    w_short = Window.partitionBy("_qid").orderBy(F.col("approx").desc(), F.col("_id").asc())
+    shortlist = (
+        scored.withColumn("_r", F.row_number().over(w_short))
+        .filter(F.col("_r") <= shortlist_n)
+        .select(F.col("_qid").alias(query_id_col), F.col("_id").alias(id_col))
+    )
     qvdf = queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec"))
     cvdf = corpus.select(F.col(id_col), F.col(vec_col).alias("_cvec"))
     exact = (

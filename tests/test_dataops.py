@@ -1000,3 +1000,135 @@ def test_bigram_logprob_replica(spark):
     # doc 2 repeats the corpus-dominant 'a a' pair, so it scores BETTER
     # (lower nll) than doc 1's alternating rarer pairs
     assert got[2]["avg_nll"] < got[1]["avg_nll"]
+
+
+def test_corpus_line_dedup_removes_all_occurrences(spark):
+    """RefinedWeb line dedup: an over-frequent line vanishes EVERYWHERE
+    (no keep-first — the contrast with dedup_paragraphs), under-frequent
+    lines survive, and losing >50% of line chars flags dropped."""
+    from sosse_spark.operators.dedup import corpus_line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "unique alpha line\nboilerplate"),
+            (2, "boilerplate\nunique beta"),
+            (3, "boilerplate"),  # 3rd occurrence -> all three removed
+            (4, "twice\nunique gamma"),
+            (5, "twice"),  # only 2 occurrences: < min_count, kept
+            (6, "   "),  # blank-only: no lines, text '', not dropped
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["_id"]: r for r in corpus_line_dedup(docs, "doc_id", "text").collect()}
+    assert out[1]["text"] == "unique alpha line" and out[1]["removed_lines"] == 1
+    # doc 1: removed 11 chars of 28 -> not dropped
+    assert not out[1]["dropped"]
+    assert out[2]["text"] == "unique beta"
+    # doc 3 was 100% boilerplate: empty text, dropped
+    assert out[3]["text"] == "" and out[3]["kept_lines"] == 0 and out[3]["dropped"]
+    # 'twice' occurs twice (< min_count=3): kept in both docs
+    assert out[4]["text"] == "twice\nunique gamma" and out[4]["removed_lines"] == 0
+    assert out[5]["text"] == "twice" and not out[5]["dropped"]
+    # blank-only docs keep a row (unlike dedup_paragraphs' drop-out)
+    assert out[6]["text"] == "" and out[6]["kept_lines"] == 0 and not out[6]["dropped"]
+
+
+def test_corpus_line_dedup_char_ratio_boundary(spark):
+    """dropped requires STRICTLY more than drop_char_ratio of the
+    non-blank line chars removed; exactly-half stays kept."""
+    from sosse_spark.operators.dedup import corpus_line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aaaa\nbbbb"),  # removal of 'aaaa' = exactly half the chars
+            (2, "aaaa"),
+            (3, "aaaa"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["_id"]: r for r in corpus_line_dedup(docs, "doc_id", "text").collect()}
+    assert out[1]["removed_lines"] == 1 and not out[1]["dropped"]
+    assert out[2]["dropped"] and out[3]["dropped"]
+
+
+def test_char_entropy_pinned_values(spark):
+    """Hand-checked Shannon entropies: uniform alphabets give log2(k)."""
+    from sosse_spark.functions.text import char_entropy
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aaaaaaaa"),  # H = 0, fails lo
+            (2, "abababab"),  # H = 1, fails lo=2
+            (3, "abcdabcd"),  # H = 2, passes (inclusive lo)
+            (4, "abcdefghijklmnop"),  # 16 uniform chars: H = 4
+            (5, ""),  # empty: n_chars 0, H 0, fails
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["_id"]: r for r in char_entropy(docs, "doc_id", "text").collect()}
+    assert out[1]["entropy"] == 0.0 and not out[1]["entropy_pass"]
+    assert out[2]["entropy"] == 1.0 and not out[2]["entropy_pass"]
+    assert out[3]["entropy"] == 2.0 and out[3]["entropy_pass"]
+    assert out[4]["entropy"] == 4.0 and out[4]["n_chars"] == 16
+    assert out[5]["n_chars"] == 0 and out[5]["entropy"] == 0.0 and not out[5]["entropy_pass"]
+
+
+def test_char_entropy_prefix_bound(spark):
+    """Only the first `prefix` chars count — the 100 TB cost bound."""
+    from sosse_spark.functions.text import char_entropy
+
+    docs = spark.createDataFrame(
+        [(1, "ab" * 8 + "z" * 100)], "doc_id long, text string"
+    )
+    out = char_entropy(docs, "doc_id", "text", prefix=16).collect()[0]
+    assert out["n_chars"] == 16 and out["entropy"] == 1.0  # the z-tail ignored
+
+
+def test_sq8_topk_matches_exact(spark):
+    """SQ8 with a generous shortlist recovers the exact top-k (the same
+    contract the pq/ivf oracles certify), and codes stay in [0,255]."""
+    import numpy as np
+
+    from sosse_spark.operators.similarity import (
+        brute_force_topk,
+        sq_encode,
+        sq_topk,
+        sq_train,
+    )
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((80, 8)).tolist()
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<double>"
+    )
+    queries = emb.filter("vec_id < 3").selectExpr("vec_id as query_id", "embedding")
+    bounds = sq_train(emb)
+    codes = sq_encode(emb, bounds).collect()
+    assert all(len(r["codes"]) == 8 for r in codes)
+    assert all(0 <= c <= 255 for r in codes for c in r["codes"])
+    got = sorted(
+        (r["query_id"], r["rank"], r["vec_id"], r["cos_sim"])
+        for r in sq_topk(emb, queries, bounds, k=5, shortlist_mult=8).collect()
+    )
+    want = sorted(
+        (r["query_id"], r["rank"], r["vec_id"], r["cos_sim"])
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    )
+    assert got == want
+
+
+def test_sq8_empty_corpus_and_guard(spark):
+    import pytest as _pytest
+
+    from sosse_spark.operators.similarity import sq_topk, sq_train
+
+    emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with _pytest.raises(ValueError):
+        sq_train(emb)
+    full = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    bounds = sq_train(full)
+    q = full.selectExpr("vec_id as query_id", "embedding")
+    with _pytest.raises(ValueError):
+        sq_topk(full, q, bounds, max_query_batch=1)

@@ -963,3 +963,54 @@ def test_unimax_planning_joins_broadcast(spark):
     # re-derive upstream subtrees (K-row recompute, deliberately cheap)
     assert sum(1 for k in kinds if "BroadcastNestedLoop" in k) >= 3
     assert any("HashAggregate" in k for k in kinds)  # map-side combine on sizes
+
+
+def test_corpus_line_dedup_digest_join_no_cartesian(spark):
+    """RefinedWeb line dedup: the corpus-frequency verdict must flow
+    through hash equi-joins keyed on the md5 digest — never a
+    cartesian/broadcast-nested-loop — and no global window anywhere."""
+    from sosse_spark.operators.dedup import corpus_line_dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"line one {i}\nshared banner\nline two {i}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    plan = _plan(corpus_line_dedup(docs, "doc_id", "text"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan
+
+
+def test_sq8_scan_side_is_codes_only(spark):
+    """SQ8 ANN: the mapInPandas scan must read only (_id, codes) — the
+    float vectors may appear ONLY in the bounded exact re-rank joins,
+    and the query side of those joins broadcasts."""
+    import numpy as np
+
+    from sosse_spark.operators.similarity import sq_topk, sq_train
+
+    rng = np.random.default_rng(3)
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(rng.standard_normal((30, 4)).tolist())],
+        "vec_id long, embedding array<double>",
+    )
+    q = emb.filter("vec_id < 2").selectExpr("vec_id as query_id", "embedding")
+    bounds = sq_train(emb)
+    plan = _plan(sq_topk(emb, q, bounds, k=3))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # query vectors broadcast into re-rank
+
+
+def test_char_entropy_two_hash_aggs_no_window(spark):
+    """Entropy is two map-side-combining hash aggregations — no window,
+    no cartesian; the prefix bound keeps the explode linear."""
+    from sosse_spark.functions.text import char_entropy
+
+    docs = spark.createDataFrame(
+        [(i, f"some text {i}") for i in range(10)], "doc_id long, text string"
+    )
+    plan = _plan(char_entropy(docs, "doc_id", "text"))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 4  # 2 aggs x partial+final
