@@ -2621,7 +2621,7 @@ def q_sim_ann_sq8(spark, sf_dir):
     exact top-k SQL: with 256 quantization levels the reconstruction
     error (~span/510 per dim) is far below the synthetic embeddings'
     score gaps, so the shortlist covers the true top-5 (verified at
-    sf0.001/0.01).  Registry position ≥ 50 (window packed since mid
+    sf0.001/0.01/0.1).  Registry position ≥ 50 (window packed since mid
     round 5) → driver-invisible; certified by the local replica gate
     (pass-L)."""
     from sosse_spark.operators.similarity import sq_topk, sq_train

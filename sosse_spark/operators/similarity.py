@@ -917,8 +917,8 @@ def sq_topk(
     vectors.  -> (query_id, vec_id, cos_sim, rank) — identical contract
     to brute_force_topk; with 8-bit codes the reconstruction error is
     ~span/510 per dimension, so a modest shortlist recovers the exact
-    top-k (oracle-checked at sf0.001/0.01; the driver gate would run it
-    at sf0.01).
+    top-k (oracle-checked at sf0.001/0.01/0.1; the driver gate runs
+    sf0.01).
 
     Scale shape: the scan side touches only (id, codes); queries (with
     their affine weights) ride inside the kernel closure; true vectors
