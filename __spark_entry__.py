@@ -2687,6 +2687,58 @@ def q_text_entropy(spark, sf_dir):
     )
 
 
+def q_f_domain_page_cap(spark, sf_dir):
+    """Cumulative per-domain page quota (scheduler.py domain_page_cap —
+    the Common-Crawl-style host budget on top of the per-round
+    politeness window): the crawled slice is pinned to event_id < 600
+    so per-domain counts (16-38) straddle cap=25 IDENTICALLY at every
+    SF — some domains admit pending rows, some are quota-exhausted —
+    while the pending side keeps scaling.  Registry position ≥ 50
+    (window packed since mid round 5) → driver-invisible; certified by
+    the local replica gate (pass-L)."""
+    from sosse_spark.operators.scheduler import domain_page_cap
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eid = F.col("event_id")
+    f = ev.select(
+        eid.alias("id"),
+        F.concat(F.lit("h"), (F.col("user_id") % 20).cast("string")).alias("url_domain"),
+        F.when((eid < 600) & (eid % 3 != 0), F.col("ts"))
+        .otherwise(F.lit(None).cast("timestamp"))
+        .alias("crawl_last"),
+        F.when(eid % 11 == 0, F.lit(None).cast("timestamp"))
+        .otherwise(F.timestamp_add("HOUR", (eid % 72).cast("int"), F.col("ts")))
+        .alias("crawl_next"),
+        (F.col("event_type") == "click").alias("manual_crawl"),
+    )
+    out = domain_page_cap(f, cap=25)
+    return out.select(
+        F.col("id").cast("long").alias("id"),
+        "url_domain",
+        "domain_crawled",
+        "pending_rank",
+    )
+
+
+def q_dedup_cluster_stats(spark, sf_dir):
+    """Dedup attrition report (dedup.py dedup_cluster_stats — the dedup
+    twin of curate_funnel_stats): same synthetic pair graph as
+    dedup_components (consecutive-id paths + sparse bridges), reduced
+    to the per-cluster-size histogram with keep-one removal counts;
+    oracle recomputes components via the recursive closure and the
+    histogram in SQL.  Registry position ≥ 50 (window packed since mid
+    round 5) → driver-invisible; certified by the local replica gate
+    (pass-L)."""
+    from sosse_spark.operators.dedup import dedup_cluster_stats
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    e1 = d.filter(did % 10 < 3).select(did.alias("id_a"), (did + 1).alias("id_b"))
+    e2 = d.filter(did % 97 == 0).select(did.alias("id_a"), (did + 5).alias("id_b"))
+    pairs = e1.unionByName(e2)
+    return dedup_cluster_stats(d, pairs, "doc_id")
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -2843,6 +2895,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_sq8": q_sim_ann_sq8,
         "dedup_lines_corpus": q_dedup_lines_corpus,
         "text_entropy": q_text_entropy,
+        "f_domain_page_cap": q_f_domain_page_cap,
+        "dedup_cluster_stats": q_dedup_cluster_stats,
     }
 
 
@@ -5427,4 +5481,62 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_chars, entropy,
                    (entropy >= 2.0 AND entropy <= 6.0) AS entropy_pass
             FROM s""",
+        "f_domain_page_cap": """
+            WITH f AS (
+              SELECT event_id AS id,
+                     'h' || CAST(user_id % 20 AS VARCHAR) AS url_domain,
+                     CASE WHEN event_id < 600 AND event_id % 3 <> 0 THEN ts END AS crawl_last,
+                     CASE WHEN event_id % 11 = 0 THEN NULL
+                          ELSE ts + (event_id % 72) * INTERVAL 1 HOUR END AS crawl_next,
+                     event_type = 'click' AS manual_crawl
+              FROM events),
+            cnt AS (SELECT url_domain, CAST(count(*) AS INT) AS domain_crawled
+                    FROM f WHERE crawl_last IS NOT NULL GROUP BY 1),
+            p AS (SELECT id, url_domain,
+                         ROW_NUMBER() OVER (PARTITION BY url_domain
+                           ORDER BY manual_crawl DESC, crawl_last DESC NULLS FIRST,
+                                    crawl_next ASC NULLS LAST, id ASC) AS pending_rank
+                  FROM f WHERE crawl_last IS NULL)
+            SELECT p.id, p.url_domain,
+                   coalesce(c.domain_crawled, 0) AS domain_crawled,
+                   CAST(p.pending_rank AS INT) AS pending_rank
+            FROM p LEFT JOIN cnt c USING (url_domain)
+            WHERE p.pending_rank <= greatest(25 - coalesce(c.domain_crawled, 0), 0)
+            UNION ALL
+            SELECT f.id, f.url_domain, c.domain_crawled, CAST(NULL AS INT)
+            FROM f JOIN cnt c USING (url_domain)
+            WHERE f.crawl_last IS NOT NULL""",
+        "dedup_cluster_stats": """
+            WITH base AS (
+              SELECT doc_id AS id_a, doc_id + 1 AS id_b FROM documents WHERE doc_id % 10 < 3
+              UNION ALL
+              SELECT doc_id, doc_id + 5 FROM documents WHERE doc_id % 97 = 0),
+            edges AS (
+              SELECT id_a AS u, id_b AS v FROM base WHERE id_a <> id_b
+              UNION
+              SELECT id_b, id_a FROM base WHERE id_a <> id_b),
+            verts AS (SELECT DISTINCT u FROM edges)
+            , rec AS (
+              WITH RECURSIVE reach(a, b) AS (
+                SELECT u, u FROM verts
+                UNION
+                SELECT r.a, e.v FROM reach r JOIN edges e ON e.u = r.b)
+              SELECT a, b FROM reach),
+            comp AS (
+              SELECT CAST(a AS BIGINT) AS _id, CAST(min(b) AS BIGINT) AS component
+              FROM rec GROUP BY a),
+            sizes AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY 1),
+            hist AS (SELECT CAST(cluster_size AS INT) AS cluster_size,
+                            CAST(count(*) AS INT) AS n_clusters
+                     FROM sizes GROUP BY 1),
+            singles AS (
+              SELECT CAST(1 AS INT) AS cluster_size, CAST(count(*) AS INT) AS n_clusters
+              FROM (SELECT DISTINCT doc_id FROM documents) d
+              WHERE doc_id NOT IN (SELECT _id FROM comp)
+              HAVING count(*) > 0),
+            u AS (SELECT * FROM hist UNION ALL SELECT * FROM singles)
+            SELECT cluster_size, n_clusters,
+                   CAST(cluster_size * n_clusters AS INT) AS n_docs,
+                   CAST((cluster_size - 1) * n_clusters AS INT) AS n_removed
+            FROM u""",
     }

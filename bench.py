@@ -161,6 +161,8 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> dict[str, float]:
         "dedup_lines_corpus",
         "sim_ann_sq8",
         "text_entropy",
+        "f_domain_page_cap",
+        "dedup_cluster_stats",
     ]
     qs = e.queries()
     out: dict[str, float] = {}

@@ -43,6 +43,7 @@ __all__ = [
     "dedup_substring",
     "c4_span_dedup",
     "corpus_line_dedup",
+    "dedup_cluster_stats",
 ]
 
 
@@ -936,4 +937,45 @@ def corpus_line_dedup(
                 F.lit(False),
             ).alias("dropped"),
         )
+    )
+
+
+def dedup_cluster_stats(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id", max_iter: int = 20
+) -> DataFrame:
+    """Attrition report for a near-dup pass — the dedup twin of the
+    curation funnel's `funnel_stats` (pipeline publications report
+    exactly this table: how much of the corpus sat in duplicate
+    clusters and what deduplication removed).
+
+    Given the corpus and the near-dup pairs (from any of the *_pairs
+    operators), emit one row per CLUSTER SIZE:
+
+        (cluster_size, n_clusters, n_docs, n_removed)
+
+    where n_removed = n_docs − n_clusters under the keep-one-
+    representative policy of dedup_canonical; docs in no pair appear as
+    the cluster_size = 1 row (n_removed 0, row omitted when there are
+    no singletons).
+
+    Scale shape: components via the O(log n) star contraction
+    (dedup_components), then ONE map-side-combining count per component,
+    a tiny size histogram, and a single anti-join counting singletons —
+    the histogram is at most max-cluster-size rows; no driver loop."""
+    comp = dedup_components(pairs, max_iter=max_iter)
+    sizes = comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    hist = sizes.groupBy("cluster_size").agg(F.count("*").cast("int").alias("n_clusters"))
+    singles = (
+        docs.select(F.col(id_col).alias("_id"))
+        .distinct()
+        .join(comp, "_id", "left_anti")
+        .agg(F.count("*").cast("int").alias("n_clusters"))
+        .select(F.lit(1).cast("long").alias("cluster_size"), "n_clusters")
+        .filter(F.col("n_clusters") > 0)
+    )
+    return hist.unionByName(singles).select(
+        F.col("cluster_size").cast("int").alias("cluster_size"),
+        "n_clusters",
+        (F.col("cluster_size") * F.col("n_clusters")).cast("int").alias("n_docs"),
+        ((F.col("cluster_size") - 1) * F.col("n_clusters")).cast("int").alias("n_removed"),
     )

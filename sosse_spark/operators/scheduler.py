@@ -37,6 +37,7 @@ __all__ = [
     "per_host_topk",
     "select_batch",
     "display_queue",
+    "domain_page_cap",
 ]
 
 ELIGIBILITY_ORDER = "manual_crawl DESC, crawl_last DESC NULLS FIRST, crawl_next ASC, id ASC"
@@ -190,3 +191,53 @@ def display_queue(frontier: DataFrame, now_col: Column, size: int = 10, crash_re
         .withColumn("queue_section", F.lit("history"))
     )
     return ready.unionByName(not_ready).unionByName(in_progress).unionByName(history)
+
+
+def domain_page_cap(
+    frontier: DataFrame,
+    cap: int,
+    host_col: str = "url_domain",
+    order_cols: Sequence[Column] | None = None,
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """Cumulative per-domain page quota — the Common-Crawl-style host
+    budget a bulk crawl needs ON TOP of the per-round politeness window
+    (per_host_topk paces a round; this caps the whole crawl, so one
+    giant host cannot swallow the frontier at 10^10-URL scale).
+
+    A domain holding `crawled` pages (crawl_last IS NOT NULL) admits at
+    most greatest(cap - crawled, 0) MORE never-crawled candidates,
+    picked in queue-priority order; already-crawled rows (recrawl
+    candidates) are never cut — they hold quota, they don't compete for
+    it.  Output = admitted pending rows ∪ all crawled rows, with two
+    audit columns: `domain_crawled` (int) and `pending_rank` (int,
+    NULL on crawled rows).  Compose BEFORE select_batch.
+
+    Scale shape: one map-side-combining per-domain count, a thin
+    hash join of the (domain, count) table onto each side, and the
+    pending rank via the same salted two-phase window as per_host_topk
+    (phase 1 bounds every (domain, salt) slice at `cap` rows — a
+    superset of any admissible set — so a hot domain's pending pile
+    splits across `salt_buckets` tasks; phase 2 exact-ranks the
+    ≤ salt_buckets·cap survivors).  No global window, no driver state.
+    """
+    order_cols = list(order_cols) if order_cols is not None else priority_order_cols()
+    crawled = frontier.filter(F.col("crawl_last").isNotNull())
+    pending = frontier.filter(F.col("crawl_last").isNull())
+    counts = crawled.groupBy(host_col).agg(
+        F.count("*").cast("int").alias("domain_crawled")
+    )
+    ranked = per_host_topk(pending, host_col, order_cols, cap, salt_buckets, salt_key="id")
+    admitted = (
+        ranked.withColumnRenamed("host_rank", "pending_rank")
+        .join(counts, host_col, "left")
+        .withColumn("domain_crawled", F.coalesce("domain_crawled", F.lit(0)))
+        .filter(
+            F.col("pending_rank")
+            <= F.greatest(F.lit(cap) - F.col("domain_crawled"), F.lit(0))
+        )
+    )
+    kept_crawled = crawled.join(counts, host_col).withColumn(
+        "pending_rank", F.lit(None).cast("int")
+    )
+    return admitted.unionByName(kept_crawled)

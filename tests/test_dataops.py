@@ -1132,3 +1132,31 @@ def test_sq8_empty_corpus_and_guard(spark):
     q = full.selectExpr("vec_id as query_id", "embedding")
     with _pytest.raises(ValueError):
         sq_topk(full, q, bounds, max_query_batch=1)
+
+
+def test_dedup_cluster_stats_histogram(spark):
+    """Cluster-size histogram with keep-one removal accounting: a
+    3-cluster, a 2-cluster, and singletons."""
+    from sosse_spark.operators.dedup import dedup_cluster_stats
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(8)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (4, 5)], "id_a long, id_b long"
+    )
+    out = {r["cluster_size"]: r for r in dedup_cluster_stats(docs, pairs, "doc_id").collect()}
+    assert out[3]["n_clusters"] == 1 and out[3]["n_docs"] == 3 and out[3]["n_removed"] == 2
+    assert out[2]["n_clusters"] == 1 and out[2]["n_removed"] == 1
+    # docs 3, 6, 7 are in no pair
+    assert out[1]["n_clusters"] == 3 and out[1]["n_removed"] == 0
+
+
+def test_dedup_cluster_stats_no_singletons_row(spark):
+    """When every doc sits in a cluster the size-1 row is omitted."""
+    from sosse_spark.operators.dedup import dedup_cluster_stats
+
+    docs = spark.createDataFrame([(0, "a"), (1, "b")], "doc_id long, text string")
+    pairs = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
+    out = {r["cluster_size"] for r in dedup_cluster_stats(docs, pairs, "doc_id").collect()}
+    assert out == {2}

@@ -139,3 +139,66 @@ def test_display_queue_sections(spark):
     assert {"pending", "in_progress", "history"} <= sections
     pend = [r["label"] for r in out.filter(F.col("queue_section") == "pending").collect()]
     assert pend == EXPECTED_ORDER[:3]
+
+
+def test_domain_page_cap_quota_arms(spark):
+    """Per-domain cumulative quota: crawled rows always survive (with
+    NULL pending_rank), pending rows admit only up to cap − crawled in
+    priority order, and an exhausted domain admits none."""
+    from datetime import datetime as _dt
+
+    from sosse_spark.operators.scheduler import domain_page_cap
+
+    ts = _dt(2024, 1, 1)
+    rows = []
+    # domain A: 3 crawled, cap 4 -> 1 pending slot; 3 pending contend
+    for i in range(3):
+        rows.append(("a.com", 10 + i, False, ts, ts, 0, None))
+    rows.append(("a.com", 20, False, None, _dt(2024, 1, 5), 0, None))  # rank 2
+    rows.append(("a.com", 21, True, None, _dt(2024, 1, 9), 0, None))   # manual: rank 1
+    rows.append(("a.com", 22, False, None, _dt(2024, 1, 2), 0, None))  # rank 3? no: crawl_next asc
+    # domain B: no crawled -> 4 slots, 2 pending both admitted
+    rows.append(("b.com", 30, False, None, _dt(2024, 1, 2), 0, None))
+    rows.append(("b.com", 31, False, None, _dt(2024, 1, 3), 0, None))
+    # domain C: 5 crawled >= cap -> pending rejected
+    for i in range(5):
+        rows.append(("c.com", 40 + i, False, ts, ts, 0, None))
+    rows.append(("c.com", 50, False, None, _dt(2024, 1, 2), 0, None))
+    df = spark.createDataFrame(
+        rows,
+        "url_domain string, id long, manual_crawl boolean, "
+        "crawl_last timestamp, crawl_next timestamp, retries int, worker_no int",
+    )
+    out = domain_page_cap(df, cap=4).collect()
+    crawled = [r for r in out if r["pending_rank"] is None]
+    pending = {r["id"]: r for r in out if r["pending_rank"] is not None}
+    assert len(crawled) == 8  # 3 + 5, all kept
+    assert all(r["crawl_last"] is not None for r in crawled)
+    # a.com: the manual pending row wins the single slot
+    assert 21 in pending and pending[21]["pending_rank"] == 1
+    assert 20 not in pending and 22 not in pending
+    assert pending[21]["domain_crawled"] == 3
+    # b.com: both admitted, ordered by crawl_next
+    assert pending[30]["pending_rank"] == 1 and pending[31]["pending_rank"] == 2
+    assert pending[30]["domain_crawled"] == 0
+    # c.com: quota exhausted
+    assert 50 not in pending
+
+
+def test_domain_page_cap_plan_no_cartesian(spark):
+    from datetime import datetime as _dt
+
+    from sosse_spark.operators.scheduler import domain_page_cap
+
+    df = spark.createDataFrame(
+        [
+            (f"d{i % 3}.com", i, False, _dt(2024, 1, 1) if i % 2 else None,
+             _dt(2024, 1, 2), 0, None)
+            for i in range(30)
+        ],
+        "url_domain string, id long, manual_crawl boolean, "
+        "crawl_last timestamp, crawl_next timestamp, retries int, worker_no int",
+    )
+    plan = domain_page_cap(df, cap=5)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
