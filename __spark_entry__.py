@@ -2739,6 +2739,36 @@ def q_dedup_cluster_stats(spark, sf_dir):
     return dedup_cluster_stats(d, pairs, "doc_id")
 
 
+def q_sim_phash_topk(spark, sf_dir):
+    """Query-by-image hamming top-k over the input_hint phash column
+    (dedup.py phash_topk_banded — pigeonhole chunks bound candidates,
+    exact bit_count(xor) re-rank, starved-query exact fallback).  Same
+    deterministic phash synthesis as dedup_phash_hamming: 50 groups
+    whose members sit at hamming <= 2 while cross-group distance is
+    ~30 bits, so each query's true top-5 lies inside its in-radius
+    candidate set and the banded result EQUALS the exact top-k the
+    SQL recomputes brute-force.  Registry position >= 50 (window
+    packed since mid round 5) -> driver-invisible; certified by the
+    local replica gate (pass-L)."""
+    from sosse_spark.operators.dedup import phash_topk_banded
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    base = (
+        F.conv(F.substring(F.md5((did % 50).cast("string")), 1, 15), 16, 10)
+        .cast("decimal(20,0)")
+        .cast("long")
+    )
+    pert = F.when(
+        did % 5 == 0,
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(doc_id % 60 AS INT))"),
+    ).otherwise(F.lit(0).cast("long"))
+    ph = d.select("doc_id", base.bitwiseXOR(pert).alias("phash"))
+    queries = ph.filter(did < 3).select(did.alias("query_id"), "phash")
+    out = phash_topk_banded(ph, queries, k=5, max_hamming=2, n_bits=60)
+    return out.select("query_id", "doc_id", F.col("rank").cast("long").alias("rank"), "hamming")
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -2897,6 +2927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_entropy": q_text_entropy,
         "f_domain_page_cap": q_f_domain_page_cap,
         "dedup_cluster_stats": q_dedup_cluster_stats,
+        "sim_phash_topk": q_sim_phash_topk,
     }
 
 
@@ -5539,4 +5570,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(cluster_size * n_clusters AS INT) AS n_docs,
                    CAST((cluster_size - 1) * n_clusters AS INT) AS n_removed
             FROM u""",
+        # banded retrieval vs the brute-force exact top-k (same contract
+        # as the sim_ann_* oracles: in-radius candidates cover the true
+        # top-5 under the planted group structure)
+        "sim_phash_topk": """
+            WITH p AS (
+              SELECT doc_id,
+                     xor(CAST(concat('0x', substr(md5(CAST(doc_id % 50 AS VARCHAR)), 1, 15)) AS BIGINT),
+                         CASE WHEN doc_id % 5 = 0
+                              THEN (CAST(1 AS BIGINT) << CAST(doc_id % 60 AS INT))
+                              ELSE CAST(0 AS BIGINT) END) AS phash
+              FROM documents),
+            q AS (SELECT doc_id AS query_id, phash AS qh FROM p WHERE doc_id < 3)
+            SELECT query_id, doc_id, rank, hamming FROM (
+              SELECT q.query_id, p.doc_id,
+                     CAST(bit_count(xor(p.phash, q.qh)) AS INT) AS hamming,
+                     ROW_NUMBER() OVER (PARTITION BY q.query_id
+                       ORDER BY bit_count(xor(p.phash, q.qh)) ASC, p.doc_id ASC) AS rank
+              FROM p CROSS JOIN q) WHERE rank <= 5""",
     }

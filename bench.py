@@ -163,6 +163,7 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> dict[str, float]:
         "text_entropy",
         "f_domain_page_cap",
         "dedup_cluster_stats",
+        "sim_phash_topk",
     ]
     qs = e.queries()
     out: dict[str, float] = {}

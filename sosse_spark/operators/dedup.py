@@ -44,6 +44,8 @@ __all__ = [
     "c4_span_dedup",
     "corpus_line_dedup",
     "dedup_cluster_stats",
+    "phash_topk",
+    "phash_topk_banded",
 ]
 
 
@@ -979,3 +981,135 @@ def dedup_cluster_stats(
         (F.col("cluster_size") * F.col("n_clusters")).cast("int").alias("n_docs"),
         ((F.col("cluster_size") - 1) * F.col("n_clusters")).cast("int").alias("n_removed"),
     )
+
+
+def phash_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    phash_col: str = "phash",
+    query_id_col: str = "query_id",
+    max_query_batch: int | None = None,
+) -> DataFrame:
+    """Exact hamming top-k retrieval over the 64-bit perceptual-hash
+    column — query-by-image for the input_hint table (the retrieval
+    twin of phash_hamming_pairs' threshold dedup, mirroring
+    similarity.brute_force_topk's contract for embeddings).
+
+    → (query_id, doc_id, hamming, rank), rank 1..k per query, ordered
+    by hamming asc then id asc.  Queries broadcast (the small-query-
+    batch contract, guarded); the scan is one codegen'd
+    bit_count(xor) per (corpus row × query) — 8 bytes a row, no pixel
+    data, no Python.  For threshold-bounded candidate generation at
+    very large |Q| use phash_topk_banded."""
+    from sosse_spark.operators.similarity import _guard_query_batch
+
+    _guard_query_batch(queries, max_query_batch)
+    q = queries.select(F.col(query_id_col), F.col(phash_col).alias("_q"))
+    scored = (
+        corpus.select(F.col(id_col), F.col(phash_col).cast("long").alias("_p"))
+        .crossJoin(F.broadcast(q))
+        .select(
+            query_id_col,
+            id_col,
+            F.bit_count(F.col("_p").bitwiseXOR(F.col("_q"))).cast("int").alias("hamming"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("hamming").asc(), F.col(id_col).asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def phash_topk_banded(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    max_hamming: int = 4,
+    n_bits: int = 64,
+    fill_min_candidates: int | None = None,
+    id_col: str = "doc_id",
+    phash_col: str = "phash",
+    query_id_col: str = "query_id",
+    max_query_batch: int | None = None,
+) -> DataFrame:
+    """Banded hamming top-k: pigeonhole chunks bound WHICH corpus rows
+    are candidates (any signature within max_hamming of the query
+    agrees on >= 1 whole chunk — recall 1 for the in-radius set), so
+    the scan is a chunk equi-join instead of corpus × |Q|.  Queries
+    whose in-radius candidate set is starved (< fill_min_candidates,
+    default 2k) fall back to the exact scan — every query returns
+    min(k, |corpus|) rows, the same contract as lsh/ivf_topk.
+
+    NOTE the semantic difference from phash_topk: when a query has >=
+    fill_min candidates in radius, ranks beyond the radius are NOT
+    searched — the result is the top-k OF THE IN-RADIUS SET.  Exact
+    equality with phash_topk holds when the true k-th neighbor sits
+    within max_hamming (the near-dup retrieval regime); the starved
+    fallback restores it everywhere else."""
+    from sosse_spark.operators.similarity import _guard_query_batch
+
+    _guard_query_batch(queries, max_query_batch)
+    fill_min = fill_min_candidates if fill_min_candidates is not None else 2 * k
+    n_chunks = max_hamming + 1
+
+    def _chunks(df, idc):
+        return df.select(
+            F.col(idc).alias("_cid"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("chunk_no"),
+                            F.shiftright(F.col(phash_col).cast("long"), start)
+                            .bitwiseAND(F.lit((1 << width) - 1))
+                            .alias("chunk"),
+                        )
+                        for c, (start, width) in enumerate(_chunk_bounds(n_bits, n_chunks))
+                    ]
+                )
+            ).alias("ch"),
+        ).select("_cid", "ch.chunk_no", "ch.chunk")
+
+    qc = _chunks(queries, query_id_col).withColumnRenamed("_cid", "_qid")
+    cc = _chunks(corpus, id_col)
+    cand = (
+        cc.join(F.broadcast(qc), ["chunk_no", "chunk"])
+        .select(F.col("_qid").alias(query_id_col), F.col("_cid").alias(id_col))
+        .dropDuplicates([query_id_col, id_col])
+    )
+    qv = queries.select(F.col(query_id_col), F.col(phash_col).alias("_q"))
+    cv = corpus.select(F.col(id_col), F.col(phash_col).cast("long").alias("_p"))
+    scored = (
+        cand.join(F.broadcast(qv), query_id_col)
+        .join(cv, id_col)
+        .select(
+            query_id_col,
+            id_col,
+            F.bit_count(F.col("_p").bitwiseXOR(F.col("_q"))).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    counts = scored.groupBy(query_id_col).agg(F.count("*").alias("_n"))
+    starved_q = (
+        counts.filter(F.col("_n") < fill_min)
+        .select(query_id_col)
+        .unionByName(
+            qv.select(query_id_col).join(counts, query_id_col, "left_anti")
+        )
+    )
+    fallback = phash_topk(
+        corpus,
+        queries.join(F.broadcast(starved_q), query_id_col, "left_semi"),
+        k=k,
+        id_col=id_col,
+        phash_col=phash_col,
+        query_id_col=query_id_col,
+        max_query_batch=max_query_batch,
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("hamming").asc(), F.col(id_col).asc())
+    banded = (
+        scored.join(F.broadcast(starved_q), query_id_col, "left_anti")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+    return banded.unionByName(fallback)

@@ -1160,3 +1160,57 @@ def test_dedup_cluster_stats_no_singletons_row(spark):
     pairs = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
     out = {r["cluster_size"] for r in dedup_cluster_stats(docs, pairs, "doc_id").collect()}
     assert out == {2}
+
+
+def test_phash_topk_exact_and_banded_agree(spark):
+    """Banded retrieval equals the exact scan when the true top-k sits
+    in radius; tie-break is (hamming, id)."""
+    from sosse_spark.operators.dedup import phash_topk, phash_topk_banded
+
+    # two tight groups 1 bit apart internally, ~30 bits cross-group
+    rows = [(i, 0xAAAA5555 ^ (1 << (i % 3))) for i in range(8)]
+    rows += [(i, 0x12345678 ^ (1 << (i % 3))) for i in range(10, 18)]
+    ph = spark.createDataFrame(rows, "doc_id long, phash long")
+    q = ph.filter("doc_id in (0, 10)").selectExpr("doc_id as query_id", "phash")
+    exact = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], r["hamming"])
+        for r in phash_topk(ph, q, k=5).collect()
+    )
+    banded = sorted(
+        (r["query_id"], r["rank"], r["doc_id"], r["hamming"])
+        for r in phash_topk_banded(ph, q, k=5, max_hamming=4).collect()
+    )
+    assert exact == banded
+    # query 0's nearest is itself at hamming 0
+    assert exact[0] == (0, 1, 0, 0)
+
+
+def test_phash_topk_banded_starved_fallback(spark):
+    """A query whose radius holds < fill_min candidates falls back to
+    the exact scan and still returns k rows (beyond the radius)."""
+    from sosse_spark.operators.dedup import phash_topk_banded
+
+    # isolated query vs a far-away cluster: nothing within hamming 2
+    rows = [(0, 0)] + [(i, 0x7FFFFFFFFFFF ^ i) for i in range(1, 9)]
+    ph = spark.createDataFrame(rows, "doc_id long, phash long")
+    q = ph.filter("doc_id = 0").selectExpr("doc_id as query_id", "phash")
+    out = phash_topk_banded(ph, q, k=3, max_hamming=2).collect()
+    assert len(out) == 3
+    assert {r["rank"] for r in out} == {1, 2, 3}
+    # self row at hamming 0 leads even through the fallback path
+    byrank = {r["rank"]: r for r in out}
+    assert byrank[1]["doc_id"] == 0 and byrank[1]["hamming"] == 0
+
+
+def test_phash_topk_banded_plan_no_cartesian(spark):
+    from sosse_spark.operators.dedup import phash_topk_banded
+
+    ph = spark.createDataFrame(
+        [(i, i * 7919) for i in range(30)], "doc_id long, phash long"
+    )
+    q = ph.filter("doc_id < 2").selectExpr("doc_id as query_id", "phash")
+    plan = (
+        phash_topk_banded(ph, q, k=3, max_hamming=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
