@@ -2769,6 +2769,23 @@ def q_sim_phash_topk(spark, sf_dir):
     return out.select("query_id", "doc_id", F.col("rank").cast("long").alias("rank"), "hamming")
 
 
+def q_sample_split_by_cluster(spark, sf_dir):
+    """Leakage-safe train/test split (sampling.py split_by_cluster):
+    the md5 split rule applies to the near-dup CLUSTER representative,
+    so near-duplicates never straddle train/test; same synthetic pair
+    graph as dedup_components, singletons = own cluster.  Registry
+    position >= 50 (window packed since mid round 5) ->
+    driver-invisible; certified by the local replica gate (pass-L)."""
+    from sosse_spark.operators.sampling import split_by_cluster
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    e1 = d.filter(did % 10 < 3).select(did.alias("id_a"), (did + 1).alias("id_b"))
+    e2 = d.filter(did % 97 == 0).select(did.alias("id_a"), (did + 5).alias("id_b"))
+    out = split_by_cluster(d, e1.unionByName(e2), test_fraction=0.2)
+    return out.select(F.col("_id").alias("doc_id"), "component", "split")
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -2928,6 +2945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f_domain_page_cap": q_f_domain_page_cap,
         "dedup_cluster_stats": q_dedup_cluster_stats,
         "sim_phash_topk": q_sim_phash_topk,
+        "sample_split_by_cluster": q_sample_split_by_cluster,
     }
 
 
@@ -5588,4 +5606,33 @@ def oracle_sql() -> dict[str, str]:
                      ROW_NUMBER() OVER (PARTITION BY q.query_id
                        ORDER BY bit_count(xor(p.phash, q.qh)) ASC, p.doc_id ASC) AS rank
               FROM p CROSS JOIN q) WHERE rank <= 5""",
+        "sample_split_by_cluster": """
+            WITH base AS (
+              SELECT doc_id AS id_a, doc_id + 1 AS id_b FROM documents WHERE doc_id % 10 < 3
+              UNION ALL
+              SELECT doc_id, doc_id + 5 FROM documents WHERE doc_id % 97 = 0),
+            edges AS (
+              SELECT id_a AS u, id_b AS v FROM base WHERE id_a <> id_b
+              UNION
+              SELECT id_b, id_a FROM base WHERE id_a <> id_b),
+            verts AS (SELECT DISTINCT u FROM edges)
+            , rec AS (
+              WITH RECURSIVE reach(a, b) AS (
+                SELECT u, u FROM verts
+                UNION
+                SELECT r.a, e.v FROM reach r JOIN edges e ON e.u = r.b)
+              SELECT a, b FROM reach),
+            comp AS (
+              SELECT CAST(a AS BIGINT) AS _id, CAST(min(b) AS BIGINT) AS component
+              FROM rec GROUP BY a),
+            j AS (
+              SELECT d.doc_id,
+                     coalesce(c.component, d.doc_id) AS component
+              FROM (SELECT DISTINCT doc_id FROM documents) d
+              LEFT JOIN comp c ON d.doc_id = c._id)
+            SELECT doc_id, component,
+                   CASE WHEN CAST(CAST('0x' || substr(md5(CAST(component AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE)
+                             / 4294967296.0 < 0.2
+                        THEN 'test' ELSE 'train' END AS split
+            FROM j""",
     }

@@ -164,6 +164,7 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> dict[str, float]:
         "f_domain_page_cap",
         "dedup_cluster_stats",
         "sim_phash_topk",
+        "sample_split_by_cluster",
     ]
     qs = e.queries()
     out: dict[str, float] = {}

@@ -29,6 +29,7 @@ __all__ = [
     "dsir_weights",
     "dsir_gumbel_topk",
     "unimax_allocation",
+    "split_by_cluster",
 ]
 
 
@@ -438,4 +439,47 @@ def unimax_allocation(
         capped.alias("capped"),
         F.round(alloc, 6).alias("allocation"),
         F.round(alloc / F.col("size"), 6).alias("epochs"),
+    )
+
+
+def split_by_cluster(
+    docs: DataFrame,
+    pairs: DataFrame,
+    test_fraction: float = 0.1,
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Leakage-safe train/test split: the split decision is made on the
+    near-dup CLUSTER, not the document, so near-duplicates never
+    straddle the boundary (the standard eval-hygiene rule — a test doc
+    whose near-twin sits in train silently inflates eval scores; see
+    the dedup/decontamination discussions in Lee et al. 2021 and the
+    GPT-3 appendix-C methodology).
+
+    Documents in no pair are their own singleton cluster.  Assignment
+    is the same deterministic md5 rule as stratified_sample, applied to
+    the cluster representative id: u(component) < test_fraction → test.
+    Rerunning on a grown corpus keeps prior assignments stable except
+    where clusters MERGE (then the whole merged cluster moves together
+    — exactly the property that prevents leakage).
+
+    Output: (_id, component, split 'test'|'train').
+
+    Scale shape: components via the O(log n) star contraction, one thin
+    left join of the (id, component) table onto the corpus ids, and the
+    split is a codegen'd md5 projection — no extra shuffle beyond the
+    components rounds."""
+    from sosse_spark.operators.dedup import dedup_components
+
+    comp = dedup_components(pairs, max_iter=max_iter)
+    base = docs.select(F.col(id_col).alias("_id")).distinct()
+    withc = base.join(comp, "_id", "left").select(
+        "_id", F.coalesce("component", F.col("_id")).alias("component")
+    )
+    return withc.withColumn(
+        "split",
+        F.when(
+            deterministic_uniform(F.col("component")) < F.lit(float(test_fraction)),
+            F.lit("test"),
+        ).otherwise(F.lit("train")),
     )

@@ -1214,3 +1214,27 @@ def test_phash_topk_banded_plan_no_cartesian(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "CartesianProduct" not in plan
+
+
+def test_split_by_cluster_no_leakage(spark):
+    """Every member of a near-dup cluster lands on the SAME side of the
+    split; singletons split independently on their own id."""
+    from sosse_spark.operators.sampling import split_by_cluster
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(12)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6)], "id_a long, id_b long"
+    )
+    out = {r["_id"]: r for r in split_by_cluster(docs, pairs, 0.3).collect()}
+    assert len(out) == 12
+    # clusters move together
+    assert out[0]["split"] == out[1]["split"] == out[2]["split"]
+    assert out[0]["component"] == out[1]["component"] == out[2]["component"] == 0
+    assert out[5]["split"] == out[6]["split"] and out[5]["component"] == 5
+    # singletons are their own component
+    for i in (3, 4, 7, 8, 9, 10, 11):
+        assert out[i]["component"] == i
+    # both splits occur at fraction 0.3 over 12 ids (deterministic md5)
+    assert {r["split"] for r in out.values()} == {"test", "train"}
