@@ -5500,11 +5500,14 @@ def oracle_sql() -> dict[str, str]:
             re AS (
               SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
               FROM t WHERE NOT rm GROUP BY 1)
-            SELECT s.doc_id,
+            SELECT d.doc_id,
                    coalesce(re.text, '') AS text,
-                   s.kept_lines, s.removed_lines,
+                   CAST(coalesce(s.kept_lines, 0) AS INT) AS kept_lines,
+                   CAST(coalesce(s.removed_lines, 0) AS INT) AS removed_lines,
                    coalesce(s.rm_chars > s.tot_chars * 0.5, FALSE) AS dropped
-            FROM stats s LEFT JOIN re USING (doc_id)""",
+            FROM (SELECT DISTINCT doc_id FROM d) d
+            LEFT JOIN stats s USING (doc_id)
+            LEFT JOIN re USING (doc_id)""",
         "text_entropy": """
             WITH d AS (
               SELECT doc_id,
@@ -5571,19 +5574,24 @@ def oracle_sql() -> dict[str, str]:
                 UNION
                 SELECT r.a, e.v FROM reach r JOIN edges e ON e.u = r.b)
               SELECT a, b FROM reach),
-            comp AS (
+            comp0 AS (
               SELECT CAST(a AS BIGINT) AS _id, CAST(min(b) AS BIGINT) AS component
               FROM rec GROUP BY a),
+            comp AS (
+              SELECT c.* FROM comp0 c
+              WHERE c._id IN (SELECT doc_id FROM documents)),
             sizes AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY 1),
             hist AS (SELECT CAST(cluster_size AS INT) AS cluster_size,
-                            CAST(count(*) AS INT) AS n_clusters
+                            count(*) AS n_clusters
                      FROM sizes GROUP BY 1),
             singles AS (
-              SELECT CAST(1 AS INT) AS cluster_size, CAST(count(*) AS INT) AS n_clusters
+              SELECT CAST(1 AS INT) AS cluster_size, count(*) AS n_clusters
               FROM (SELECT DISTINCT doc_id FROM documents) d
               WHERE doc_id NOT IN (SELECT _id FROM comp)
               HAVING count(*) > 0),
-            u AS (SELECT * FROM hist UNION ALL SELECT * FROM singles)
+            u AS (SELECT cluster_size, CAST(SUM(n_clusters) AS INT) AS n_clusters
+                  FROM (SELECT * FROM hist UNION ALL SELECT * FROM singles)
+                  GROUP BY 1)
             SELECT cluster_size, n_clusters,
                    CAST(cluster_size * n_clusters AS INT) AS n_docs,
                    CAST((cluster_size - 1) * n_clusters AS INT) AS n_removed

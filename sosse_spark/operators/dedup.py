@@ -960,22 +960,34 @@ def dedup_cluster_stats(
     the cluster_size = 1 row (n_removed 0, row omitted when there are
     no singletons).
 
+    Pair ids that are NOT corpus documents (a stale or wider pair
+    table) are excluded before sizing — the histogram accounts for
+    actual corpus rows only, so n_docs sums exactly to |docs|.
+
     Scale shape: components via the O(log n) star contraction
-    (dedup_components), then ONE map-side-combining count per component,
-    a tiny size histogram, and a single anti-join counting singletons —
-    the histogram is at most max-cluster-size rows; no driver loop."""
-    comp = dedup_components(pairs, max_iter=max_iter)
+    (dedup_components), then one semi-join restricting components to
+    corpus ids, ONE map-side-combining count per component, a tiny size
+    histogram, and a single anti-join counting singletons — the
+    histogram is at most max-cluster-size rows; no driver loop."""
+    ids = docs.select(F.col(id_col).alias("_id")).distinct()
+    comp = dedup_components(pairs, max_iter=max_iter).join(ids, "_id", "left_semi")
     sizes = comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
-    hist = sizes.groupBy("cluster_size").agg(F.count("*").cast("int").alias("n_clusters"))
+    hist = sizes.groupBy("cluster_size").agg(F.count("*").alias("n_clusters"))
     singles = (
-        docs.select(F.col(id_col).alias("_id"))
-        .distinct()
-        .join(comp, "_id", "left_anti")
-        .agg(F.count("*").cast("int").alias("n_clusters"))
+        ids.join(comp, "_id", "left_anti")
+        .agg(F.count("*").alias("n_clusters"))
         .select(F.lit(1).cast("long").alias("cluster_size"), "n_clusters")
         .filter(F.col("n_clusters") > 0)
     )
-    return hist.unionByName(singles).select(
+    # re-aggregate after the union: a component whose other members are
+    # all outside the corpus is an effective singleton and must merge
+    # into the cluster_size = 1 row, not sit beside it
+    merged = (
+        hist.unionByName(singles)
+        .groupBy("cluster_size")
+        .agg(F.sum("n_clusters").cast("int").alias("n_clusters"))
+    )
+    return merged.select(
         F.col("cluster_size").cast("int").alias("cluster_size"),
         "n_clusters",
         (F.col("cluster_size") * F.col("n_clusters")).cast("int").alias("n_docs"),
@@ -1049,7 +1061,9 @@ def phash_topk_banded(
     from sosse_spark.operators.similarity import _guard_query_batch
 
     _guard_query_batch(queries, max_query_batch)
-    fill_min = fill_min_candidates if fill_min_candidates is not None else 2 * k
+    # clamp: fill_min below k would let a query with k > candidates >=
+    # fill_min skip the fallback and silently return < k rows
+    fill_min = max(k, fill_min_candidates if fill_min_candidates is not None else 2 * k)
     n_chunks = max_hamming + 1
 
     def _chunks(df, idc):
@@ -1088,6 +1102,13 @@ def phash_topk_banded(
             F.bit_count(F.col("_p").bitwiseXOR(F.col("_q"))).cast("int").alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+        # the thin (qid, id, hamming) candidate table feeds THREE
+        # consumers (starved counts, the banded ranking arm, and the
+        # fallback's semi-join) — materialize once instead of
+        # re-running the chunk explode + equi-join per consumer; the
+        # blocks free when this frame goes out of scope (the same
+        # localCheckpoint-over-persist rationale as minhash_lsh_pairs)
+        .localCheckpoint(eager=True)
     )
     counts = scored.groupBy(query_id_col).agg(F.count("*").alias("_n"))
     starved_q = (

@@ -669,15 +669,23 @@ def pq_topk(
             scores = np.zeros((len(q_ids), len(ids)))
             for s in range(codes_arr.shape[1]):
                 scores += tables[:, s, :][:, codes_arr[:, s]]
-            # per-batch per-query shortlist keeps emitted rows bounded
+            # per-batch per-query shortlist keeps emitted rows bounded;
+            # lexsort (score desc, id asc — last key primary) makes the
+            # cut deterministic under ties, so the shortlist cannot
+            # depend on input partitioning
             top = min(shortlist_n, len(ids))
-            idx = np.argpartition(-scores, top - 1, axis=1)[:, :top]
-            rows = {
-                "_qid": np.repeat(q_ids, top),
-                "_id": ids[idx.ravel()],
-                "approx": np.take_along_axis(scores, idx, axis=1).ravel(),
-            }
-            yield pd.DataFrame(rows)
+            out_ids, out_scores = [], []
+            for qi in range(len(q_ids)):
+                order = np.lexsort((ids, -scores[qi]))[:top]
+                out_ids.append(ids[order])
+                out_scores.append(scores[qi][order])
+            yield pd.DataFrame(
+                {
+                    "_qid": np.repeat(q_ids, top),
+                    "_id": np.concatenate(out_ids),
+                    "approx": np.concatenate(out_scores),
+                }
+            )
 
     code_rows = (codes if codes is not None else pq_encode(corpus, codebooks, id_col, vec_col)).select(
         F.col(id_col).alias("_id"), "codes"
@@ -964,12 +972,21 @@ def sq_topk(
             ids = pdf["_id"].to_numpy()
             scores = weights @ codes_arr.T + consts[:, None]  # (Q, n)
             top = min(shortlist_n, len(ids))
-            idx = np.argpartition(-scores, top - 1, axis=1)[:, :top]
+            # deterministic per-batch shortlist: lexsort (last key is
+            # primary) ranks by score desc THEN id asc, so ties at the
+            # cut boundary cannot evict a lower-id true-top-k member —
+            # argpartition's arbitrary tie handling made the result
+            # depend on input partitioning
+            out_ids, out_scores = [], []
+            for qi in range(len(q_ids)):
+                order = np.lexsort((ids, -scores[qi]))[:top]
+                out_ids.append(ids[order])
+                out_scores.append(scores[qi][order])
             yield pd.DataFrame(
                 {
                     "_qid": np.repeat(q_ids, top),
-                    "_id": ids[idx.ravel()],
-                    "approx": np.take_along_axis(scores, idx, axis=1).ravel(),
+                    "_id": np.concatenate(out_ids),
+                    "approx": np.concatenate(out_scores),
                 }
             )
 

@@ -40,6 +40,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from sosse_spark.operators.dedup import _chunk_bounds
+
 __all__ = ["streaming_neardup_pairs", "NEARDUP_STATE_SCHEMA"]
 
 NEARDUP_STATE_SCHEMA = T.StructType(
@@ -82,36 +84,55 @@ def _make_kernel(max_hamming: int):
         chunk_no = int(key[0])
         if state.exists:
             tup = state.get
-            ids = np.frombuffer(tup[0], dtype=np.int64).copy() if tup[0] else np.empty(0, np.int64)
-            sigs = np.frombuffer(tup[1], dtype=np.int64).copy() if tup[1] else np.empty(0, np.int64)
+            ids = np.frombuffer(tup[0], dtype=np.int64) if tup[0] else np.empty(0, np.int64)
+            sigs = np.frombuffer(tup[1], dtype=np.int64) if tup[1] else np.empty(0, np.int64)
         else:
             ids = np.empty(0, np.int64)
             sigs = np.empty(0, np.int64)
-        n_before = len(ids)
+        # first-sig-wins per id (the same first-occurrence identity as
+        # streaming_urlseen): a replayed row (at-least-once upstream)
+        # or a re-crawled id is SKIPPED, so state holds one row per id,
+        # replays cannot re-emit already-emitted pairs, and state stays
+        # bounded by distinct ids.  A content change under the same id
+        # therefore keeps the original signature — recrawl-aware dedup
+        # needs a fresh checkpoint (or a future replace-by-id state).
+        seen_ids = set(ids.tolist())
+        new_id_buf: list[int] = []
+        new_sig_buf: list[int] = []
 
         for pdf in pdfs:
             new_ids = pdf["_id"].to_numpy(dtype=np.int64)
             new_sigs = pdf["sig"].to_numpy(dtype=np.int64)
             out_a, out_b, out_h = [], [], []
             # arrival order: each row compares against state PLUS the
-            # earlier rows of its own batch, then joins the seen set —
-            # a micro-batch carrying both halves of a pair emits it
+            # earlier fresh rows of the run, then joins the seen set —
+            # a micro-batch carrying both halves of a pair emits it.
+            # State arrays stay frozen; fresh rows buffer in lists and
+            # concatenate ONCE at state.update (np.append per row would
+            # recopy the whole state array per arriving row).
             for i in range(len(new_ids)):
-                if len(ids):
-                    x = np.bitwise_xor(
-                        sigs.view(np.uint64), np.uint64(np.int64(new_sigs[i]).view(np.uint64))
-                    )
-                    ham = _popcount64(x)
-                    hit = np.where(ham <= max_hamming)[0]
-                    for j in hit:
-                        a, b = int(ids[j]), int(new_ids[i])
-                        if a == b:
-                            continue
-                        out_a.append(min(a, b))
-                        out_b.append(max(a, b))
+                nid = int(new_ids[i])
+                if nid in seen_ids:
+                    continue
+                sig_u = np.uint64(np.int64(new_sigs[i]).view(np.uint64))
+                for cand_ids, cand_sigs in (
+                    (ids, sigs),
+                    (
+                        np.array(new_id_buf, dtype=np.int64),
+                        np.array(new_sig_buf, dtype=np.int64),
+                    ),
+                ):
+                    if not len(cand_ids):
+                        continue
+                    ham = _popcount64(np.bitwise_xor(cand_sigs.view(np.uint64), sig_u))
+                    for j in np.where(ham <= max_hamming)[0]:
+                        a = int(cand_ids[j])
+                        out_a.append(min(a, nid))
+                        out_b.append(max(a, nid))
                         out_h.append(int(ham[j]))
-                ids = np.append(ids, new_ids[i])
-                sigs = np.append(sigs, new_sigs[i])
+                seen_ids.add(nid)
+                new_id_buf.append(nid)
+                new_sig_buf.append(int(new_sigs[i]))
             if out_a:
                 yield pd.DataFrame(
                     {
@@ -122,23 +143,15 @@ def _make_kernel(max_hamming: int):
                     }
                 )
 
-        if len(ids) != n_before:
-            state.update((ids.tobytes(), sigs.tobytes()))
+        if new_id_buf:
+            state.update(
+                (
+                    np.concatenate([ids, np.array(new_id_buf, dtype=np.int64)]).tobytes(),
+                    np.concatenate([sigs, np.array(new_sig_buf, dtype=np.int64)]).tobytes(),
+                )
+            )
 
     return _kernel
-
-
-def _chunk_bounds(n_bits: int, n_chunks: int):
-    """Same chunk split as operators/dedup.py (pigeonhole bands)."""
-    base = n_bits // n_chunks
-    extra = n_bits % n_chunks
-    bounds = []
-    start = 0
-    for c in range(n_chunks):
-        width = base + (1 if c < extra else 0)
-        bounds.append((start, width))
-        start += width
-    return bounds
 
 
 def streaming_neardup_pairs(

@@ -1209,11 +1209,18 @@ def test_phash_topk_banded_plan_no_cartesian(spark):
         [(i, i * 7919) for i in range(30)], "doc_id long, phash long"
     )
     q = ph.filter("doc_id < 2").selectExpr("doc_id as query_id", "phash")
-    plan = (
-        phash_topk_banded(ph, q, k=3, max_hamming=2)
-        ._jdf.queryExecution().executedPlan().toString()
-    )
-    assert "CartesianProduct" not in plan
+    # node walk, not toString grep: conftest caps plan strings at 4096
+    # chars, so an absent-node assert on this long plan would be vacuous
+    root = phash_topk_banded(ph, q, k=3, max_hamming=2)._jdf.queryExecution().executedPlan()
+
+    def walk(node):
+        yield node
+        ch = node.children()
+        for i in range(ch.size()):
+            yield from walk(ch.apply(i))
+
+    kinds = [n.getClass().getSimpleName() for n in walk(root)]
+    assert not any("Cartesian" in k for k in kinds)
 
 
 def test_split_by_cluster_no_leakage(spark):
@@ -1238,3 +1245,16 @@ def test_split_by_cluster_no_leakage(spark):
         assert out[i]["component"] == i
     # both splits occur at fraction 0.3 over 12 ids (deterministic md5)
     assert {r["split"] for r in out.values()} == {"test", "train"}
+
+
+def test_phash_topk_banded_fill_min_clamped_to_k(spark):
+    """fill_min below k must not let a query return fewer than k rows:
+    the clamp forces the exact fallback when in-radius candidates < k."""
+    from sosse_spark.operators.dedup import phash_topk_banded
+
+    # query has exactly 3 in-radius rows (itself + 2 neighbors), k=5
+    rows = [(0, 0), (1, 1), (2, 2)] + [(i, 0x00FFFFFFFFFFFF ^ i) for i in range(10, 16)]
+    ph = spark.createDataFrame(rows, "doc_id long, phash long")
+    q = ph.filter("doc_id = 0").selectExpr("doc_id as query_id", "phash")
+    out = phash_topk_banded(ph, q, k=5, max_hamming=2, fill_min_candidates=1).collect()
+    assert len(out) == 5  # clamp triggered the fallback

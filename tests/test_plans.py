@@ -968,17 +968,19 @@ def test_unimax_planning_joins_broadcast(spark):
 def test_corpus_line_dedup_digest_join_no_cartesian(spark):
     """RefinedWeb line dedup: the corpus-frequency verdict must flow
     through hash equi-joins keyed on the md5 digest — never a
-    cartesian/broadcast-nested-loop — and no global window anywhere."""
+    cartesian/broadcast-nested-loop — and no global window anywhere.
+    (Node walk, not toString grep: conftest caps plan strings at 4096
+    chars, so absent-node asserts on long plans would be vacuous.)"""
     from sosse_spark.operators.dedup import corpus_line_dedup
 
     docs = spark.createDataFrame(
         [(i, f"line one {i}\nshared banner\nline two {i}") for i in range(10)],
         "doc_id long, text string",
     )
-    plan = _plan(corpus_line_dedup(docs, "doc_id", "text"))
-    assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
-    assert "Window" not in plan
+    kinds = [n.getClass().getSimpleName() for n in _walk_nodes(corpus_line_dedup(docs, "doc_id", "text"))]
+    assert not any("Cartesian" in k for k in kinds)
+    assert not any("BroadcastNestedLoop" in k for k in kinds)
+    assert not any(k.startswith("Window") for k in kinds)
 
 
 def test_sq8_scan_side_is_codes_only(spark):
@@ -996,10 +998,10 @@ def test_sq8_scan_side_is_codes_only(spark):
     )
     q = emb.filter("vec_id < 2").selectExpr("vec_id as query_id", "embedding")
     bounds = sq_train(emb)
-    plan = _plan(sq_topk(emb, q, bounds, k=3))
-    assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
-    assert "BroadcastHashJoin" in plan  # query vectors broadcast into re-rank
+    kinds = [n.getClass().getSimpleName() for n in _walk_nodes(sq_topk(emb, q, bounds, k=3))]
+    assert not any("Cartesian" in k for k in kinds)
+    assert not any("BroadcastNestedLoop" in k for k in kinds)
+    assert any("BroadcastHashJoin" in k for k in kinds)  # query vectors broadcast into re-rank
 
 
 def test_char_entropy_two_hash_aggs_no_window(spark):
@@ -1010,7 +1012,7 @@ def test_char_entropy_two_hash_aggs_no_window(spark):
     docs = spark.createDataFrame(
         [(i, f"some text {i}") for i in range(10)], "doc_id long, text string"
     )
-    plan = _plan(char_entropy(docs, "doc_id", "text"))
-    assert "Window" not in plan
-    assert "CartesianProduct" not in plan
-    assert plan.count("HashAggregate") >= 4  # 2 aggs x partial+final
+    kinds = [n.getClass().getSimpleName() for n in _walk_nodes(char_entropy(docs, "doc_id", "text"))]
+    assert not any(k.startswith("Window") for k in kinds)
+    assert not any("Cartesian" in k for k in kinds)
+    assert sum("HashAggregate" in k for k in kinds) >= 4  # 2 aggs x partial+final

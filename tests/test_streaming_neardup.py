@@ -102,3 +102,25 @@ def test_popcount64_swar():
     xs = np.array([0, 1, 3, 0xFFFFFFFFFFFFFFFF, 1 << 63, 0x5555555555555555], dtype=np.uint64)
     got = _popcount64(xs).astype(int).tolist()
     assert got == [0, 1, 2, 64, 1, 32]
+
+
+def test_streaming_neardup_replay_is_idempotent(spark, tmp_root):
+    """At-least-once upstream: a replayed (id, sig) row is skipped
+    (first-sig-wins, same identity rule as streaming_urlseen) — no
+    duplicate pair re-emission, no state growth."""
+    import os as _os
+
+    input_dir = _os.path.join(tmp_root, "rp_in")
+    output_dir = _os.path.join(tmp_root, "rp_out")
+    ckpt = _os.path.join(tmp_root, "rp_ckpt")
+    base = 0x0123456789ABCDEF
+    _write(spark, input_dir, [(1, base), (2, base ^ 1)])
+    _run(spark, input_dir, output_dir, ckpt)
+    n1 = spark.read.parquet(output_dir).count()
+    # replay the SAME rows (new files, same ids) — and a changed sig
+    # under an existing id, which first-sig-wins also skips
+    _write(spark, input_dir, [(1, base), (2, base ^ 1), (1, base ^ 3)])
+    _run(spark, input_dir, output_dir, ckpt)
+    n2 = spark.read.parquet(output_dir).count()
+    assert n2 == n1  # nothing re-emitted
+    assert _pairs(spark, output_dir) == {(1, 2, 1)}
