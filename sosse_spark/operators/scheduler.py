@@ -199,6 +199,7 @@ def domain_page_cap(
     host_col: str = "url_domain",
     order_cols: Sequence[Column] | None = None,
     salt_buckets: int = 8,
+    pending_filter: Column | None = None,
 ) -> DataFrame:
     """Cumulative per-domain page quota — the Common-Crawl-style host
     budget a bulk crawl needs ON TOP of the per-round politeness window
@@ -224,6 +225,12 @@ def domain_page_cap(
     order_cols = list(order_cols) if order_cols is not None else priority_order_cols()
     crawled = frontier.filter(F.col("crawl_last").isNotNull())
     pending = frontier.filter(F.col("crawl_last").isNull())
+    # pending_filter restricts WHICH pending rows contend for quota
+    # (the crawl engine passes this round's eligibility predicate so an
+    # ineligible row cannot squat on a slot an eligible row could use);
+    # the crawled COUNT always covers every crawled row regardless
+    if pending_filter is not None:
+        pending = pending.filter(pending_filter)
     counts = crawled.groupBy(host_col).agg(
         F.count("*").cast("int").alias("domain_crawled")
     )

@@ -83,6 +83,7 @@ class CrawlEngine:
         salt_buckets: int = 4,
         bloom_bits: int = 1 << 20,
         webhook_transport=None,
+        domain_page_cap: int | None = None,
     ):
         self.spark = spark
         # injectable webhook transport (tests pass a deterministic
@@ -97,6 +98,12 @@ class CrawlEngine:
         self.crash_retry = crash_retry
         self.salt_buckets = salt_buckets
         self.bloom_bits = bloom_bits
+        # cumulative per-domain page quota (Common-Crawl-style host
+        # budget, operators/scheduler.py domain_page_cap): None = off.
+        # Counts rows with crawl_last set (attempted fetches, errors
+        # included) — a domain at the cap admits no more NEW urls, while
+        # recrawls of its existing pages continue unaffected.
+        self.domain_page_cap = domain_page_cap
 
         self.frontier = SnapshotTable(root, "frontier", n_buckets)
         self.bloom = SnapshotTable(root, "urlseen_bloom", n_buckets)
@@ -342,8 +349,26 @@ class CrawlEngine:
             return None
         frontier = frontier.cache()
 
+        # optional cumulative host quota: restrict the batch-selection
+        # input so over-quota NEVER-CRAWLED rows don't contend; the
+        # pending_filter is this round's eligibility predicate, so an
+        # ineligible pending row can't squat on a quota slot.  The
+        # frontier table itself is untouched — a row shut out this
+        # round re-contends whenever quota arithmetic allows.
+        batch_input = frontier
+        if self.domain_page_cap is not None:
+            from sosse_spark.operators.scheduler import domain_page_cap as _quota
+            from sosse_spark.operators.scheduler import eligible_filter as _elig
+
+            batch_input = _quota(
+                frontier,
+                self.domain_page_cap,
+                salt_buckets=self.salt_buckets,
+                pending_filter=_elig(now_col, self.crash_retry),
+            ).drop("domain_crawled", "pending_rank")
+
         batch = select_batch(
-            frontier,
+            batch_input,
             now_col,
             self.batch_size,
             self.per_host_budget,

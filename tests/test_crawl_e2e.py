@@ -528,3 +528,43 @@ def test_webhook_events_emitted(spark, tmp_path_factory):
         assert set(res) == {"discovery", "change"}
         assert res["discovery"]["status_code"] == 200
         assert res["discovery"]["error"] is None
+
+
+def test_domain_page_cap_bounds_crawl(spark, tmp_path_factory):
+    """Engine-level host quota (domain_page_cap knob → scheduler.py
+    domain_page_cap before batch selection): no domain ever accumulates
+    more than `cap` crawled pages, the capped crawl is a strict subset
+    of the uncapped one, and recrawls of existing pages are unaffected."""
+    cap = 3
+    root_cap = str(tmp_path_factory.mktemp("quota_on"))
+    eng = CrawlEngine(
+        spark, root_cap, WEB, POLICY, n_buckets=4, batch_size=32,
+        per_host_budget=8, domain_page_cap=cap,
+    )
+    eng.seed(SEEDS, T0)
+    eng.run_until_quiescent(T0, timedelta(minutes=1), max_rounds=12)
+    fr = eng.frontier.read(spark).filter(F.col("crawl_last").isNotNull())
+    per_dom = {r["url_domain"]: r["n"] for r in fr.groupBy("url_domain").agg(F.count("*").alias("n")).collect()}
+    assert per_dom, "capped crawl must still crawl something"
+    assert all(n <= cap for n in per_dom.values()), per_dom
+    capped_urls = {r["url"] for r in fr.select("url").collect()}
+
+    root_free = str(tmp_path_factory.mktemp("quota_off"))
+    eng2 = _engine(spark, root_free)
+    eng2.seed(SEEDS, T0)
+    eng2.run_until_quiescent(T0, timedelta(minutes=1), max_rounds=12)
+    free = eng2.frontier.read(spark).filter(F.col("crawl_last").isNotNull())
+    free_urls = {r["url"] for r in free.select("url").collect()}
+    assert capped_urls < free_urls  # strict subset: the quota bit
+    # some domain exceeded the cap in the uncapped run (the quota had teeth)
+    free_dom = {r["url_domain"]: r["n"] for r in free.groupBy("url_domain").agg(F.count("*").alias("n")).collect()}
+    assert any(n > cap for n in free_dom.values())
+
+    # recrawl of an already-crawled page proceeds even at the cap: the
+    # adaptive schedule makes crawled rows eligible again; run one more
+    # round an hour later and assert crawled pages got re-fetched
+    m = eng.run_round(T0 + timedelta(hours=2))
+    assert m is not None and m["batch"] > 0
+    fr2 = eng.frontier.read(spark).filter(F.col("crawl_last").isNotNull())
+    per_dom2 = {r["url_domain"]: r["n"] for r in fr2.groupBy("url_domain").agg(F.count("*").alias("n")).collect()}
+    assert all(n <= cap for n in per_dom2.values())
