@@ -2786,6 +2786,20 @@ def q_sample_split_by_cluster(spark, sf_dir):
     return out.select(F.col("_id").alias("doc_id"), "component", "split")
 
 
+def q_text_freq_ngrams(spark, sf_dir):
+    """Corpus-frequent word 3-grams (functions/text.py frequent_ngrams
+    — the boilerplate DISCOVERY pass that pairs with
+    dedup_lines_corpus' removal): top-40 by (doc_freq desc, total_freq
+    desc, gram asc), deterministic at the k-boundary.  Same
+    tokenization/short-doc grams as the certified decontaminate
+    oracle.  Registry position >= 50 (window packed since mid round 5)
+    -> driver-invisible; certified by the local replica gate
+    (pass-L)."""
+    from sosse_spark.functions.text import frequent_ngrams
+
+    return frequent_ngrams(_docs(spark, sf_dir), n=3, top_k=40)
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -2946,6 +2960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_stats": q_dedup_cluster_stats,
         "sim_phash_topk": q_sim_phash_topk,
         "sample_split_by_cluster": q_sample_split_by_cluster,
+        "text_freq_ngrams": q_text_freq_ngrams,
     }
 
 
@@ -5643,4 +5658,19 @@ def oracle_sql() -> dict[str, str]:
                              / 4294967296.0 < 0.2
                         THEN 'test' ELSE 'train' END AS split
             FROM j""",
+        "text_freq_ngrams": """
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+              FROM documents),
+            g AS (
+              SELECT doc_id,
+                     unnest(list_transform(generate_series(1, greatest(len(t) - 2, 1)),
+                                           i -> array_to_string(t[i:i+2], ' '))) AS gram
+              FROM toks),
+            c AS (SELECT gram,
+                         CAST(count(DISTINCT doc_id) AS INT) AS doc_freq,
+                         CAST(count(*) AS INT) AS total_freq
+                  FROM g GROUP BY 1)
+            SELECT gram, doc_freq, total_freq FROM c
+            ORDER BY doc_freq DESC, total_freq DESC, gram ASC LIMIT 40""",
     }

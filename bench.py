@@ -165,6 +165,7 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> dict[str, float]:
         "dedup_cluster_stats",
         "sim_phash_topk",
         "sample_split_by_cluster",
+        "text_freq_ngrams",
     ]
     qs = e.queries()
     out: dict[str, float] = {}

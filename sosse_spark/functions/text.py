@@ -40,6 +40,7 @@ __all__ = [
     "c4_clean",
     "fineweb_quality",
     "char_entropy",
+    "frequent_ngrams",
 ]
 
 # Tiny deterministic stopword lists for the lang-ID heuristic.  Scoring is
@@ -930,3 +931,52 @@ def char_entropy(
             (F.col("entropy") >= F.lit(lo)) & (F.col("entropy") <= F.lit(hi)),
         )
     )
+
+
+def frequent_ngrams(
+    df,
+    n: int = 3,
+    top_k: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Corpus-frequent word n-grams — the boilerplate DISCOVERY pass
+    that pairs with corpus_line_dedup's removal (pipeline practice:
+    mine the most document-frequent n-grams, eyeball/threshold them,
+    then feed the confirmed boilerplate into the removal rules; CCNet/
+    Dolma-style corpus statistics).
+
+    Tokenization matches the dedup shingles (lowercased, whitespace
+    split); documents shorter than n tokens contribute their whole
+    token sequence as one gram (the same short-doc rule).  Output: the
+    top_k rows (gram, doc_freq = documents containing it, total_freq =
+    occurrences corpus-wide), ordered by doc_freq desc, total_freq
+    desc, gram asc — fully deterministic under ties.
+
+    100 TB shape: one staged HOF projection builds each doc's gram
+    array (referenced twice — the CollapseProject/interpreted-HOF
+    re-eval defeat), the explode feeds ONE map-side-combining hash
+    aggregation keyed by gram, and the top-k is orderBy().limit()
+    (TakeOrderedAndProject — parallel partial top-k, no global sort
+    materialization)."""
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("toks"),
+    )
+    n_g = F.greatest(F.size("toks") - F.lit(n - 1), F.lit(1))
+    grams = toks.select(
+        "_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n_g - 1),
+                lambda i: F.concat_ws(" ", F.slice("toks", i + 1, n)),
+            )
+        ).alias("gram"),
+    )
+    counted = grams.groupBy("gram").agg(
+        F.count_distinct("_id").cast("int").alias("doc_freq"),
+        F.count("*").cast("int").alias("total_freq"),
+    )
+    return counted.orderBy(
+        F.col("doc_freq").desc(), F.col("total_freq").desc(), F.col("gram").asc()
+    ).limit(top_k)

@@ -1258,3 +1258,28 @@ def test_phash_topk_banded_fill_min_clamped_to_k(spark):
     q = ph.filter("doc_id = 0").selectExpr("doc_id as query_id", "phash")
     out = phash_topk_banded(ph, q, k=5, max_hamming=2, fill_min_candidates=1).collect()
     assert len(out) == 5  # clamp triggered the fallback
+
+
+def test_frequent_ngrams_hand_values(spark):
+    """Doc-frequency ranking with deterministic tie-break; short docs
+    contribute their whole token run as one gram."""
+    from sosse_spark.functions.text import frequent_ngrams
+
+    docs = spark.createDataFrame(
+        [
+            (1, "click here to subscribe now"),
+            (2, "click here to unsubscribe"),
+            (3, "click here to subscribe today"),
+            (4, "tiny doc"),  # < n tokens: whole run is one gram
+        ],
+        "doc_id long, text string",
+    )
+    out = [(r["gram"], r["doc_freq"], r["total_freq"]) for r in frequent_ngrams(docs, n=3, top_k=3).collect()]
+    assert out[0] == ("click here to", 3, 3)
+    assert out[1] == ("here to subscribe", 2, 2)
+    assert ("tiny doc", 1, 1) not in out  # rank 3 goes to a df-1 gram by name
+    # the k-boundary tie among df-1 grams breaks by gram asc
+    assert out[2][1] == 1 and out[2][0] == min(
+        g for g, df, _ in [("here to unsubscribe", 1, 1), ("to subscribe now", 1, 1),
+                           ("to subscribe today", 1, 1), ("tiny doc", 1, 1)]
+    )
