@@ -106,9 +106,10 @@ def minhash_lsh_pairs(
     # non-cheap expressions into downstream lambda bodies, where the
     # (interpreted) higher-order functions re-evaluate them PER ELEMENT —
     # measured 75× blowup when split/shingles/signature nest into the
-    # band explode.  toks→sh→sig each evaluate exactly once per row here;
-    # the persist() pins the thin (_id, sh, sig) table so the candidate
-    # join and the verify join-backs share one corpus pass.
+    # band explode.  toks→sh each evaluate exactly once per row here; the
+    # localCheckpoint pins the thin (_id, sh) table so the signature agg
+    # and the verify join-backs share one corpus pass (and the blocks
+    # free when the DataFrame goes out of scope, unlike persist()).
     toks = df.select(
         F.col(id_col).alias("_id"),
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("toks"),
@@ -122,30 +123,50 @@ def minhash_lsh_pairs(
                 lambda i: F.concat_ws(" ", F.slice("toks", i + 1, k)),
             )
         ).alias("sh"),
-    )
-    # localCheckpoint rather than persist(): same one-materialization
-    # reuse across the band join and the verify join-backs (and the
-    # same CollapseProject/HOF-re-eval defeat), but the blocks free
-    # when this DataFrame goes out of scope — persist() entries outlive
-    # the call and leak corpus-sized caches into the block manager
-    sig = sh_df.select(
-        "_id", "sh", minhash_signature(F.col("sh"), num_hashes).alias("sig")
     ).localCheckpoint(eager=True)
+
+    # MinHash signature as explode + num_hashes codegen'd min(xxhash64)
+    # aggregates (map-side combined, one thin row per doc).  The old
+    # array formulation — transform(seeds, s -> array_min(transform(sh,
+    # sh_i -> xxhash64(sh_i, s)))) — runs INTERPRETED per (seed ×
+    # shingle) element because Spark executes HOF lambdas without
+    # codegen; identical hash values, whole-stage-codegen'd (measured
+    # 15.3 s → the signature stage was the whole cost at 50k docs).
+    sh_rows = sh_df.select("_id", F.explode("sh").alias("_s"))
+    sig = sh_rows.groupBy("_id").agg(
+        *[
+            F.min(F.xxhash64(F.col("_s"), F.lit(s))).alias(f"_m{s}")
+            for s in range(1, num_hashes + 1)
+        ]
+    )
 
     # THIN banding: only (_id, band_no, band_hash) rides the explode and
     # both sides of the candidate self-join — the shingle arrays never
     # shuffle with the bands (at corpus scale they ARE the documents).
+    # band_hash = xxhash64(concat_ws(",", the band's signature slots)) —
+    # the same string (and hash) the array formulation produced.
     banded = sig.select(
         "_id",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band_no"),
-                    F.xxhash64(
-                        F.concat_ws(",", F.slice("sig", b * rows_per_band + 1, rows_per_band))
-                    ).alias("band_hash"),
-                ),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bno).alias("band_no"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col(f"_m{i}")
+                                    for i in range(
+                                        bno * rows_per_band + 1,
+                                        (bno + 1) * rows_per_band + 1,
+                                    )
+                                ],
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for bno in range(bands)
+                ]
             )
         ).alias("band"),
     ).select("_id", "band.band_no", "band.band_hash")
@@ -164,7 +185,7 @@ def minhash_lsh_pairs(
     )
 
     # shingles join back ONCE, post-dedup, for the exact verification
-    sh = sig.select("_id", "sh")
+    sh = sh_df.select("_id", "sh")
     verified = (
         cand.join(sh.select(F.col("_id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
         .join(sh.select(F.col("_id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
@@ -251,6 +272,7 @@ def hamming_near_dup_pairs(sig: DataFrame, max_hamming: int, n_bits: int = 64) -
     costs Σ|bucket|², never corpus².
     """
     n_chunks = max_hamming + 1
+    bounds = _chunk_bounds(n_bits, n_chunks)
     chunked = sig.select(
         "_id",
         "sig",
@@ -263,30 +285,37 @@ def hamming_near_dup_pairs(sig: DataFrame, max_hamming: int, n_bits: int = 64) -
                         .bitwiseAND(F.lit((1 << width) - 1))
                         .alias("chunk"),
                     )
-                    for c, (start, width) in enumerate(_chunk_bounds(n_bits, n_chunks))
+                    for c, (start, width) in enumerate(bounds)
                 ]
             )
         ).alias("ch"),
     ).select("_id", "sig", "ch.chunk_no", "ch.chunk")
     a, b = chunked.alias("a"), chunked.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.chunk_no") == F.col("b.chunk_no"))
-            & (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a._id") < F.col("b._id")),
-        )
-        .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
+    # A pair agreeing on d chunks would surface d times from the bucket
+    # join; emitting it ONLY at its FIRST agreeing chunk (all earlier
+    # chunks must differ — a codegen'd predicate over sig_a XOR sig_b
+    # evaluated inside the join) replaces the old dropDuplicates, which
+    # hash-exchanged the full candidate-pair stream (at clustered-corpus
+    # scale that stream is 100s of millions of rows: measured 27 s →
+    # removing the exchange is the single biggest win in this operator).
+    # The hamming verify runs inline in the same join filter, so pairs
+    # beyond max_hamming never materialize either.
+    x = F.col("a.sig").bitwiseXOR(F.col("b.sig"))
+    first_agree = F.lit(True)
+    for c, (start, width) in enumerate(bounds[:-1]):
+        differs = F.shiftright(x, start).bitwiseAND(F.lit((1 << width) - 1)) != 0
+        first_agree = first_agree & ((F.col("a.chunk_no") <= F.lit(c)) | differs)
+    cond = (
+        (F.col("a.chunk_no") == F.col("b.chunk_no"))
+        & (F.col("a.chunk") == F.col("b.chunk"))
+        & (F.col("a._id") < F.col("b._id"))
+        & first_agree
+        & (F.bit_count(x) <= F.lit(max_hamming))
     )
-    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return cand.withColumn("hamming", hamming).filter(F.col("hamming") <= max_hamming).select(
-        "id_a", "id_b", "hamming"
+    return a.join(b, cond).select(
+        F.col("a._id").alias("id_a"),
+        F.col("b._id").alias("id_b"),
+        F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))).alias("hamming"),
     )
 
 
@@ -430,20 +459,25 @@ def ngram_jaccard_pairs(
     """Word n-gram Jaccard near-dup within (first-token, length-band)
     blocks, with a size-ratio prefilter.
 
-    Two cost levers that matter at corpus scale:
-      * blocking on (first token, token-count // len_band) keeps the
-        self-join quadratic only within small homogeneous blocks —
-        near-dups share the first token and have similar length;
-      * jaccard ≤ min(|A|,|B|)/max(|A|,|B|), so pairs whose distinct-gram
-        counts are too far apart are dropped on two ints BEFORE the
-        O(|A|+|B|) intersect/union ever runs.
+    Candidate generation is an inverted-index count join (the PPJoin /
+    AllPairs family), NOT an all-pairs-within-block join: distinct grams
+    explode to (id, blk, gs, gram) rows, the self equi-join on
+    (blk, gram) emits one row per SHARED gram of a block pair, and a
+    map-side-combinable count agg yields |A ∩ B| directly — so
+    jaccard = c / (|A| + |B| − c) with no gram arrays ever shuffling and
+    no per-pair array_intersect.  Pairs with zero shared grams (jaccard
+    0) never surface, which is output-identical for any threshold > 0;
+    block pairs whose distinct-gram counts fail the exact size-ratio
+    bound (jaccard ≤ min/max) are pruned inside the join on two ints.
 
-    Returns (id_a, id_b, jaccard ≥ threshold).
+    Returns (id_a, id_b, jaccard ≥ threshold).  Requires threshold > 0.
     """
+    if threshold <= 0:
+        raise ValueError("ngram_jaccard_pairs requires threshold > 0 (the "
+                         "inverted-index join never surfaces jaccard-0 pairs)")
     # staged toks→grams projections (see minhash_lsh_pairs: CollapseProject
     # would otherwise inline the split into the shingle lambda — O(tokens)
-    # re-eval per shingle element); persisted so the thin block join and
-    # the two gram join-backs share one corpus pass
+    # re-eval per shingle element)
     toks_df = df.select(
         F.col(id_col).alias("_id"),
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("toks"),
@@ -462,38 +496,42 @@ def ngram_jaccard_pairs(
             F.col("toks").getItem(0),
             (F.size("toks") / len_band).cast("int").cast("string"),
         ).alias("blk"),
-    ).withColumn("gs", F.size("g")).localCheckpoint(eager=True)  # see minhash note
+    ).withColumn("gs", F.size("g"))
 
-    # THIN block join: only the scalars (_id, blk, gs) ride both sides of
-    # the candidate shuffle — the gram arrays (≈ the documents) never do.
-    # Same treatment as the MinHash band join (dedup.py:122-158).
-    thin = grams.select("_id", "blk", "gs")
-    a, b = thin.alias("a"), thin.alias("b")
+    # The gram table is eagerly localCheckpointed BEFORE the explode:
+    # fusing the explode into the gram projection re-evaluates the HOF
+    # pipeline per gram element (the CLAUDE.md 75× CollapseProject
+    # hazard — measured 6.4 s noop → 37 s for the fused explode at 50k
+    # docs), and the self-join's two sides would recompute the pipeline
+    # once each on top.  The checkpoint pins one clean per-row pass.
+    grams = grams.localCheckpoint(eager=True)
+    # Inverted index: one scalar row per (doc, distinct gram) off the
+    # checkpointed table — the arrays themselves never ride the join.
+    ex = grams.select("_id", "blk", "gs", F.explode("g").alias("gram"))
+    a, b = ex.alias("a"), ex.alias("b")
     cand = a.join(
         b,
         (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.gram") == F.col("b.gram"))
         & (F.col("a._id") < F.col("b._id"))
-        # size-ratio upper bound on two scalars — prunes before array work
+        # size-ratio upper bound on two scalars — prunes before the agg
         & (
             F.least(F.col("a.gs"), F.col("b.gs"))
             >= F.greatest(F.col("a.gs"), F.col("b.gs")) * threshold
         ),
-    ).select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-
-    # gram arrays join back ONCE per side, post-prefilter, for the exact
-    # intersect/union — each candidate id is an equi-join probe, so only
-    # grams of surviving candidates ever shuffle
-    g = grams.select("_id", "g")
+    ).select(
+        F.col("a._id").alias("id_a"),
+        F.col("b._id").alias("id_b"),
+        F.col("a.gs").alias("gs_a"),
+        F.col("b.gs").alias("gs_b"),
+    )
     pairs = (
-        cand.join(g.select(F.col("_id").alias("id_a"), F.col("g").alias("g_a")), "id_a")
-        .join(g.select(F.col("_id").alias("id_b"), F.col("g").alias("g_b")), "id_b")
+        cand.groupBy("id_a", "id_b", "gs_a", "gs_b")
+        .agg(F.count(F.lit(1)).alias("_c"))
         .select(
             "id_a",
             "id_b",
-            (
-                F.size(F.array_intersect("g_a", "g_b"))
-                / F.size(F.array_union("g_a", "g_b"))
-            ).alias("jaccard"),
+            (F.col("_c") / (F.col("gs_a") + F.col("gs_b") - F.col("_c"))).alias("jaccard"),
         )
     )
     return pairs.filter(F.col("jaccard") >= threshold).select(
