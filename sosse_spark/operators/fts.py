@@ -148,23 +148,39 @@ def parse_websearch(query: str) -> list[WebsearchGroup]:
 
 def fts_tokens(text_col: Column) -> Column:
     """Lowercased alnum token array (the tsvector-lexeme analog, before
-    folding)."""
-    return F.filter(
-        F.split(F.lower(text_col), "[^a-z0-9]+"), lambda t: t != F.lit("")
-    )
+    folding).  array_remove(…, '') is the codegen'd equivalent of the
+    old filter(t -> t != '') HOF — Spark runs HOF lambdas interpreted
+    per element, and this expression sits on every FTS corpus scan."""
+    return F.array_remove(F.split(F.lower(text_col), "[^a-z0-9]+"), "")
 
 
 def fts_fold(tokens: Column) -> Column:
     """Suffix-fold every token: sses$→ss, ies$→i, then a trailing s not
     preceded by s drops (chained regexps — exclusive by construction:
-    sses→ss ends in double-s so rule 3 skips it)."""
-    return F.transform(
-        tokens,
-        lambda t: F.regexp_replace(
-            F.regexp_replace(F.regexp_replace(t, "sses$", "ss"), "ies$", "i"),
-            "([^s])s$",
-            "$1",
+    sses→ss ends in double-s so rule 3 skips it).
+
+    Implementation: the rules run over the space-joined token string
+    with token-end lookaheads — ONE compiled-regex pass per rule per
+    document instead of an interpreted transform() lambda with three
+    regexp_replace evaluations per TOKEN (measured: the per-token HOF
+    dominated every q1 scan).  Equivalence: tokens are [a-z0-9]+ so no
+    pattern can span the space separator; rule 3's [^s] is narrowed to
+    the alnum class minus s ([0-9a-rt-z]) so the separator itself can
+    never act as the preceding character (a bare "s" token stays "s",
+    as it did per-token); folding never empties a token, so the final
+    split round-trips exactly."""
+    joined = F.concat_ws(" ", tokens)
+    folded = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(joined, "sses(?= |$)", "ss"), "ies(?= |$)", "i"
         ),
+        "([0-9a-rt-z])s(?= |$)",
+        "$1",
+    )
+    # null/empty arrays pass through unchanged (concat_ws would fold a
+    # NULL array to "" and re-split it to [''] otherwise)
+    return F.when(tokens.isNull() | (F.size(tokens) == 0), tokens).otherwise(
+        F.split(folded, " ")
     )
 
 
@@ -214,6 +230,21 @@ def phrase_lexeme_cond(ftoks: Column, phrase: str) -> Column:
     ).otherwise(F.lit(False))
 
 
+def _stage_barrier(col: Column) -> Column:
+    """Pushdown barrier for a staged expensive column: predicate
+    pushdown substitutes projection aliases into FILTER conditions
+    regardless of reuse count (CLAUDE.md), and whole-stage codegen's
+    common-subexpression elimination cannot merge copies that land
+    inside CASE WHEN branches — measured 4 inlined copies of the
+    tokenize+fold tree (20 s vs 3 s for the q1 scan at 50k docs).  A
+    filter whose references come from a NONDETERMINISTIC projection is
+    not pushed below it, so the wrapped column is evaluated exactly
+    once per row.  Value-transparent: element_at(shuffle([0]), 1) == 0
+    is always true, and shuffle() is nondeterministic in a way the
+    optimizer cannot simplify away (rand(seed) >= -1 gets folded)."""
+    return F.when(F.element_at(F.shuffle(F.array(F.lit(0))), 1) == 0, col)
+
+
 def fts_match_rank(
     docs: DataFrame,
     query: str,
@@ -230,7 +261,7 @@ def fts_match_rank(
     # multiple times below, so CollapseProject cannot inline the split
     # into the (interpreted) fold/filter lambdas
     staged = docs.withColumn("_toks", fts_tokens(F.col(text_col))).withColumn(
-        "_ftoks", fts_fold(F.col("_toks"))
+        "_ftoks", _stage_barrier(fts_fold(F.col("_toks")))
     )
     low = F.lower(F.col(text_col))
 
@@ -255,8 +286,13 @@ def fts_match_rank(
 
     pos_terms = _positive_terms(groups)
     if pos_terms:
-        term_arr = F.array(*[F.lit(t) for t in pos_terms])
-        matched = F.size(F.filter("_ftoks", lambda x: F.array_contains(term_arr, x)))
+        # count of tokens equal to ANY positive term, as size(ftoks) −
+        # size(ftoks with every term occurrence removed): codegen'd
+        # array_remove chain instead of the interpreted filter() HOF
+        rem: Column = F.col("_ftoks")
+        for t in pos_terms:
+            rem = F.array_remove(rem, t)
+        matched = F.size("_ftoks") - F.size(rem)
     else:
         matched = F.size("_toks")  # phrase-only query: every token "matches"
     rank = F.round(matched / F.greatest(F.size("_toks"), F.lit(1)), 6)
@@ -305,7 +341,7 @@ def fts_rank_order(
     """
     groups = parse_websearch(query)
     staged = docs.withColumn("_toks", fts_tokens(F.col(text_col))).withColumn(
-        "_ftoks", fts_fold(F.col("_toks"))
+        "_ftoks", _stage_barrier(fts_fold(F.col("_toks")))
     )
     low = F.lower(F.col(text_col))
 
@@ -330,7 +366,8 @@ def fts_rank_order(
 
     rank = F.lit(0.0)
     for t in _positive_terms(groups):
-        tf = F.size(F.filter("_ftoks", lambda x: x == F.lit(t))).cast("double")
+        # tf as a codegen'd size difference (see fts_match_rank)
+        tf = (F.size("_ftoks") - F.size(F.array_remove("_ftoks", t))).cast("double")
         rank = rank + tf / (F.lit(1.0) + tf)
 
     ranked = staged.filter(cond).select(F.col(id_col), rank.alias("_r"))
@@ -374,7 +411,7 @@ def pg_rank_or_col(ftoks: Column, terms: list[str], weight: float = _PG_WEIGHT_D
     not reproduced; see fts_rank_order_pg's docstring."""
     contribs = []
     for t in terms:
-        tf = F.size(F.filter(ftoks, lambda x: x == F.lit(t)))
+        tf = F.size(ftoks) - F.size(F.array_remove(ftoks, t))
         # H2(tf) = sum_{j=1..tf} 1/j^2; Spark sequence(1, 0) would be
         # DESCENDING [1, 0], so the tf=0 arm must short-circuit
         h2 = (
@@ -512,7 +549,7 @@ def fts_rank_order_pg(
         raise ValueError(f"phrase_mode must be substring|lexeme, got {phrase_mode!r}")
     groups = parse_websearch(query)
     staged = docs.withColumn("_toks", fts_tokens(F.col(text_col))).withColumn(
-        "_ftoks", fts_fold(F.col("_toks"))
+        "_ftoks", _stage_barrier(fts_fold(F.col("_toks")))
     )
     low = F.lower(F.col(text_col))
 

