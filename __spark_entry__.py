@@ -1551,7 +1551,7 @@ def q_sim_ann_bruteforce(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    out = brute_force_topk(emb, queries, k=5, dim=64)
+    out = brute_force_topk(emb, queries, k=5)
     return out.select("query_id", "vec_id", "rank", F.round("cos_sim", 4).alias("cos4"))
 
 

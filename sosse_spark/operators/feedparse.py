@@ -196,7 +196,9 @@ def feed_entries_batch(
                 ],
             )
 
-    return df.select(url_col, content_col).mapInPandas(run, FEED_ENTRIES_SCHEMA)
+    from sosse_spark.partitioning import fanout
+
+    return fanout(df.select(url_col, content_col)).mapInPandas(run, FEED_ENTRIES_SCHEMA)
 
 
 def feed_html(parsed: dict) -> str:

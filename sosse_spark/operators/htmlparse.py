@@ -420,4 +420,6 @@ def parse_html_batch(
                 out, columns=["url", "title", "text", "base_url", "links", "favicon"]
             )
 
-    return pages.select(url_col, content_col).mapInPandas(run, HTML_PARSE_SCHEMA)
+    from sosse_spark.partitioning import fanout
+
+    return fanout(pages.select(url_col, content_col)).mapInPandas(run, HTML_PARSE_SCHEMA)

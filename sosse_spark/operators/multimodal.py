@@ -108,7 +108,9 @@ def image_features(df: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(rows)
 
-    return df.select("image_id", "bytes", "fmt").mapInPandas(run, IMAGE_FEATURES_SCHEMA)
+    from sosse_spark.partitioning import fanout
+
+    return fanout(df.select("image_id", "bytes", "fmt")).mapInPandas(run, IMAGE_FEATURES_SCHEMA)
 
 
 def image_resize(df: DataFrame, out_w: int, out_h: int, out_fmt: str = "png") -> DataFrame:
@@ -136,7 +138,9 @@ def image_resize(df: DataFrame, out_w: int, out_h: int, out_fmt: str = "png") ->
                 )
             yield pd.DataFrame(rows)
 
-    return df.select("image_id", "bytes", "fmt").mapInPandas(
+    from sosse_spark.partitioning import fanout
+
+    return fanout(df.select("image_id", "bytes", "fmt")).mapInPandas(
         run, "image_id string, bytes binary, w int, h int, fmt string"
     )
 
@@ -165,7 +169,9 @@ def image_transcode(df: DataFrame, out_fmt: str) -> DataFrame:
                 )
             yield pd.DataFrame(rows)
 
-    return df.select("image_id", "bytes", "fmt").mapInPandas(
+    from sosse_spark.partitioning import fanout
+
+    return fanout(df.select("image_id", "bytes", "fmt")).mapInPandas(
         run, "image_id string, bytes binary, fmt string, in_bytes long, out_bytes long"
     )
 
@@ -217,7 +223,9 @@ def audio_features(df: DataFrame, allow_fake: bool = False) -> DataFrame:
                 )
             yield pd.DataFrame(rows)
 
-    return df.select("media_id", "bytes").mapInPandas(run, AUDIO_FEATURES_SCHEMA)
+    from sosse_spark.partitioning import fanout
+
+    return fanout(df.select("media_id", "bytes")).mapInPandas(run, AUDIO_FEATURES_SCHEMA)
 
 
 VIDEO_FRAMES_SCHEMA = "media_id string, frame_no int, ts_ms int, frame_bytes binary"
@@ -254,4 +262,6 @@ def video_frame_sample(df: DataFrame, every_ms: int = 1000, allow_fake: bool = F
                     )
             yield pd.DataFrame(rows)
 
-    return df.select("media_id", "bytes").mapInPandas(run, VIDEO_FRAMES_SCHEMA)
+    from sosse_spark.partitioning import fanout
+
+    return fanout(df.select("media_id", "bytes")).mapInPandas(run, VIDEO_FRAMES_SCHEMA)

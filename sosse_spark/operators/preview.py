@@ -280,7 +280,9 @@ def preview_batch(
             out["inline_len"] = out["inline_len"].astype("Int64")
             yield out
 
-    return pages.select(url_col, content_col).mapInPandas(run, PREVIEW_SCHEMA)
+    from sosse_spark.partitioning import fanout
+
+    return fanout(pages.select(url_col, content_col)).mapInPandas(run, PREVIEW_SCHEMA)
 
 
 def thumb_size_cols(

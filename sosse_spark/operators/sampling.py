@@ -230,16 +230,12 @@ def _hashed_ngram_rows(
     rule), one explode."""
     from sosse_spark.functions.text import _lm_tokens
 
+    from sosse_spark.functions.text import word_ngrams
+
     staged = docs.select(F.col(id_col), _lm_tokens(text_col).alias("_toks"))
-    n = F.size("_toks")
-    bigrams = F.when(
-        n >= 2,
-        F.zip_with(
-            F.slice("_toks", 1, n - 1),
-            F.slice("_toks", 2, n - 1),
-            lambda a, b: F.concat(a, F.lit(" "), b),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # full-window bigrams via the shared compiled-regex gram pass (the
+    # zip_with/slice HOF ran interpreted per element); identical strings
+    bigrams = word_ngrams(F.col("_toks"), 2, short_doc_whole=False)
     feats = staged.select(
         F.col(id_col), F.explode(F.concat("_toks", bigrams)).alias("_feat")
     )

@@ -46,10 +46,14 @@ __all__ = [
 def _dot(a: Column, b: Column, dim: Optional[int] = None) -> Column:
     """Dot product.  With `dim` known, an UNROLLED left-fold chain
     ((0.0 + a1·b1) + a2·b2) + … — the same association order as the HOF
-    fold, so the IEEE result is bit-identical — but fully
-    whole-stage-codegen'd instead of interpreted per element (Spark
-    executes higher-order-function lambdas interpreted; measured ~20×
-    on the ANN rescore joins).  Without `dim` the generic HOF fold."""
+    fold, so the IEEE result is bit-identical — and whole-stage-codegen
+    compiled instead of interpreted per element.  CAVEAT (measured):
+    Catalyst + janino pay ~2-3 s PER QUERY to plan/compile the ~6·dim-
+    node tree at dim=64, while the interpreted fold sustains ~4M
+    element-ops/s — so unrolling only wins when a single query scores
+    tens of millions of elements.  The built-in rescore paths therefore
+    stay on the HOF fold (their candidate sets are bounded); pass `dim`
+    explicitly for corpus-sized exact scans."""
     if dim:
         acc: Column = F.lit(0.0)
         for i in range(1, dim + 1):
@@ -223,7 +227,12 @@ def lsh_topk(
     """
     _guard_query_batch(queries, max_query_batch)
     fill_min = fill_min_candidates if fill_min_candidates is not None else 8 * k
-    c_sig = banded_signatures(corpus, dim, bands, rows_per_band, id_col, vec_col, seed)
+    from sosse_spark.partitioning import fanout
+
+    # corpus-side signatures are a CPU-bound Arrow stage over a narrow
+    # scan — fan out to the session parallelism (the query side stays
+    # as-is: repartitioning a handful of query rows only adds a stage)
+    c_sig = banded_signatures(fanout(corpus), dim, bands, rows_per_band, id_col, vec_col, seed)
     q_sig = banded_signatures(queries, dim, bands, rows_per_band, query_id_col, vec_col, seed)
 
     cand = (
@@ -258,7 +267,7 @@ def lsh_topk(
         .select(
             query_id_col,
             id_col,
-            F.round(cosine_sim(F.col("_cvec"), F.col("_qvec"), dim), 6).alias("cos_sim"),
+            F.round(cosine_sim(F.col("_cvec"), F.col("_qvec")), 6).alias("cos_sim"),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
@@ -335,8 +344,10 @@ def ivf_assign(
     """Index build: → (id, cell).  One vectorized pass; at corpus scale
     this table is what gets partitioned/bucketed BY cell so a probe
     touches only its cells' partitions."""
+    from sosse_spark.partitioning import fanout
+
     cell = _cell_udf(centroids, 1)
-    return corpus.select(
+    return fanout(corpus).select(
         F.col(id_col), cell(F.col(vec_col)).getItem(0).alias("cell")
     )
 
@@ -394,14 +405,7 @@ def ivf_topk(
         .select(
             query_id_col,
             id_col,
-            F.round(
-                cosine_sim(
-                    F.col("_cvec"),
-                    F.col("_qvec"),
-                    len(centroids[0]) if centroids else None,
-                ),
-                6,
-            ).alias("cos_sim"),
+F.round(cosine_sim(F.col("_cvec"), F.col("_qvec")), 6).alias("cos_sim"),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
@@ -528,7 +532,9 @@ def embedding_near_dup_pairs(
     if random_pair_fraction > 0.05:
         cand = _blocked_exact_candidates(df, threshold, id_col, vec_col)
     else:
-        sig = banded_signatures(df, dim, bands, rows_per_band, id_col, vec_col, seed)
+        from sosse_spark.partitioning import fanout
+
+        sig = banded_signatures(fanout(df), dim, bands, rows_per_band, id_col, vec_col, seed)
         a, b = sig.alias("a"), sig.alias("b")
         cand = (
             a.join(
@@ -548,7 +554,7 @@ def embedding_near_dup_pairs(
         .select(
             "id_a",
             "id_b",
-            F.round(cosine_sim(F.col("_va"), F.col("_vb"), dim or None), 6).alias("cos_sim"),
+            F.round(cosine_sim(F.col("_va"), F.col("_vb")), 6).alias("cos_sim"),
         )
     )
     return pairs.filter(F.col("cos_sim") >= threshold)
@@ -602,7 +608,9 @@ def semantic_dedup(
     Centroids come from `ivf_train` (bounded-sample Lloyd) or any
     deterministic rule; they ride inside the UDF closure (broadcast).
     """
-    cells = corpus.select(
+    from sosse_spark.partitioning import fanout
+
+    cells = fanout(corpus).select(
         F.col(id_col).alias("_id"),
         _semantic_cell_udf(centroids)(F.col(vec_col)).alias("cell"),
     )
@@ -617,12 +625,7 @@ def semantic_dedup(
         .select(
             "id_a",
             "id_b",
-            F.round(
-                cosine_sim(
-                    F.col("_va"), F.col("_vb"), len(centroids[0]) if centroids else None
-                ),
-                6,
-            ).alias("cs"),
+F.round(cosine_sim(F.col("_va"), F.col("_vb")), 6).alias("cs"),
         )
         .filter(F.col("cs") >= threshold)
         .groupBy("id_b")
@@ -728,8 +731,10 @@ def pq_encode(
     table is the object that lives in memory at 100 TB scale — m_sub
     bytes per vector instead of 4·dim; the float vectors stay in cold
     storage and are fetched only for the exact re-rank of shortlists."""
+    from sosse_spark.partitioning import fanout
+
     code = _pq_code_udf(codebooks)
-    return corpus.select(F.col(id_col), code(F.col(vec_col)).alias("codes"))
+    return fanout(corpus).select(F.col(id_col), code(F.col(vec_col)).alias("codes"))
 
 
 def pq_topk(
@@ -840,9 +845,7 @@ def pq_topk(
         .select(
             query_id_col,
             id_col,
-            F.round(
-                cosine_sim(F.col("_cvec"), F.col("_qvec"), len(codebooks) * len(codebooks[0][0]) if codebooks else None), 6
-            ).alias("cos_sim"),
+            F.round(cosine_sim(F.col("_cvec"), F.col("_qvec")), 6).alias("cos_sim"),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
@@ -960,9 +963,7 @@ def ivfpq_topk(
         .select(
             query_id_col,
             id_col,
-            F.round(
-                cosine_sim(F.col("_cvec"), F.col("_qvec"), len(centroids[0]) if centroids else None), 6
-            ).alias("cos_sim"),
+            F.round(cosine_sim(F.col("_cvec"), F.col("_qvec")), 6).alias("cos_sim"),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
@@ -1034,8 +1035,10 @@ def sq_encode(
     vector (4x smaller than float32, 8x smaller than the float64 the
     exact path computes in); the float vectors stay in cold storage and
     are fetched only for the exact re-rank of shortlists."""
+    from sosse_spark.partitioning import fanout
+
     code = _sq_code_udf(bounds)
-    return corpus.select(F.col(id_col), code(F.col(vec_col)).alias("codes"))
+    return fanout(corpus).select(F.col(id_col), code(F.col(vec_col)).alias("codes"))
 
 
 def sq_topk(
@@ -1147,9 +1150,7 @@ def sq_topk(
         .select(
             query_id_col,
             id_col,
-            F.round(
-                cosine_sim(F.col("_cvec"), F.col("_qvec"), len(bounds[0]) if bounds else None), 6
-            ).alias("cos_sim"),
+            F.round(cosine_sim(F.col("_cvec"), F.col("_qvec")), 6).alias("cos_sim"),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(F.col("cos_sim").desc(), F.col(id_col).asc())
