@@ -1009,9 +1009,14 @@ def frequent_ngrams(
         "_id",
         F.explode(word_ngrams(F.col("toks"), n)).alias("gram"),
     )
-    counted = grams.groupBy("gram").agg(
-        F.count_distinct("_id").cast("int").alias("doc_freq"),
-        F.count("*").cast("int").alias("total_freq"),
+    # two-level aggregation instead of count_distinct + count in one agg:
+    # the mixed distinct/non-distinct form plans an Expand (×2 rows of
+    # the gram stream) plus distinct machinery; per-(gram, doc) partial
+    # counts first are map-side combinable and produce identical ints
+    per_doc = grams.groupBy("gram", "_id").agg(F.count(F.lit(1)).alias("_c"))
+    counted = per_doc.groupBy("gram").agg(
+        F.count(F.lit(1)).cast("int").alias("doc_freq"),
+        F.sum("_c").cast("int").alias("total_freq"),
     )
     return counted.orderBy(
         F.col("doc_freq").desc(), F.col("total_freq").desc(), F.col("gram").asc()

@@ -1072,7 +1072,14 @@ def phash_topk_banded(
     searched — the result is the top-k OF THE IN-RADIUS SET.  Exact
     equality with phash_topk holds when the true k-th neighbor sits
     within max_hamming (the near-dup retrieval regime); the starved
-    fallback restores it everywhere else."""
+    fallback restores it everywhere else.
+
+    EAGER: building this DataFrame runs Spark jobs immediately — the
+    candidate side is localCheckpoint(eager=True)-materialized so the
+    starved-query probe and the re-rank share one pass (the same eager
+    contract as minhash_lsh_pairs); callers composing plans without
+    executing them should construct it last, and the checkpoint blocks
+    free on GC once the frame goes out of scope (ADVICE r5)."""
     from sosse_spark.operators.similarity import _guard_query_batch
 
     _guard_query_batch(queries, max_query_batch)

@@ -97,8 +97,15 @@ def _make_kernel(max_hamming: int):
         # therefore keeps the original signature — recrawl-aware dedup
         # needs a fresh checkpoint (or a future replace-by-id state).
         seen_ids = set(ids.tolist())
-        new_id_buf: list[int] = []
-        new_sig_buf: list[int] = []
+        # fresh rows accumulate in a geometrically-grown ndarray: the
+        # comparison slice buf_*[:buf_n] is a VIEW, so per-row cost is
+        # O(|state| + fresh) — the old per-row np.array(list) rebuild
+        # made the in-batch half O(B²) array-construction work (ADVICE
+        # r5); the doubling resize amortizes to O(B) total copies
+        cap = 1024
+        buf_ids = np.empty(cap, np.int64)
+        buf_sigs = np.empty(cap, np.int64)
+        buf_n = 0
 
         for pdf in pdfs:
             new_ids = pdf["_id"].to_numpy(dtype=np.int64)
@@ -107,9 +114,8 @@ def _make_kernel(max_hamming: int):
             # arrival order: each row compares against state PLUS the
             # earlier fresh rows of the run, then joins the seen set —
             # a micro-batch carrying both halves of a pair emits it.
-            # State arrays stay frozen; fresh rows buffer in lists and
-            # concatenate ONCE at state.update (np.append per row would
-            # recopy the whole state array per arriving row).
+            # State arrays stay frozen; fresh rows concatenate into
+            # state ONCE at state.update.
             for i in range(len(new_ids)):
                 nid = int(new_ids[i])
                 if nid in seen_ids:
@@ -117,10 +123,7 @@ def _make_kernel(max_hamming: int):
                 sig_u = np.uint64(np.int64(new_sigs[i]).view(np.uint64))
                 for cand_ids, cand_sigs in (
                     (ids, sigs),
-                    (
-                        np.array(new_id_buf, dtype=np.int64),
-                        np.array(new_sig_buf, dtype=np.int64),
-                    ),
+                    (buf_ids[:buf_n], buf_sigs[:buf_n]),
                 ):
                     if not len(cand_ids):
                         continue
@@ -131,8 +134,13 @@ def _make_kernel(max_hamming: int):
                         out_b.append(max(a, nid))
                         out_h.append(int(ham[j]))
                 seen_ids.add(nid)
-                new_id_buf.append(nid)
-                new_sig_buf.append(int(new_sigs[i]))
+                if buf_n == cap:
+                    cap *= 2
+                    buf_ids = np.resize(buf_ids, cap)
+                    buf_sigs = np.resize(buf_sigs, cap)
+                buf_ids[buf_n] = nid
+                buf_sigs[buf_n] = int(new_sigs[i])
+                buf_n += 1
             if out_a:
                 yield pd.DataFrame(
                     {
@@ -143,11 +151,11 @@ def _make_kernel(max_hamming: int):
                     }
                 )
 
-        if new_id_buf:
+        if buf_n:
             state.update(
                 (
-                    np.concatenate([ids, np.array(new_id_buf, dtype=np.int64)]).tobytes(),
-                    np.concatenate([sigs, np.array(new_sig_buf, dtype=np.int64)]).tobytes(),
+                    np.concatenate([ids, buf_ids[:buf_n]]).tobytes(),
+                    np.concatenate([sigs, buf_sigs[:buf_n]]).tobytes(),
                 )
             )
 
