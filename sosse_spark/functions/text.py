@@ -137,7 +137,7 @@ def gopher_quality_flags(text_col: Column) -> list[Column]:
     Each rule is one codegen'd expression over the text column — the
     whole filter is a projection, no shuffle, no UDF.
     """
-    words = F.filter(F.split(F.trim(text_col), r"\s+"), lambda w: w != F.lit(""))
+    words = F.array_remove(F.split(F.trim(text_col), r"\s+"), "")
     n_words = F.size(words)
     chars = F.length(F.concat_ws("", words)).cast("double")
     mean_wlen = F.when(n_words > 0, chars / n_words).otherwise(F.lit(0.0))
@@ -207,7 +207,7 @@ def gopher_repetition(df, id_col: str = "doc_id", text_col: str = "text"):
     size — then ONE hash aggregation keyed by (doc, n, gram) with
     map-side combine and ONE conditional re-aggregation keyed by doc.
     All JVM; no UDF, no window, no driver loop."""
-    w = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != F.lit(""))
+    w = F.array_remove(F.split(F.trim(F.col(text_col)), r"\s+"), "")
     lines = F.filter(
         F.split(F.col(text_col), "\n"), lambda l: F.trim(l) != F.lit("")
     )
@@ -380,9 +380,10 @@ def _lm_tokens(text_col: str):
     with every DuckDB oracle's string_split_regex CTE — unigram_logprob,
     bigram_logprob and hashed_classifier_score must all tokenize
     identically or their scores silently desynchronize."""
-    return F.filter(
-        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda t: t != F.lit("")
-    )
+    # array_remove(…, '') is the codegen'd equivalent of the old
+    # filter(t -> t != '') HOF (interpreted per element) — identical
+    # tokens, same oracle contract
+    return F.array_remove(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), "")
 
 
 def unigram_logprob(

@@ -79,7 +79,7 @@ def url_quality_filter(
         hard_hit = F.lit(False)
     if soft_words:
         url_words = F.array_distinct(
-            F.filter(F.split(low, "[^a-z0-9]+"), lambda x: x != F.lit(""))
+            F.array_remove(F.split(low, "[^a-z0-9]+"), "")
         )
         soft_arr = F.array(*[F.lit(w.lower()) for w in sorted(set(soft_words))])
         soft_count = F.size(F.array_intersect(soft_arr, url_words))
