@@ -19,9 +19,10 @@ from __future__ import annotations
 import math
 from typing import Optional
 
-import pandas as pd  # module-level so the type-hinted pandas UDF
+# pandas is imported at module level so the type-hinted pandas UDF
 # signatures (stringified by `from __future__ import annotations`)
 # resolve via typing.get_type_hints
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
