@@ -290,6 +290,15 @@ def hamming_near_dup_pairs(sig: DataFrame, max_hamming: int, n_bits: int = 64) -
             )
         ).alias("ch"),
     ).select("_id", "sig", "ch.chunk_no", "ch.chunk")
+    # Fan the thin chunk table out to the session parallelism: the
+    # candidate join usually plans as a BROADCAST hash join (the chunk
+    # table is ~10s of MB), which runs on the STREAM side's partitions —
+    # and a narrow parquet scan yields 1-2 splits, so the entire
+    # Σ|bucket|² probe loop ran on 1-2 cores (measured 180 s for a
+    # 1.35G-probe clustered corpus at 150k docs; 32-way it is seconds).
+    from sosse_spark.partitioning import fanout
+
+    chunked = fanout(chunked)
     a, b = chunked.alias("a"), chunked.alias("b")
     # A pair agreeing on d chunks would surface d times from the bucket
     # join; emitting it ONLY at its FIRST agreeing chunk (all earlier
